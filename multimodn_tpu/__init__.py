@@ -1,0 +1,41 @@
+"""MultiModN-TPU: a TPU-native JAX framework for sequential multimodal fusion.
+
+Re-implements the capabilities of EPFLiGHT/MultiModN (NeurIPS 2023,
+reference: /root/reference) as an idiomatic JAX/XLA framework:
+
+- The sequential fusion core (reference ``multimodn/multimodn.py``) becomes a
+  single jitted train step: the encoder chain threads a shared state vector,
+  every intermediate state is stacked into an ``(E+1, B, S)`` tensor, and all
+  decoder heads evaluate the full stack in one batched matmul.
+- NaN-missingness skipping (reference ``multimodn.py:167-169``) becomes
+  explicit validity masks with ``jnp.where`` state passthrough — per-sample by
+  default (a strict generalization), with a batch-granular parity mode.
+- Epochs run as ``lax.scan`` over on-device batches: one device dispatch per
+  epoch instead of per batch.
+- Data parallelism is a ``jax.sharding`` mesh axis; metric grids reduce with
+  XLA collectives emitted from sharding annotations.
+"""
+
+from multimodn_tpu.model import MultiModN
+from multimodn_tpu.core.state import InitState, TrainableInitState, StaticInitState
+from multimodn_tpu.core.history import MultiModNHistory
+from multimodn_tpu.core.losses import cross_entropy_loss, CrossEntropyLoss
+from multimodn_tpu.core.metrics import get_performance_metrics, performance_metrics
+from multimodn_tpu.optim import Adam, SGD, AdamW
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "MultiModN",
+    "InitState",
+    "TrainableInitState",
+    "StaticInitState",
+    "MultiModNHistory",
+    "cross_entropy_loss",
+    "CrossEntropyLoss",
+    "get_performance_metrics",
+    "performance_metrics",
+    "Adam",
+    "SGD",
+    "AdamW",
+]

@@ -1,0 +1,201 @@
+"""The fusion core: the whole MultiModN step as one traced computation.
+
+Reference behavior being rebuilt (``multimodn/multimodn.py:117-204``): thread a
+shared state vector through E per-modality encoders; after the initial state
+and after every encoder step, evaluate every decoder head, producing an
+``(E+1) x D`` grid of losses / correct-counts / binary-confusion counts; loss
+is the grid mean plus an L2 state-change penalty.
+
+TPU-first design decisions (vs the reference's per-cell Python loops):
+
+- The encoder chain is unrolled at trace time (E is small and static); every
+  intermediate state lands in an ``(E+1, B, S)`` stack.
+- Each decoder evaluates the FULL stack in one batched matmul — all
+  ``(E+1) * D`` grid cells come from D contractions, not (E+1)*D Python calls.
+- NaN-missingness skipping (reference ``multimodn.py:167-169``) is a validity
+  mask with ``jnp.where`` state passthrough. ``nan_skip='batch'`` reproduces
+  the reference's batch-granular skip exactly; ``nan_skip='sample'`` (default)
+  is the strict per-sample generalization that removes the reference's
+  batch_size=1 requirement for missingness experiments
+  (``titanic_missingness_pipeline.py:35``); ``nan_skip='none'`` matches
+  ``predict()``'s no-skip behavior (``multimodn.py:445-449``, quirk #9).
+- Variable batch tails are padded to static shapes; a per-sample mask keeps
+  every mean/count exact, so XLA compiles the step once.
+"""
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multimodn_tpu.core.metrics import binary_confusion_counts
+
+
+def default_order(n_encoders: int) -> Tuple[Tuple[int, int], ...]:
+    """Identity (data_idx, enc_idx) pairing (reference ``multimodn.py:516``)."""
+    return tuple((i, i) for i in range(n_encoders))
+
+
+def masked_mean_sq_diff(new_state, old_state, sample_mask):
+    """State-change penalty term: mean over (valid samples x features) of the
+    squared state delta (reference ``multimodn.py:174``)."""
+    per_sample = jnp.mean((new_state - old_state) ** 2, axis=-1)
+    m = sample_mask.astype(per_sample.dtype)
+    return jnp.sum(per_sample * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def forward_chain(
+    encoders: Sequence,
+    init_state,
+    params: dict,
+    data: Sequence[jnp.ndarray],
+    sample_mask: jnp.ndarray,
+    *,
+    order: Sequence[Tuple[int, int]],
+    nan_skip: str = "sample",
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    init_offset=0,
+):
+    """Run the encoder chain, collecting per-metric-row states.
+
+    Returns:
+        states_by_row: (E+1, B, S) — row 0 is the initial state, row e+1 the
+            state right after encoder e ran (execution order may differ from
+            row order under permuted ``order``); never-executed rows repeat the
+            last available state of row 0 (they are masked out via row_ok).
+        state_change: (E,) masked mean squared state deltas per encoder row.
+        row_ok: (E+1,) 1.0 where the row's grid cells are live this batch.
+        n_counted: (E+1,) per-row sample-count increments for the accuracy
+            denominators (reference ``multimodn.py:105,121,171``).
+    """
+    n_enc = len(encoders)
+    batch = sample_mask.shape[0]
+    n_real = jnp.sum(sample_mask.astype(jnp.float32))
+
+    state = init_state.apply(params["init_state"], batch, init_offset)
+
+    states_rows: List = [state] + [state] * n_enc  # placeholder rows
+    state_change = [jnp.zeros(()) for _ in range(n_enc)]
+    row_ok = [jnp.ones(())] + [jnp.zeros(()) for _ in range(n_enc)]
+    n_counted = [n_real] + [jnp.zeros(()) for _ in range(n_enc)]
+
+    for k, (data_idx, enc_idx) in enumerate(order):
+        enc = encoders[enc_idx]
+        x = data[data_idx]
+        old_state = state
+        step_rng = None
+        if rng is not None:
+            step_rng = jax.random.fold_in(rng, k)
+
+        if nan_skip == "none":
+            # predict() parity: NaNs flow straight into the encoder (quirk #9).
+            state = enc.apply(params["encoders"][enc_idx], state, x,
+                              train=train, rng=step_rng)
+            ok = jnp.ones(())
+            counted = n_real
+        else:
+            nan_here = jnp.isnan(x)
+            if x.ndim > 1:
+                sample_has_nan = jnp.any(nan_here, axis=tuple(range(1, x.ndim)))
+            else:
+                sample_has_nan = nan_here
+            xz = jnp.nan_to_num(x)
+            new_state = enc.apply(params["encoders"][enc_idx], state, xz,
+                                  train=train, rng=step_rng)
+            if nan_skip == "batch":
+                # Reference semantics: ONE NaN anywhere in the (real) batch
+                # skips this encoder for the whole batch (multimodn.py:167-169).
+                any_nan = jnp.any(sample_has_nan & (sample_mask > 0))
+                ok = jnp.where(any_nan, 0.0, 1.0)
+                state = jnp.where(any_nan, old_state, new_state)
+                counted = n_real * ok
+            elif nan_skip == "sample":
+                # Per-sample generalization: only samples with a valid modality
+                # advance their state; everyone stays in the metrics.
+                valid = (~sample_has_nan) & (sample_mask > 0)
+                state = jnp.where(valid[:, None], new_state, old_state)
+                ok = jnp.ones(())
+                counted = n_real
+            else:
+                raise ValueError(f"Unknown nan_skip mode {nan_skip!r}")
+
+        states_rows[enc_idx + 1] = state
+        state_change[enc_idx] = masked_mean_sq_diff(state, old_state, sample_mask)
+        row_ok[enc_idx + 1] = ok
+        n_counted[enc_idx + 1] = counted
+
+    states_by_row = jnp.stack(states_rows)             # (E+1, B, S)
+    state_change = jnp.stack(state_change)             # (E,)
+    row_ok = jnp.stack(row_ok)                         # (E+1,)
+    n_counted = jnp.stack(n_counted)                   # (E+1,)
+    return states_by_row, state_change, row_ok, n_counted
+
+
+def decode_grid(
+    decoders: Sequence,
+    params: dict,
+    states_by_row: jnp.ndarray,
+    targets: jnp.ndarray,
+    sample_mask: jnp.ndarray,
+    row_ok: jnp.ndarray,
+    criterion: Callable,
+):
+    """Evaluate every decoder on every state row; emit all per-cell stats.
+
+    Args:
+        states_by_row: (E+1, B, S).
+        targets: (B, D) integer labels.
+        sample_mask: (B,).
+        row_ok: (E+1,) row liveness (batch-granular skip zeroes dead rows, as
+            the reference leaves those grid cells at 0 — multimodn.py:123,167).
+    Returns dict with:
+        err_loss: (E+1, D); n_correct: (E+1, D);
+        tp/tn/fp/fn: (E+1, D) (NaN columns for non-binary decoders, matching
+        reference compute_metrics' NaN fill — multimodn.py:59-63);
+        outputs: list of D arrays (E+1, B, C_d) raw decoder outputs.
+    """
+    n_rows = states_by_row.shape[0]
+    mask_f = sample_mask.astype(jnp.float32)
+    row_mask = row_ok[:, None] * mask_f[None, :]        # (E+1, B)
+
+    err_cols, corr_cols = [], []
+    tp_cols, tn_cols, fp_cols, fn_cols = [], [], [], []
+    outputs = []
+    for d, dec in enumerate(decoders):
+        out = dec.apply(params["decoders"][d], states_by_row)   # (E+1, B, C)
+        outputs.append(out)
+        tgt = jnp.broadcast_to(targets[:, d][None, :], (n_rows, targets.shape[0]))
+        ce = criterion(out, tgt, row_mask if criterion_accepts_mask(criterion) else None)
+        # criterion returns (E+1,) means; dead rows contribute 0 like the
+        # reference's never-written grid cells.
+        err_cols.append(ce * row_ok)
+
+        pred = jnp.argmax(out, axis=-1)
+        corr = jnp.sum((pred == tgt).astype(jnp.float32) * row_mask, axis=-1)
+        corr_cols.append(corr)
+
+        if dec.n_classes == 2:
+            tp, tn, fp, fn = binary_confusion_counts(pred, tgt, row_mask)
+        else:
+            nanrow = jnp.full((n_rows,), jnp.nan)
+            tp = tn = fp = fn = nanrow
+        tp_cols.append(tp); tn_cols.append(tn)
+        fp_cols.append(fp); fn_cols.append(fn)
+
+    stack = lambda cols: jnp.stack(cols, axis=1)        # (E+1, D)
+    return {
+        "err_loss": stack(err_cols),
+        "n_correct": stack(corr_cols),
+        "tp": stack(tp_cols),
+        "tn": stack(tn_cols),
+        "fp": stack(fp_cols),
+        "fn": stack(fn_cols),
+        "outputs": outputs,
+    }
+
+
+def criterion_accepts_mask(criterion) -> bool:
+    """Built-in losses take (outputs, targets, mask); user callables may not."""
+    return getattr(criterion, "_accepts_mask", True)

@@ -1,0 +1,116 @@
+"""Loss functions (jit-traceable, mask-aware).
+
+The reference applies ``torch.nn.CrossEntropyLoss`` to the decoders'
+*sigmoid-activated* outputs (reference ``multimodn/multimodn.py:146`` with
+``decoders.py:20``): CE-over-sigmoid is the behavior to match, so the loss
+here is log-softmax over whatever the decoder emitted, exactly like torch.
+
+All losses take an optional per-sample validity mask so padded batch tails
+(static shapes for XLA) and per-sample missingness never contaminate the mean.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy_loss(outputs: jnp.ndarray, targets: jnp.ndarray,
+                       mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Mean cross-entropy, semantics of torch.nn.CrossEntropyLoss(reduction='mean').
+
+    Args:
+        outputs: (..., B, C) unnormalized (or sigmoid-activated — matched
+            behavior) class scores.
+        targets: (..., B) integer class indices.
+        mask: optional (..., B) float/bool validity; mean is over valid samples.
+    Returns:
+        scalar (or leading-dims) mean loss.
+    """
+    logz = jax.scipy.special.logsumexp(outputs, axis=-1)
+    picked = jnp.take_along_axis(outputs, targets[..., None].astype(jnp.int32),
+                                 axis=-1)[..., 0]
+    ce = logz - picked
+    if mask is None:
+        return jnp.mean(ce, axis=-1)
+    m = mask.astype(ce.dtype)
+    denom = jnp.maximum(jnp.sum(m, axis=-1), 1.0)
+    return jnp.sum(ce * m, axis=-1) / denom
+
+
+def bce_loss(outputs: jnp.ndarray, targets: jnp.ndarray,
+             mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Binary cross-entropy over the positive-class column (column 1)."""
+    p = jnp.clip(outputs[..., 1], 1e-7, 1.0 - 1e-7)
+    t = targets.astype(p.dtype)
+    ce = -(t * jnp.log(p) + (1.0 - t) * jnp.log(1.0 - p))
+    if mask is None:
+        return jnp.mean(ce, axis=-1)
+    m = mask.astype(ce.dtype)
+    denom = jnp.maximum(jnp.sum(m, axis=-1), 1.0)
+    return jnp.sum(ce * m, axis=-1) / denom
+
+
+def mse_loss(outputs: jnp.ndarray, targets: jnp.ndarray,
+             mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Mean squared error against one-hot targets."""
+    onehot = jax.nn.one_hot(targets, outputs.shape[-1], dtype=outputs.dtype)
+    se = jnp.mean((outputs - onehot) ** 2, axis=-1)
+    if mask is None:
+        return jnp.mean(se, axis=-1)
+    m = mask.astype(se.dtype)
+    denom = jnp.maximum(jnp.sum(m, axis=-1), 1.0)
+    return jnp.sum(se * m, axis=-1) / denom
+
+
+LOSSES = {
+    "cross_entropy": cross_entropy_loss,
+    "ce": cross_entropy_loss,
+    "bce": bce_loss,
+    "mse": mse_loss,
+}
+
+
+for _fn in (cross_entropy_loss, bce_loss, mse_loss):
+    _fn._accepts_mask = True
+
+
+class CrossEntropyLoss:
+    """Drop-in-named criterion object mirroring torch.nn.CrossEntropyLoss usage
+    in the reference pipelines (``titanic_mlp_pipeline.py:76``)."""
+
+    _accepts_mask = True
+
+    def __call__(self, outputs, targets, mask=None):
+        return cross_entropy_loss(outputs, targets, mask)
+
+
+def resolve_criterion(criterion):
+    """Accept a string name, a callable, or None (-> cross-entropy).
+
+    Callables taking only (outputs, targets) are wrapped; they cannot be
+    mask-corrected, so with such criteria padded batch tails contribute to the
+    per-cell mean (use mask-aware 3-arg criteria for exactness)."""
+    if criterion is None:
+        return cross_entropy_loss
+    if callable(criterion):
+        if getattr(criterion, "_accepts_mask", None) is not None:
+            return criterion
+        import inspect
+        try:
+            n_params = len(inspect.signature(criterion).parameters)
+        except (ValueError, TypeError):
+            n_params = 3
+        if n_params >= 3:
+            criterion._accepts_mask = True
+            return criterion
+
+        def wrapped(outputs, targets, mask=None, _base=criterion):
+            return _base(outputs, targets)
+        wrapped._accepts_mask = False
+        return wrapped
+    try:
+        return LOSSES[criterion]
+    except KeyError:
+        raise ValueError(f"Unknown loss {criterion!r}; known: {sorted(LOSSES)}")

@@ -1,0 +1,86 @@
+"""Minimal pure-functional NN primitives used by every encoder/decoder.
+
+Parameters are plain pytrees (dicts of jnp arrays); modules are static config
+objects exposing ``init(key) -> params`` and ``apply(params, ...) -> out``.
+This keeps every model a single flat pytree, which is what lets the framework
+stack parameters for ``lax.scan`` over homogeneous encoder chains and apply
+``jax.sharding`` specs uniformly.
+
+Initialization matches the distribution torch.nn.Linear uses (reference
+encoders/decoders are built exclusively from nn.Linear / nn.LSTM / nn.RNN):
+both weight and bias ~ U(-1/sqrt(fan_in), +1/sqrt(fan_in)).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def _uniform(key, shape, bound, dtype):
+    return jax.random.uniform(key, shape, dtype=dtype, minval=-bound, maxval=bound)
+
+
+def dense_init(key, in_dim: int, out_dim: int, dtype=jnp.float32) -> dict:
+    """Linear layer params with torch.nn.Linear's default init distribution."""
+    wk, bk = jax.random.split(key)
+    bound = 1.0 / (in_dim ** 0.5) if in_dim > 0 else 0.0
+    return {
+        # Stored as (in, out) so application is a plain x @ w — the layout XLA
+        # tiles directly onto the MXU for row-major activations.
+        "w": _uniform(wk, (in_dim, out_dim), bound, dtype),
+        "b": _uniform(bk, (out_dim,), bound, dtype),
+    }
+
+
+def dense_apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """y = x @ w + b. Supports arbitrary leading batch dims, so a decoder can
+    evaluate the whole (E+1, B, S) state stack in one contraction."""
+    return jnp.matmul(x, params["w"], preferred_element_type=x.dtype) + params["b"]
+
+
+# Activation registry: string names keep pipeline configs serializable while
+# callables remain accepted everywhere.
+def identity(x):
+    return x
+
+
+ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "sigmoid": jax.nn.sigmoid,
+    "tanh": jnp.tanh,
+    "identity": identity,
+    "none": identity,
+    "gelu": jax.nn.gelu,
+    "softmax": lambda x: jax.nn.softmax(x, axis=-1),
+}
+
+
+def resolve_activation(act):
+    if act is None:
+        return identity
+    if callable(act):
+        return act
+    try:
+        return ACTIVATIONS[act]
+    except KeyError:
+        raise ValueError(f"Unknown activation {act!r}; known: {sorted(ACTIVATIONS)}")
+
+
+def mlp_init(key, dims: Sequence[int], dtype=jnp.float32) -> list:
+    """Params for a stack of dense layers with the given dims chain."""
+    keys = jax.random.split(key, max(len(dims) - 1, 1))
+    return [
+        dense_init(k, d_in, d_out, dtype)
+        for k, d_in, d_out in zip(keys, dims[:-1], dims[1:])
+    ]
+
+
+def dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array], train: bool):
+    """Inverted dropout matching torch.nn.Dropout semantics (identity in eval)."""
+    if not train or rate <= 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)

@@ -1,0 +1,187 @@
+"""Jitted step and epoch programs.
+
+The reference runs a Python batch loop with per-cell torch ops
+(``multimodn/multimodn.py:117-220``). Here the *entire epoch* is one XLA
+program: a ``lax.scan`` over on-device batch stacks whose body is
+value_and_grad of the fused forward grid + an optax update. One device
+dispatch per epoch; the only host transfer is the final reduced metric grids
+(the reference also transfers once per epoch — ``multimodn.py:236-240``).
+
+Epoch batch layout (built by ``multimodn_tpu.data.loader.ArrayLoader``):
+    data:        tuple of M arrays, each (n_batches, B, F_m), NaNs intact
+    targets:     (n_batches, B, D) int32
+    sample_mask: (n_batches, B) float32 — 0 marks padded tail rows
+Static shapes mean XLA compiles once per dataset geometry.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multimodn_tpu.core.fusion import decode_grid, forward_chain
+from multimodn_tpu.core.metrics import safe_div
+
+
+def make_batch_loss_fn(encoders, decoders, init_state, criterion,
+                       err_penalty: float, state_change_penalty: float,
+                       order: Sequence[Tuple[int, int]], nan_skip: str):
+    """Pure (params, batch...) -> (loss, aux) for one padded batch.
+
+    ``state_change_penalty`` arrives already scaled by the constructor's 0.01
+    factor (reference ``multimodn.py:86``, quirk #1).
+    """
+    n_enc = len(encoders)
+    n_dec = len(decoders)
+
+    def loss_fn(params, data, targets, sample_mask, rng, init_offset, train: bool):
+        states, state_change, row_ok, n_counted = forward_chain(
+            encoders, init_state, params, data, sample_mask,
+            order=order, nan_skip=nan_skip, train=train, rng=rng,
+            init_offset=init_offset,
+        )
+        grid = decode_grid(decoders, params, states, targets, sample_mask,
+                           row_ok, criterion)
+        # Reference loss (multimodn.py:194-202): grid mean * err_penalty +
+        # state-change mean * (0.01 * state_change_penalty).
+        global_err = jnp.sum(grid["err_loss"]) / (n_dec * (n_enc + 1))
+        global_sc = jnp.sum(state_change) / n_enc
+        loss = global_err * err_penalty + global_sc * state_change_penalty
+        aux = {
+            "err_loss": grid["err_loss"],
+            "state_change": state_change,
+            "n_correct": grid["n_correct"],
+            "tp": grid["tp"], "tn": grid["tn"],
+            "fp": grid["fp"], "fn": grid["fn"],
+            "n_counted": n_counted,
+            "loss": loss,
+            "global_err": global_err,
+            "global_sc": global_sc,
+            "final_outputs": [out[-1] for out in grid["outputs"]],
+            "all_outputs": grid["outputs"],
+        }
+        return loss, aux
+
+    return loss_fn
+
+
+def epoch_reduction(sums: dict, n_batches: int, ones_initialized_counts: bool = True):
+    """Reduce per-batch grid sums into the epoch metrics the history stores.
+
+    ``ones_initialized_counts`` replicates the reference's accuracy denominator
+    starting at np.ones (``multimodn.py:105,270``, quirk #3).
+    """
+    err_loss = sums["err_loss"] / n_batches
+    state_change = sums["state_change"] / n_batches
+    n_samples = sums["n_counted"][:, None]
+    if ones_initialized_counts:
+        n_samples = n_samples + 1.0
+    accuracy = sums["n_correct"] / n_samples
+    sensitivity = safe_div(sums["tp"], sums["tp"] + sums["fn"])
+    specificity = safe_div(sums["tn"], sums["tn"] + sums["fp"])
+    balanced_accuracy = (sensitivity + specificity) / 2.0
+    return {
+        "loss": err_loss,
+        "state_change_loss": state_change,
+        "accuracy": accuracy,
+        "sensitivity": sensitivity,
+        "specificity": specificity,
+        "balanced_accuracy": balanced_accuracy,
+        "n_samples": n_samples,
+        "tp": sums["tp"], "tn": sums["tn"], "fp": sums["fp"], "fn": sums["fn"],
+    }
+
+
+_GRID_KEYS = ("err_loss", "state_change", "n_correct", "tp", "tn", "fp", "fn",
+              "n_counted")
+
+
+def make_train_epoch_fn(loss_fn, tx, *, donate: bool = True):
+    """Build the jitted whole-epoch training program.
+
+    Signature: (params, opt_state, data, targets, sample_mask, rng)
+            -> (params, opt_state, epoch_sums, n_batches_traced)
+    """
+
+    def train_epoch(params, opt_state, data, targets, sample_mask, rng):
+        n_batches = targets.shape[0]
+
+        def body(carry, xs):
+            params, opt_state, offset = carry
+            batch_data, batch_targets, batch_mask, batch_idx = xs
+            batch_rng = jax.random.fold_in(rng, batch_idx)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch_data, batch_targets, batch_mask, batch_rng,
+                offset, True)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            offset = offset + jnp.sum(batch_mask)
+            ys = {k: aux[k] for k in _GRID_KEYS}
+            return (params, opt_state, offset), ys
+
+        xs = (data, targets, sample_mask, jnp.arange(n_batches))
+        (params, opt_state, _), ys = jax.lax.scan(
+            body, (params, opt_state, jnp.zeros(())), xs)
+        sums = {k: jnp.sum(v, axis=0) for k, v in ys.items()}
+        return params, opt_state, sums
+
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(train_epoch, donate_argnums=donate_argnums)
+
+
+def make_eval_epoch_fn(loss_fn):
+    """Build the jitted whole-epoch evaluation program.
+
+    Returns per-epoch grid sums plus the concatenated final-row decoder
+    outputs + targets + masks that feed ``get_performance_metrics`` (the
+    reference collects exactly the last-encoder-row outputs across the epoch —
+    ``multimodn.py:354-357``).
+    """
+
+    def eval_epoch(params, data, targets, sample_mask, rng):
+        n_batches = targets.shape[0]
+
+        def body(offset, xs):
+            batch_data, batch_targets, batch_mask, batch_idx = xs
+            batch_rng = jax.random.fold_in(rng, batch_idx)
+            _, aux = loss_fn(params, batch_data, batch_targets, batch_mask,
+                             batch_rng, offset, False)
+            offset = offset + jnp.sum(batch_mask)
+            ys = {k: aux[k] for k in _GRID_KEYS}
+            ys["final_outputs"] = aux["final_outputs"]
+            return offset, ys
+
+        xs = (data, targets, sample_mask, jnp.arange(n_batches))
+        _, ys = jax.lax.scan(body, jnp.zeros(()), xs)
+        sums = {k: jnp.sum(ys[k], axis=0) for k in _GRID_KEYS}
+        # (n_batches, B, C_d) -> (N, C_d)
+        final_outputs = [o.reshape(-1, o.shape[-1]) for o in ys["final_outputs"]]
+        return sums, final_outputs
+
+    return jax.jit(eval_epoch)
+
+
+def make_forward_fn(encoders, decoders, init_state,
+                    order: Sequence[Tuple[int, int]], nan_skip: str):
+    """Jitted inference over one padded batch.
+
+    Returns (predictions (E+1, D, B) argmax classes, outputs list, states).
+    Matches ``MultiModN.predict`` (``multimodn.py:422-458``), which does NOT
+    NaN-skip — callers choose ``nan_skip='none'`` for that parity.
+    """
+
+    @functools.partial(jax.jit, static_argnames=("train",))
+    def forward(params, data, sample_mask, rng=None, init_offset=0, train=False):
+        states, _, row_ok, _ = forward_chain(
+            encoders, init_state, params, data, sample_mask,
+            order=order, nan_skip=nan_skip, train=train, rng=rng,
+            init_offset=init_offset,
+        )
+        outputs = [dec.apply(params["decoders"][d], states)
+                   for d, dec in enumerate(decoders)]
+        preds = jnp.stack([jnp.argmax(o, axis=-1) for o in outputs], axis=1)
+        return preds, outputs, states
+
+    return forward

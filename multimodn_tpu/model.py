@@ -1,0 +1,294 @@
+"""MultiModN: the sequential multimodal fusion model (user-facing shell).
+
+Public surface mirrors the reference ``MultiModN`` (``multimodn/multimodn.py:
+65-531``): ``train_epoch`` / ``test`` / ``predict`` / ``get_states`` /
+``display_arch`` with the same argument spirit — but the implementation is a
+pure-functional JAX core: parameters live in one pytree, and each epoch is a
+single jitted ``lax.scan`` program (see ``core/step.py``).
+
+Known intentional divergences (each gated or documented):
+- ``nan_skip='sample'`` (default) generalizes the reference's batch-granular
+  NaN skip; pass ``nan_skip='batch'`` for exact reference behavior (quirk #2).
+- ``log_interval`` logging emits after the epoch completes (values identical;
+  the epoch runs as one device program so there is no mid-epoch host hook).
+- ``shuffle_mode`` draws a fresh encoder order per train_epoch call (the
+  reference reshuffles per batch with Python's RNG); each new permutation is a
+  new static order. For the shipped model sizes (E <= 9) the permutation space
+  is small and traces are cached.
+"""
+from __future__ import annotations
+
+import random as _pyrandom
+from typing import Callable, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodn_tpu.core.fusion import default_order
+from multimodn_tpu.core.history import MultiModNHistory
+from multimodn_tpu.core.losses import resolve_criterion
+from multimodn_tpu.core.metrics import get_performance_metrics
+from multimodn_tpu.core.state import InitState, TrainableInitState
+from multimodn_tpu.core.step import (
+    epoch_reduction,
+    make_batch_loss_fn,
+    make_eval_epoch_fn,
+    make_forward_fn,
+    make_train_epoch_fn,
+)
+from multimodn_tpu.decoders.base import MultiModDecoder
+from multimodn_tpu.encoders.base import MultiModEncoder
+from multimodn_tpu.optim import Optimizer
+
+
+class MultiModN:
+    def __init__(
+        self,
+        state_size: int,
+        encoders: List[MultiModEncoder],
+        decoders: List[MultiModDecoder],
+        err_penalty: float,
+        state_change_penalty: float,
+        shuffle_mode: bool = False,
+        init_state: Optional[InitState] = None,
+        nan_skip: str = "sample",
+        ones_initialized_counts: bool = True,
+        seed: int = 0,
+        mesh=None,
+    ):
+        self.state_size = state_size
+        self.encoders = list(encoders)
+        self.decoders = list(decoders)
+        self.err_penalty = float(err_penalty)
+        # The reference bakes a 0.01 factor into the constructor
+        # (multimodn.py:86, quirk #1) — preserved.
+        self.state_change_penalty = 0.01 * float(state_change_penalty)
+        self.shuffle_mode = shuffle_mode
+        self.init_state = init_state if init_state is not None \
+            else TrainableInitState(state_size)
+        self.nan_skip = nan_skip
+        self.ones_initialized_counts = ones_initialized_counts
+        self.mesh = mesh
+        self._shuffle_rng = _pyrandom.Random(seed)
+
+        key = jax.random.PRNGKey(seed)
+        k_init, k_enc, k_dec = jax.random.split(key, 3)
+        enc_keys = jax.random.split(k_enc, max(len(self.encoders), 1))
+        dec_keys = jax.random.split(k_dec, max(len(self.decoders), 1))
+        self.params = {
+            "init_state": self.init_state.init(k_init),
+            "encoders": [e.init(k) for e, k in zip(self.encoders, enc_keys)],
+            "decoders": [d.init(k) for d, k in zip(self.decoders, dec_keys)],
+        }
+
+        self._opt = None            # Optimizer wrapper currently in use
+        self.opt_state = None
+        self._fn_cache = {}
+        self._epoch_counter = 0
+
+    # ------------------------------------------------------------------
+    # Program construction / caching
+    # ------------------------------------------------------------------
+    def _loss_fn(self, criterion, order, nan_skip):
+        key = ("loss", id(criterion), order, nan_skip)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = make_batch_loss_fn(
+                self.encoders, self.decoders, self.init_state, criterion,
+                self.err_penalty, self.state_change_penalty, order, nan_skip)
+        return self._fn_cache[key]
+
+    def _train_fn(self, criterion, order, optimizer):
+        key = ("train", id(criterion), order, self.nan_skip, id(optimizer.tx))
+        if key not in self._fn_cache:
+            loss_fn = self._loss_fn(criterion, order, self.nan_skip)
+            self._fn_cache[key] = make_train_epoch_fn(loss_fn, optimizer.tx)
+        return self._fn_cache[key]
+
+    def _eval_fn(self, criterion, order):
+        key = ("eval", id(criterion), order, self.nan_skip)
+        if key not in self._fn_cache:
+            loss_fn = self._loss_fn(criterion, order, self.nan_skip)
+            self._fn_cache[key] = make_eval_epoch_fn(loss_fn)
+        return self._fn_cache[key]
+
+    def _forward_fn(self, order, nan_skip):
+        key = ("fwd", order, nan_skip)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = make_forward_fn(
+                self.encoders, self.decoders, self.init_state, order, nan_skip)
+        return self._fn_cache[key]
+
+    def _resolve_order(self, loader=None,
+                       encoder_sequence=None, train: bool = False):
+        if encoder_sequence is None and loader is not None:
+            encoder_sequence = loader.encoding_sequence
+        if encoder_sequence is None:
+            order = list(default_order(len(self.encoders)))
+        else:
+            seq = np.asarray(encoder_sequence).reshape(-1)
+            order = [(int(k), int(e)) for k, e in enumerate(seq)]
+        if self.shuffle_mode and train:
+            self._shuffle_rng.shuffle(order)
+        return tuple(order)
+
+    def _place(self, loader):
+        """Attach the model's mesh sharding to a loader lazily."""
+        if self.mesh is not None and loader.sharding is None:
+            from multimodn_tpu.parallel.sharding import batch_sharding
+            loader.sharding = batch_sharding(self.mesh)
+        return loader.stacks()
+
+    # ------------------------------------------------------------------
+    # Training / evaluation
+    # ------------------------------------------------------------------
+    def train_epoch(
+        self,
+        train_loader,
+        optimizer: Optimizer,
+        criterion: Union[str, Callable, None] = None,
+        history: Optional[MultiModNHistory] = None,
+        log_interval: Optional[int] = None,
+        logger: Optional[Callable] = None,
+        last_epoch: bool = False,
+    ):
+        if log_interval and not logger:
+            logger = print
+        criterion = resolve_criterion(criterion)
+        if self._opt is not optimizer or self.opt_state is None:
+            self._opt = optimizer
+            self.opt_state = optimizer.init(self.params)
+
+        train_loader.reshuffle()
+        data, targets, mask = self._place(train_loader)
+        order = self._resolve_order(train_loader, train=True)
+        fn = self._train_fn(criterion, order, optimizer)
+
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), self._epoch_counter)
+        self._epoch_counter += 1
+        self.params, self.opt_state, sums = fn(
+            self.params, self.opt_state, data, targets, mask, rng)
+
+        stats = jax.tree_util.tree_map(
+            np.asarray,
+            epoch_reduction(sums, train_loader.n_batches,
+                            self.ones_initialized_counts))
+
+        if log_interval:
+            logger(
+                f"Epoch done ({train_loader.n_batches} batches)\n"
+                f"\tErr loss: {float(np.mean(stats['loss'])):.4f}\n"
+                f"\tState change: {float(np.mean(stats['state_change_loss'])):.4f}"
+            )
+
+        if history is not None:
+            history.append_epoch("train", stats,
+                                 state_change=stats["state_change_loss"])
+        if last_epoch:
+            # Reference returns test() on the train loader (multimodn.py:251,
+            # quirk #16).
+            return self.test(train_loader, criterion, history=None)
+        return None
+
+    def test(
+        self,
+        test_loader,
+        criterion: Union[str, Callable, None] = None,
+        history: Optional[MultiModNHistory] = None,
+        tag: str = "test",
+        log_results: bool = False,
+        logger: Optional[Callable] = None,
+    ):
+        if log_results and not logger:
+            logger = print
+        criterion = resolve_criterion(criterion)
+        data, targets, mask = self._place(test_loader)
+        order = self._resolve_order(test_loader, train=False)
+        fn = self._eval_fn(criterion, order)
+
+        sums, final_outputs = fn(self.params, data, targets, mask,
+                                 jax.random.PRNGKey(0))
+        stats = jax.tree_util.tree_map(
+            np.asarray,
+            epoch_reduction(sums, test_loader.n_batches,
+                            self.ones_initialized_counts))
+
+        if log_results:
+            logger(
+                f"{tag.capitalize()} results\n"
+                f"\tAverage loss: {float(np.mean(stats['loss'])):.4f}\n"
+                f"\tAccuracy: {float(np.mean(stats['accuracy'])):.4f}"
+            )
+
+        if history is not None:
+            history.append_epoch(tag, stats)
+
+        # Per-decoder final-encoder-row performance suite
+        # (reference multimodn.py:411-419): row-sum normalization (NOT
+        # softmax, quirk #5), argmax, positive-class probability column.
+        flat_mask = np.asarray(mask).reshape(-1) > 0
+        flat_targets = np.asarray(targets).reshape(-1, targets.shape[-1])[flat_mask]
+        results = []
+        for d in range(len(self.decoders)):
+            out = np.asarray(final_outputs[d])[flat_mask]
+            out = out / out.sum(axis=1, keepdims=True)
+            pred = out.argmax(axis=1)
+            results.append(get_performance_metrics(
+                flat_targets[:, d], pred, out[:, 1]))
+        return results
+
+    # ------------------------------------------------------------------
+    # Inference
+    # ------------------------------------------------------------------
+    def predict(self, x: Sequence, encoder_sequence=None) -> np.ndarray:
+        """(E+1, D, N) argmax class predictions after every step.
+
+        NaN inputs are NOT skipped here, matching the reference's predict
+        (multimodn.py:445-449, quirk #9).
+        """
+        data = tuple(jnp.asarray(np.asarray(m, np.float32)) for m in x)
+        n = data[0].shape[0]
+        order = self._resolve_order(None, encoder_sequence, train=False)
+        fwd = self._forward_fn(order, "none")
+        preds, _, _ = fwd(self.params, data, jnp.ones((n,), jnp.float32))
+        return np.asarray(preds)
+
+    def predict_proba(self, x: Sequence, encoder_sequence=None) -> List[np.ndarray]:
+        """Per-decoder (E+1, N, C_d) raw decoder outputs after every step."""
+        data = tuple(jnp.asarray(np.asarray(m, np.float32)) for m in x)
+        n = data[0].shape[0]
+        order = self._resolve_order(None, encoder_sequence, train=False)
+        fwd = self._forward_fn(order, "none")
+        _, outputs, _ = fwd(self.params, data, jnp.ones((n,), jnp.float32))
+        return [np.asarray(o) for o in outputs]
+
+    def get_states(self, data_loader) -> List[np.ndarray]:
+        """Final fusion state per sample (with NaN skip) — the
+        interpretability hook (reference ``multimodn.py:460-492``)."""
+        data, targets, mask = self._place(data_loader)
+        order = self._resolve_order(data_loader, train=False)
+        fwd = self._forward_fn(order, self.nan_skip)
+        collected = []
+        for b in range(data_loader.n_batches):
+            batch = tuple(d[b] for d in data)
+            _, _, states = fwd(self.params, batch, mask[b])
+            final = np.asarray(states[-1])
+            keep = np.asarray(mask[b]) > 0
+            collected.append(final[keep])
+        return list(np.concatenate(collected, axis=0))
+
+    # ------------------------------------------------------------------
+    # Introspection / persistence
+    # ------------------------------------------------------------------
+    def display_arch(self, input=None):
+        from multimodn_tpu.utils.summary import summarize_model
+        print(summarize_model(self))
+
+    def state_dict(self) -> dict:
+        return jax.tree_util.tree_map(np.asarray, self.params)
+
+    def load_state_dict(self, state: dict):
+        self.params = jax.tree_util.tree_map(jnp.asarray, state)
+        # Optimizer state refers to old param tree; re-init lazily.
+        self.opt_state = None
+        self._opt = None
