@@ -1,0 +1,150 @@
+"""HAIM: the parallel-fusion baseline model.
+
+Mirrors the reference's comparison model (``pipelines/mimic/haim_api.py``):
+a monolithic MLP over the concatenated features of all modalities, trained
+with a single cross-entropy loss — the "P-fusion" baseline the MultiModN
+paper compares against (reference README.md:9). API surface matches:
+``train_epoch`` / ``test`` (returns the 15-tuple performance suite on
+row-sum-normalized outputs) / ``predict``.
+
+TPU-native implementation: one jitted program per epoch (lax.scan over
+batches) with an optional fused multi-epoch ``fit`` like MultiModN's.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodn_tpu.core.losses import resolve_criterion
+from multimodn_tpu.core.metrics import get_performance_metrics
+from multimodn_tpu.core.nn import dense_apply, mlp_init, resolve_activation
+from multimodn_tpu.optim import Optimizer
+
+
+class HAIMDecoder:
+    """Plain MLP ``n_features -> hidden -> n_classes`` with sigmoid output
+    (reference ``haim_api.py:14-36``)."""
+
+    def __init__(self, n_features: int, hidden_layers: Sequence[int],
+                 n_classes: int = 2,
+                 hidden_activation: Union[str, Callable] = "relu",
+                 output_activation: Union[str, Callable] = "sigmoid"):
+        self.n_features = n_features
+        self.n_classes = n_classes
+        self.hidden_activation = resolve_activation(hidden_activation)
+        self.output_activation = resolve_activation(output_activation)
+        self._dims = [n_features] + list(hidden_layers) + [n_classes]
+
+    def init(self, key) -> dict:
+        return {"layers": mlp_init(key, self._dims)}
+
+    def apply(self, params, x):
+        for layer in params["layers"][:-1]:
+            x = self.hidden_activation(dense_apply(layer, x))
+        return self.output_activation(dense_apply(params["layers"][-1], x))
+
+
+class HAIM:
+    def __init__(self, decoder: HAIMDecoder, seed: int = 0):
+        self.decoder = decoder
+        self.params = decoder.init(jax.random.PRNGKey(seed))
+        self._opt = None
+        self.opt_state = None
+        self._fn_cache = {}
+
+    def _loss_fn(self, criterion):
+        def loss_fn(params, x, targets, mask):
+            out = self.decoder.apply(params, x)
+            return criterion(out, targets[:, 0], mask)
+        return loss_fn
+
+    def _fit_fn(self, criterion, tx):
+        key = (id(criterion), id(tx))
+        if key not in self._fn_cache:
+            loss_fn = self._loss_fn(criterion)
+
+            @jax.jit
+            def fit(params, opt_state, data, targets, mask, epoch_ids):
+                def epoch_body(carry, _eid):
+                    params, opt_state = carry
+
+                    def body(carry, xs):
+                        params, opt_state = carry
+                        bx, bt, bm = xs
+                        loss, grads = jax.value_and_grad(loss_fn)(
+                            params, bx, bt, bm)
+                        updates, opt_state = tx.update(grads, opt_state, params)
+                        params = jax.tree_util.tree_map(
+                            lambda p, u: p + u, params, updates)
+                        return (params, opt_state), loss
+
+                    (params, opt_state), losses = jax.lax.scan(
+                        body, (params, opt_state), (data, targets, mask))
+                    return (params, opt_state), jnp.mean(losses)
+
+                (params, opt_state), losses = jax.lax.scan(
+                    epoch_body, (params, opt_state), epoch_ids)
+                return params, opt_state, losses
+
+            self._fn_cache[key] = fit
+        return self._fn_cache[key]
+
+    @staticmethod
+    def _single_modality(loader):
+        data, targets, mask = loader.stacks()
+        x = data[0] if len(data) == 1 else jnp.concatenate(data, axis=-1)
+        return x, targets, mask
+
+    def train_epoch(self, train_loader, optimizer: Optimizer,
+                    criterion=None, last_epoch: bool = False):
+        return self.fit(train_loader, optimizer, criterion, epochs=1,
+                        last_epoch=last_epoch)
+
+    def fit(self, train_loader, optimizer: Optimizer, criterion=None,
+            epochs: int = 1, last_epoch: bool = False):
+        criterion = resolve_criterion(criterion)
+        if self._opt is not optimizer or self.opt_state is None:
+            self._opt = optimizer
+            self.opt_state = optimizer.init(self.params)
+        x, targets, mask = self._single_modality(train_loader)
+        fit = self._fit_fn(criterion, optimizer.tx)
+        self.params, self.opt_state, _ = fit(
+            self.params, self.opt_state, x, targets, mask, jnp.arange(epochs))
+        if last_epoch:
+            return self.test(train_loader, criterion)
+        return None
+
+    def _epoch_outputs(self, loader):
+        x, targets, mask = self._single_modality(loader)
+
+        @jax.jit
+        def forward(params, x):
+            return self.decoder.apply(params, x)
+
+        out = np.asarray(forward(self.params, x))
+        out = out.reshape(-1, out.shape[-1])
+        t = np.asarray(targets).reshape(-1, targets.shape[-1])
+        keep = np.asarray(mask).reshape(-1) > 0
+        return out[keep], t[keep, 0]
+
+    def test(self, test_loader, criterion=None) -> Tuple:
+        out, t = self._epoch_outputs(test_loader)
+        # Row-sum normalization, same as the reference (haim_api.py:107).
+        out = out / out.sum(axis=1, keepdims=True)
+        pred = out.argmax(axis=1)
+        return get_performance_metrics(t, pred, out[:, 1])
+
+    def predict(self, test_loader):
+        out, t = self._epoch_outputs(test_loader)
+        return out, t
+
+    def state_dict(self):
+        return jax.tree_util.tree_map(np.asarray, self.params)
+
+    def load_state_dict(self, state):
+        self.params = jax.tree_util.tree_map(jnp.asarray, state)
+        self.opt_state = None
+        self._opt = None

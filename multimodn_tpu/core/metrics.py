@@ -48,6 +48,26 @@ def safe_div(num, denom):
     return jnp.where(denom == 0, 0.0, num / jnp.where(denom == 0, 1.0, denom))
 
 
+def masked_binary_auroc(probs: jnp.ndarray, labels: jnp.ndarray,
+                        valid: jnp.ndarray) -> jnp.ndarray:
+    """Exact binary AUROC on device via the pairwise Mann-Whitney statistic
+    (ties count 0.5 — identical to trapezoidal ROC integration).
+
+    O(N^2) but fully vectorized; for validation-set sizes (<= a few thousand)
+    this is microseconds on the VPU and lets checkpoint selection happen
+    INSIDE the fused multi-epoch program with zero host round-trips.
+    """
+    probs = probs.astype(jnp.float32)
+    v = valid.astype(jnp.float32)
+    pos = v * (labels == 1)
+    neg = v * (labels == 0)
+    diff = probs[:, None] - probs[None, :]
+    wins = (diff > 0).astype(jnp.float32) + 0.5 * (diff == 0).astype(jnp.float32)
+    num = jnp.sum(wins * pos[:, None] * neg[None, :])
+    denom = jnp.sum(pos) * jnp.sum(neg)
+    return jnp.where(denom > 0, num / jnp.maximum(denom, 1.0), 0.0)
+
+
 # --------------------------------------------------------------------------
 # Host-side end-of-training suite (numpy)
 # --------------------------------------------------------------------------

@@ -41,19 +41,41 @@ def dense_apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
 
 
 # Activation registry: string names keep pipeline configs serializable while
-# callables remain accepted everywhere.
+# callables remain accepted everywhere. All entries are module-level named
+# functions so models holding them pickle by reference (the reference
+# pipelines pickle whole models — titanic_mlp_pipeline.py:96).
 def identity(x):
     return x
 
 
+def relu(x):
+    return jax.nn.relu(x)
+
+
+def sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def tanh(x):
+    return jnp.tanh(x)
+
+
+def gelu(x):
+    return jax.nn.gelu(x)
+
+
+def softmax(x):
+    return jax.nn.softmax(x, axis=-1)
+
+
 ACTIVATIONS = {
-    "relu": jax.nn.relu,
-    "sigmoid": jax.nn.sigmoid,
-    "tanh": jnp.tanh,
+    "relu": relu,
+    "sigmoid": sigmoid,
+    "tanh": tanh,
     "identity": identity,
     "none": identity,
-    "gelu": jax.nn.gelu,
-    "softmax": lambda x: jax.nn.softmax(x, axis=-1),
+    "gelu": gelu,
+    "softmax": softmax,
 }
 
 

@@ -163,6 +163,196 @@ def make_eval_epoch_fn(loss_fn):
     return jax.jit(eval_epoch)
 
 
+def make_fit_fn(loss_fn, tx, with_val: bool):
+    """Build the jitted MULTI-epoch training program: N epochs (optionally
+    each followed by a validation sweep) in ONE device dispatch.
+
+    This is capability the reference cannot express (its epoch loop is host
+    Python — ``titanic_mlp_pipeline.py:83-86``): a ``lax.scan`` over epochs
+    whose body is the batch ``lax.scan``, so a full 300-epoch Titanic training
+    run is a single XLA program with exactly one host round-trip.
+
+    Signature:
+        (params, opt_state, data, targets, mask,
+         [val_data, val_targets, val_mask,] epoch_ids, rng)
+        -> (params, opt_state, train_sums_stacked[, val_sums_stacked])
+    where every entry of the sums dicts has a leading (n_epochs,) axis.
+    """
+
+    def run_train_epoch(params, opt_state, data, targets, sample_mask, rng):
+        n_batches = targets.shape[0]
+
+        def body(carry, xs):
+            params, opt_state, offset = carry
+            batch_data, batch_targets, batch_mask, batch_idx = xs
+            batch_rng = jax.random.fold_in(rng, batch_idx)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch_data, batch_targets, batch_mask, batch_rng,
+                offset, True)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            offset = offset + jnp.sum(batch_mask)
+            ys = {k: aux[k] for k in _GRID_KEYS}
+            return (params, opt_state, offset), ys
+
+        xs = (data, targets, sample_mask, jnp.arange(n_batches))
+        (params, opt_state, _), ys = jax.lax.scan(
+            body, (params, opt_state, jnp.zeros(())), xs)
+        return params, opt_state, {k: jnp.sum(v, axis=0) for k, v in ys.items()}
+
+    def run_eval_epoch(params, data, targets, sample_mask, rng):
+        n_batches = targets.shape[0]
+
+        def body(offset, xs):
+            batch_data, batch_targets, batch_mask, batch_idx = xs
+            batch_rng = jax.random.fold_in(rng, batch_idx)
+            _, aux = loss_fn(params, batch_data, batch_targets, batch_mask,
+                             batch_rng, offset, False)
+            return offset + jnp.sum(batch_mask), {k: aux[k] for k in _GRID_KEYS}
+
+        xs = (data, targets, sample_mask, jnp.arange(n_batches))
+        _, ys = jax.lax.scan(body, jnp.zeros(()), xs)
+        return {k: jnp.sum(v, axis=0) for k, v in ys.items()}
+
+    if with_val:
+        def fit(params, opt_state, data, targets, mask,
+                val_data, val_targets, val_mask, epoch_ids, rng):
+            def epoch_body(carry, eid):
+                params, opt_state = carry
+                erng = jax.random.fold_in(rng, eid)
+                params, opt_state, tsums = run_train_epoch(
+                    params, opt_state, data, targets, mask, erng)
+                vsums = run_eval_epoch(params, val_data, val_targets,
+                                       val_mask, erng)
+                return (params, opt_state), (tsums, vsums)
+
+            (params, opt_state), (tsums, vsums) = jax.lax.scan(
+                epoch_body, (params, opt_state), epoch_ids)
+            return params, opt_state, tsums, vsums
+    else:
+        def fit(params, opt_state, data, targets, mask, epoch_ids, rng):
+            def epoch_body(carry, eid):
+                params, opt_state = carry
+                erng = jax.random.fold_in(rng, eid)
+                params, opt_state, tsums = run_train_epoch(
+                    params, opt_state, data, targets, mask, erng)
+                return (params, opt_state), tsums
+
+            (params, opt_state), tsums = jax.lax.scan(
+                epoch_body, (params, opt_state), epoch_ids)
+            return params, opt_state, tsums
+
+    return jax.jit(fit, donate_argnums=(0, 1))
+
+
+def make_select_fit_fn(loss_fn, tx, binary_decoders):
+    """Fused multi-epoch training WITH on-device best-checkpoint selection.
+
+    Reproduces the reference MIMIC experiment loop's per-epoch rule
+    (``mimic_single_task_pipeline.py:141-158``): after each epoch, score =
+    sum over decoders of (validation AUROC + balanced accuracy) on the
+    final-encoder-row outputs; keep the parameters of the best epoch
+    (strictly-greater update, like the reference's ``>`` comparison).
+
+    Unlike the reference — which round-trips to the host and torch.saves a
+    checkpoint file every improvement — the best parameter pytree rides the
+    ``lax.scan`` carry on device; the whole (train + val + select) x N-epochs
+    run is ONE dispatch.
+
+    ``binary_decoders``: list of bool per decoder (AUROC/BAC need binary).
+    """
+    from multimodn_tpu.core.metrics import masked_binary_auroc
+
+    def run_train_epoch(params, opt_state, data, targets, sample_mask, rng):
+        def body(carry, xs):
+            params, opt_state, offset = carry
+            batch_data, batch_targets, batch_mask, batch_idx = xs
+            batch_rng = jax.random.fold_in(rng, batch_idx)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch_data, batch_targets, batch_mask, batch_rng,
+                offset, True)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            offset = offset + jnp.sum(batch_mask)
+            return (params, opt_state, offset), {k: aux[k] for k in _GRID_KEYS}
+
+        xs = (data, targets, sample_mask, jnp.arange(targets.shape[0]))
+        (params, opt_state, _), ys = jax.lax.scan(
+            body, (params, opt_state, jnp.zeros(())), xs)
+        return params, opt_state, {k: jnp.sum(v, axis=0) for k, v in ys.items()}
+
+    def run_eval_epoch(params, data, targets, sample_mask, rng):
+        def body(offset, xs):
+            batch_data, batch_targets, batch_mask, batch_idx = xs
+            batch_rng = jax.random.fold_in(rng, batch_idx)
+            _, aux = loss_fn(params, batch_data, batch_targets, batch_mask,
+                             batch_rng, offset, False)
+            ys = {k: aux[k] for k in _GRID_KEYS}
+            ys["final_outputs"] = aux["final_outputs"]
+            return offset + jnp.sum(batch_mask), ys
+
+        xs = (data, targets, sample_mask, jnp.arange(targets.shape[0]))
+        _, ys = jax.lax.scan(body, jnp.zeros(()), xs)
+        sums = {k: jnp.sum(ys[k], axis=0) for k in _GRID_KEYS}
+        outputs = [o.reshape(-1, o.shape[-1]) for o in ys["final_outputs"]]
+        return sums, outputs
+
+    def selection_score(vsums, outputs, val_targets, val_mask):
+        """sum_d (AUROC_d + BAC_d) on the final encoder row."""
+        flat_t = val_targets.reshape(-1, val_targets.shape[-1])
+        flat_m = val_mask.reshape(-1)
+        score = jnp.zeros(())
+        for d, is_binary in enumerate(binary_decoders):
+            if not is_binary:
+                continue
+            out = outputs[d]
+            # Row-sum normalization like the reference's test()
+            # (multimodn.py:415) before taking the positive-class column.
+            norm = out / jnp.maximum(jnp.sum(out, axis=1, keepdims=True), 1e-12)
+            auc = masked_binary_auroc(norm[:, 1], flat_t[:, d], flat_m)
+            # BAC on argmax predictions over the whole epoch — identical to
+            # (sens+spec)/2 from the final-row confusion counts.
+            pred = jnp.argmax(norm, axis=1)
+            tp = jnp.sum(flat_m * ((pred == 1) & (flat_t[:, d] == 1)))
+            tn = jnp.sum(flat_m * ((pred == 0) & (flat_t[:, d] == 0)))
+            fp = jnp.sum(flat_m * ((pred == 1) & (flat_t[:, d] == 0)))
+            fn = jnp.sum(flat_m * ((pred == 0) & (flat_t[:, d] == 1)))
+            sens = safe_div(tp, tp + fn)
+            spec = safe_div(tn, tn + fp)
+            score = score + auc + (sens + spec) / 2.0
+        return score
+
+    def fit(params, opt_state, data, targets, mask,
+            val_data, val_targets, val_mask, epoch_ids, rng):
+        best0 = (jax.tree_util.tree_map(lambda x: x, params),
+                 jnp.zeros(()), jnp.asarray(-1, jnp.int32))
+
+        def epoch_body(carry, eid):
+            params, opt_state, best = carry
+            erng = jax.random.fold_in(rng, eid)
+            params, opt_state, tsums = run_train_epoch(
+                params, opt_state, data, targets, mask, erng)
+            vsums, outputs = run_eval_epoch(params, val_data, val_targets,
+                                            val_mask, erng)
+            score = selection_score(vsums, outputs, val_targets, val_mask)
+            best_params, best_score, best_epoch = best
+            improved = score > best_score
+            best_params = jax.tree_util.tree_map(
+                lambda b, p: jnp.where(improved, p, b), best_params, params)
+            best = (best_params,
+                    jnp.where(improved, score, best_score),
+                    jnp.where(improved, eid.astype(jnp.int32), best_epoch))
+            return (params, opt_state, best), (tsums, vsums, score)
+
+        (params, opt_state, best), (tsums, vsums, scores) = jax.lax.scan(
+            epoch_body, (params, opt_state, best0), epoch_ids)
+        best_params, best_score, best_epoch = best
+        return (params, opt_state, tsums, vsums,
+                best_params, best_score, best_epoch, scores)
+
+    return jax.jit(fit, donate_argnums=(1,))
+
+
 def make_forward_fn(encoders, decoders, init_state,
                     order: Sequence[Tuple[int, int]], nan_skip: str):
     """Jitted inference over one padded batch.

@@ -6,6 +6,8 @@ from multimodn_tpu.data.dataset import (
     Subset,
 )
 from multimodn_tpu.data.loader import ArrayLoader, DataLoader
+from multimodn_tpu.data.titanic import TitanicDataset, titanic_preprocessing
+from multimodn_tpu.data.mimic import MIMICDataset, load_mimic_data
 
 __all__ = [
     "MultiModDataset",
@@ -15,4 +17,8 @@ __all__ = [
     "Subset",
     "ArrayLoader",
     "DataLoader",
+    "TitanicDataset",
+    "titanic_preprocessing",
+    "MIMICDataset",
+    "load_mimic_data",
 ]

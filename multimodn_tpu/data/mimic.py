@@ -1,0 +1,233 @@
+"""MIMIC (HAIM embeddings) dataset with caching and MNAR injection.
+
+Mirrors the observable behavior of the reference ``datasets/mimic/
+mimic_dataset.py``: consumes a pre-extracted HAIM embeddings frame (9 sources
+at fixed widths — ``mimic_dataset.py:19-22``), materializes a per-(targets,
+sources) cache of ``data.csv`` + patient-level ``how_to_split.csv`` with a
+majority-vote aggregated label per ``haim_id`` (``:62-66,120-126``), supports
+MNAR injection (``put_none``/``indices_to_nan``/``features_to_nan`` —
+``:83-88``), zero-filling for the HAIM baseline (``nanfill`` — ``:176-178``),
+and a ``random_split`` that returns INDEX LISTS, not Subsets (quirk #11,
+``:189-222``).
+
+Data source: the real embeddings CSV via the ``MULTIMODN_MIMIC_EMBED_PATH``
+env var (the reference's redacted ``embed_path``, quirk #12); otherwise a
+deterministic schema-exact synthetic frame
+(``multimodn_tpu.data.synth.synthetic_mimic_embeddings``).
+"""
+from __future__ import annotations
+
+import os
+from itertools import accumulate
+from typing import List, Optional, Tuple, Union
+
+import numpy as np
+import pandas as pd
+
+from multimodn_tpu.data.dataset import FeatureWiseDataset, PartitionDataset, \
+    _seeded_permutation
+from multimodn_tpu.data.synth import (
+    MIMIC_SOURCE_DICT,
+    MIMIC_SOURCE_NAMES,
+    synthetic_mimic_embeddings,
+)
+
+_REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "../.."))
+DEFAULT_CACHE_ROOT = os.path.join(_REPO_ROOT, "data", "mimic")
+
+source_names = list(MIMIC_SOURCE_NAMES)
+source_size = [MIMIC_SOURCE_DICT[s] for s in source_names]
+source_dict = dict(MIMIC_SOURCE_DICT)
+
+
+def _load_embeddings(targets, synthetic_kwargs=None) -> pd.DataFrame:
+    path = os.environ.get("MULTIMODN_MIMIC_EMBED_PATH")
+    if path:
+        fname = path if path.endswith(".csv") else \
+            os.path.join(path, "cxr_ic_fusion_1103.csv")
+        return pd.read_csv(fname, on_bad_lines="skip")
+    kwargs = dict(synthetic_kwargs or {})
+    kwargs.setdefault("targets", targets)
+    return synthetic_mimic_embeddings(**kwargs)
+
+
+def _source_features(df: pd.DataFrame, sources) -> Tuple[List[str], List[int]]:
+    """Feature names + per-source partition widths, demographics one-hot
+    expanded (reference mimic_dataset.py:44-55)."""
+    features: List[str] = []
+    partitions: List[int] = []
+    for source in sources:
+        if source.lower() == "de":
+            demo = [c for c in df.columns
+                    if c.startswith("de_") and c not in
+                    ("de_1", "de_2", "de_3", "de_4", "de_5")]
+            features += demo
+            partitions.append(len(demo))
+        else:
+            cols = [f"{source}_{i}" for i in range(source_dict[source])]
+            features += cols
+            partitions.append(len(cols))
+    return features, partitions
+
+
+def build_mimic_cache(
+    targets: List[str],
+    sources: List[str],
+    cache_root: str = DEFAULT_CACHE_ROOT,
+    synthetic_kwargs=None,
+) -> str:
+    """Materialize (or reuse) the per-(targets, sources) cache directory with
+    ``data.csv`` and patient-level ``how_to_split.csv``; returns its path."""
+    pathologies = "_".join(targets)
+    source_spec = "_".join(sources)
+    cache_dir = os.path.join(cache_root, pathologies, source_spec)
+    data_path = os.path.join(cache_dir, "data.csv")
+    if os.path.exists(data_path):
+        return cache_dir
+    os.makedirs(cache_dir, exist_ok=True)
+
+    df = _load_embeddings(targets, synthetic_kwargs)
+    df = df.drop_duplicates(subset=["img_id", "img_charttime"])
+    for target in targets:
+        df = df[df[target].isin([0, 1])]
+    # Aggregated label: 1 when a row is positive for more than one target
+    # (reference :42-44); for a single target the row label itself is used.
+    if len(targets) > 1:
+        agg = (df[targets].sum(axis=1) > 1).astype(int)
+    else:
+        agg = df[targets[0]].astype(int)
+    df = df.assign(Agg=agg)
+    if "de" in [s.lower() for s in sources]:
+        df = pd.get_dummies(df, columns=["de_1", "de_2", "de_3", "de_4", "de_5"],
+                            drop_first=True, dtype=int)
+    features, _ = _source_features(df, sources)
+    data_full = df[features + targets + ["haim_id"]]
+    data_full.to_csv(data_path, index=False)
+
+    patient = df.groupby("haim_id").agg(
+        label_count=("Agg", "count"), label_ones=("Agg", "sum")).reset_index()
+    patient["label"] = (patient["label_ones"] >=
+                        patient["label_count"] / 2).astype(int)
+    patient.to_csv(os.path.join(cache_dir, "how_to_split.csv"), index=False)
+    return cache_dir
+
+
+def load_mimic_data(
+    targets: List[str],
+    sources: List[str],
+    put_none: bool = False,
+    indices_to_nan=(),
+    features_to_nan=(),
+    cache_root: str = DEFAULT_CACHE_ROOT,
+    synthetic_kwargs=None,
+):
+    """Return (data_df, labels_df, features, partitions) — the equivalent of
+    the reference's mimic_get_*_data loaders (``mimic_dataset.py:27-148``)."""
+    cache_dir = build_mimic_cache(targets, sources, cache_root, synthetic_kwargs)
+    data_full = pd.read_csv(os.path.join(cache_dir, "data.csv"))
+    features, partitions = _source_features(data_full, sources)
+    data = data_full[features].copy()
+    labels = data_full[targets]
+    if put_none:
+        cols = features_to_nan
+        if isinstance(cols, str) and cols == "demo":
+            cols = [c for c in features if c.startswith("de_")]
+        data.loc[list(indices_to_nan), list(cols)] = np.nan
+    return data, labels, features, partitions
+
+
+class MIMICDataset:
+    def __init__(
+        self,
+        sources: List[str],
+        targets: Optional[List[str]] = None,
+        dropna: bool = False,
+        nanfill: bool = False,
+        std: bool = True,
+        put_none: bool = False,
+        indices_to_nan=(),
+        features_to_nan=(),
+        cache_root: str = DEFAULT_CACHE_ROOT,
+        synthetic_kwargs=None,
+    ):
+        targets = list(targets or [])
+        data, labels, features, partitions = load_mimic_data(
+            targets, sources, put_none, indices_to_nan, features_to_nan,
+            cache_root, synthetic_kwargs)
+        if dropna:
+            data = data.dropna()
+            labels = labels.loc[data.index]
+        if std:
+            from sklearn.preprocessing import StandardScaler
+            data = pd.DataFrame(StandardScaler().fit_transform(data[features]),
+                                columns=features, index=data.index)
+        if nanfill:
+            # Zero-fill for the parallel-fusion HAIM baseline
+            # (mimic_dataset.py:176-178).
+            n_missing = int(data.isnull().any(axis=1).sum())
+            print("Number of samples with missing values = ", n_missing)
+            data = data.fillna(0)
+        self.X = data.values.astype(np.float32)
+        self.y = labels.values
+        self.partitions = partitions
+        self.features = features
+        self.cache_dir = build_mimic_cache(targets, sources, cache_root,
+                                           synthetic_kwargs)
+
+    def __len__(self):
+        return len(self.y)
+
+    def __getitem__(self, idx: int):
+        return self.X[idx], self.y[idx]
+
+    def patient_split_table(self) -> pd.DataFrame:
+        """Patient-level ``how_to_split`` frame (haim_id, majority label)."""
+        return pd.read_csv(os.path.join(self.cache_dir, "how_to_split.csv"))
+
+    def haim_ids(self) -> np.ndarray:
+        """Per-row patient id, aligned with X/y rows."""
+        data_full = pd.read_csv(os.path.join(self.cache_dir, "data.csv"))
+        return data_full["haim_id"].values
+
+    def random_split(
+        self,
+        probabilities: Union[List[float], Tuple[float, ...]],
+        seed: int,
+        balanced_target_idx: Optional[int] = None,
+    ) -> List[List[int]]:
+        """Returns INDEX LISTS, not Subsets (reference quirk #11)."""
+        shuffled = _seeded_permutation(len(self), seed)
+        sum_p = sum(probabilities)
+        if balanced_target_idx is None:
+            groups = {"Unbalanced": shuffled}
+        else:
+            groups = {}
+            for idx in shuffled:
+                groups.setdefault(self.y[idx][balanced_target_idx], []).append(idx)
+        splitted: List[List[int]] = [[] for _ in probabilities]
+        for indices in groups.values():
+            lengths = [int(len(indices) * p / sum_p) for p in probabilities]
+            lengths[0] += len(indices) - sum(lengths)
+            for i, (offset, length) in enumerate(zip(accumulate(lengths), lengths)):
+                splitted[i] = splitted[i] + indices[offset - length:offset]
+        return splitted
+
+    def partition_dataset(self, partitions: Optional[List[int]] = None
+                          ) -> PartitionDataset:
+        return PartitionDataset(self.X, self.y, partitions)
+
+    def featurewise_dataset(self) -> FeatureWiseDataset:
+        return FeatureWiseDataset(self.X, self.y)
+
+    def split_dataset(self, partitions: Optional[List[int]] = None
+                      ) -> List[PartitionDataset]:
+        if partitions is None:
+            partitions = [self.X.shape[1]]
+        if sum(partitions) != self.X.shape[1]:
+            raise ValueError(
+                "Paritions sum doesn't match data dimension. Expected: {}, got: {}"
+                .format(sum(partitions), self.X.shape[1]))
+        offsets = list(accumulate(partitions[:-1]))
+        X_split = np.split(self.X, offsets, axis=1)
+        return [PartitionDataset(X_split[i], self.y, [p])
+                for i, p in enumerate(partitions)]

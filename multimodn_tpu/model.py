@@ -34,7 +34,9 @@ from multimodn_tpu.core.step import (
     epoch_reduction,
     make_batch_loss_fn,
     make_eval_epoch_fn,
+    make_fit_fn,
     make_forward_fn,
+    make_select_fit_fn,
     make_train_epoch_fn,
 )
 from multimodn_tpu.decoders.base import MultiModDecoder
@@ -190,6 +192,151 @@ class MultiModN:
             return self.test(train_loader, criterion, history=None)
         return None
 
+    def fit(
+        self,
+        train_loader,
+        optimizer: Optimizer,
+        criterion: Union[str, Callable, None] = None,
+        epochs: int = 1,
+        history: Optional[MultiModNHistory] = None,
+        val_loader=None,
+        val_tag: str = "val",
+    ):
+        """Train for N epochs (optionally validating each) in ONE device
+        dispatch — the fused multi-epoch program (see make_fit_fn).
+
+        Equivalent to the reference pipelines' host loop of
+        ``train_epoch(...); test(..., tag='val')`` per epoch
+        (``titanic_mlp_pipeline.py:83-86``) but with a single host round-trip
+        for the whole run. History receives every epoch's grids, identical to
+        looped train_epoch/test calls.
+        """
+        criterion = resolve_criterion(criterion)
+        if self._opt is not optimizer or self.opt_state is None:
+            self._opt = optimizer
+            self.opt_state = optimizer.init(self.params)
+
+        data, targets, mask = self._place(train_loader)
+        order = self._resolve_order(train_loader, train=True)
+        with_val = val_loader is not None
+
+        key = ("fit", id(criterion), order, self.nan_skip,
+               id(optimizer.tx), with_val)
+        if key not in self._fn_cache:
+            loss_fn = self._loss_fn(criterion, order, self.nan_skip)
+            self._fn_cache[key] = make_fit_fn(loss_fn, optimizer.tx, with_val)
+        fn = self._fn_cache[key]
+
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), self._epoch_counter)
+        self._epoch_counter += epochs
+        epoch_ids = jnp.arange(epochs)
+
+        if with_val:
+            vdata, vtargets, vmask = self._place(val_loader)
+            self.params, self.opt_state, tsums, vsums = fn(
+                self.params, self.opt_state, data, targets, mask,
+                vdata, vtargets, vmask, epoch_ids, rng)
+        else:
+            self.params, self.opt_state, tsums = fn(
+                self.params, self.opt_state, data, targets, mask,
+                epoch_ids, rng)
+            vsums = None
+
+        if history is not None:
+            tsums = jax.tree_util.tree_map(np.asarray, tsums)
+            if vsums is not None:
+                vsums = jax.tree_util.tree_map(np.asarray, vsums)
+            for e in range(epochs):
+                t_e = {k: v[e] for k, v in tsums.items()}
+                stats = jax.tree_util.tree_map(
+                    np.asarray,
+                    epoch_reduction(t_e, train_loader.n_batches,
+                                    self.ones_initialized_counts))
+                history.append_epoch("train", stats,
+                                     state_change=stats["state_change_loss"])
+                if vsums is not None:
+                    v_e = {k: v[e] for k, v in vsums.items()}
+                    vstats = jax.tree_util.tree_map(
+                        np.asarray,
+                        epoch_reduction(v_e, val_loader.n_batches,
+                                        self.ones_initialized_counts))
+                    history.append_epoch(val_tag, vstats)
+        return history
+
+    def fit_best(
+        self,
+        train_loader,
+        optimizer: Optimizer,
+        criterion: Union[str, Callable, None] = None,
+        epochs: int = 1,
+        val_loader=None,
+        history: Optional[MultiModNHistory] = None,
+        val_tag: str = "val",
+        restore_best: bool = True,
+    ) -> dict:
+        """Train N epochs with ON-DEVICE best-checkpoint selection on
+        validation AUROC + balanced accuracy (the reference MIMIC experiment
+        loop's rule — ``mimic_single_task_pipeline.py:141-158`` — fused into
+        one dispatch; see make_select_fit_fn).
+
+        Returns {"best_epoch", "best_score", "best_params", "scores"}; when
+        ``restore_best`` the model's live params become the best epoch's.
+        """
+        if val_loader is None:
+            raise ValueError("fit_best requires a val_loader")
+        criterion = resolve_criterion(criterion)
+        if self._opt is not optimizer or self.opt_state is None:
+            self._opt = optimizer
+            self.opt_state = optimizer.init(self.params)
+
+        data, targets, mask = self._place(train_loader)
+        vdata, vtargets, vmask = self._place(val_loader)
+        order = self._resolve_order(train_loader, train=True)
+
+        key = ("fit_best", id(criterion), order, self.nan_skip,
+               id(optimizer.tx))
+        if key not in self._fn_cache:
+            loss_fn = self._loss_fn(criterion, order, self.nan_skip)
+            binary = [d.n_classes == 2 for d in self.decoders]
+            self._fn_cache[key] = make_select_fit_fn(loss_fn, optimizer.tx,
+                                                     binary)
+        fn = self._fn_cache[key]
+
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), self._epoch_counter)
+        self._epoch_counter += epochs
+        (self.params, self.opt_state, tsums, vsums, best_params, best_score,
+         best_epoch, scores) = fn(self.params, self.opt_state, data, targets,
+                                  mask, vdata, vtargets, vmask,
+                                  jnp.arange(epochs), rng)
+
+        if history is not None:
+            tsums = jax.tree_util.tree_map(np.asarray, tsums)
+            vsums = jax.tree_util.tree_map(np.asarray, vsums)
+            for e in range(epochs):
+                stats = jax.tree_util.tree_map(
+                    np.asarray,
+                    epoch_reduction({k: v[e] for k, v in tsums.items()},
+                                    train_loader.n_batches,
+                                    self.ones_initialized_counts))
+                history.append_epoch("train", stats,
+                                     state_change=stats["state_change_loss"])
+                vstats = jax.tree_util.tree_map(
+                    np.asarray,
+                    epoch_reduction({k: v[e] for k, v in vsums.items()},
+                                    val_loader.n_batches,
+                                    self.ones_initialized_counts))
+                history.append_epoch(val_tag, vstats)
+
+        best_params_np = jax.tree_util.tree_map(np.asarray, best_params)
+        if restore_best:
+            self.params = best_params
+        return {
+            "best_epoch": int(best_epoch),
+            "best_score": float(best_score),
+            "best_params": best_params_np,
+            "scores": np.asarray(scores),
+        }
+
     def test(
         self,
         test_loader,
@@ -283,6 +430,22 @@ class MultiModN:
     def display_arch(self, input=None):
         from multimodn_tpu.utils.summary import summarize_model
         print(summarize_model(self))
+
+    def __getstate__(self):
+        """Pickle support (the reference pipelines pickle whole models —
+        ``titanic_mlp_pipeline.py:96``): drop compiled-program caches and
+        device arrays; parameters travel as numpy."""
+        state = self.__dict__.copy()
+        state["_fn_cache"] = {}
+        state["params"] = jax.tree_util.tree_map(np.asarray, self.params)
+        state["opt_state"] = None
+        state["_opt"] = None
+        state["mesh"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
 
     def state_dict(self) -> dict:
         return jax.tree_util.tree_map(np.asarray, self.params)

@@ -1,0 +1,168 @@
+"""Shared MIMIC experiment harness.
+
+Reproduces the reference experiment protocol (``pipelines/mimic/
+mimic_single_task_pipeline.py:44-246``): patient-level 5-fold StratifiedKFold
+over ``haim_id``/aggregated label, held-out fold split 50/50 into val/test,
+fresh model per fold, best-checkpoint selection on validation AUROC+BAC,
+reload best, held-out test, append a hyperparameter+metric row to a shared
+results CSV — then the same folds for the HAIM parallel-fusion baseline.
+
+TPU-native difference: the 100-epoch train/val/select loop runs as ONE fused
+device program per fold (``MultiModN.fit_best``), with the best parameters
+carried on device instead of torch.saved per improvement.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+
+from multimodn_tpu import Adam, MultiModN, MultiModNHistory
+from multimodn_tpu.baselines.haim import HAIM, HAIMDecoder
+from multimodn_tpu.checkpoint import save_checkpoint
+from multimodn_tpu.core.metrics import performance_metrics
+from multimodn_tpu.data import ArrayLoader, MIMICDataset
+from multimodn_tpu.data.dataset import Subset
+from multimodn_tpu.decoders import MLPDecoder
+from multimodn_tpu.encoders import MIMICMLPEncoder
+
+HYPERPARAMETERS = ["model", "target", "fold", "miss_perc", "seed",
+                   "state_size", "batch_size", "encoder_hidd_units",
+                   "decoder_hidd_units", "dropout", "epochs"]
+SAVE_LOGS = HYPERPARAMETERS + performance_metrics
+
+
+@dataclass
+class MimicConfig:
+    sources: List[str] = field(default_factory=lambda: ["de", "vd", "n_ech", "ts_ce"])
+    targets: List[str] = field(default_factory=lambda: ["Enlarged Cardiomediastinum",
+                                                        "Cardiomegaly"])
+    state_size: int = 50
+    learning_rate: float = 1e-3
+    epochs: int = 100
+    decoder_hidd_units: int = 32
+    encoder_hidd_units: int = 32
+    err_penalty: float = 1.0
+    state_change_penalty: float = 0.0
+    dropout: float = 0.2
+    batch_size: int = 16
+    nfold: int = 5
+    miss_perc: float = 0.0
+    # Synthetic data size when no real embeddings CSV is configured.
+    synthetic_patients: int = 120
+
+
+def _metric_scalars(metrics_tuple):
+    """15-tuple -> CSV-writable values (curves become lists, like the
+    reference's .numpy() conversion leaves arrays)."""
+    out = []
+    for v in metrics_tuple:
+        arr = np.asarray(v)
+        out.append(float(arr) if arr.ndim == 0 else arr.tolist())
+    return out
+
+
+def append_result_row(results_file_path: str, row: list, columns=None):
+    df = pd.DataFrame([row], columns=columns or SAVE_LOGS)
+    if os.path.isfile(results_file_path):
+        df.to_csv(results_file_path, mode="a", index=False, header=False)
+    else:
+        df.to_csv(results_file_path, mode="w", index=False)
+
+
+def patient_kfold_splits(dataset: MIMICDataset, nfold: int, seed: int):
+    """Yield (train_ind, val_ind, test_ind) row-index arrays with patient-level
+    stratified folds (reference ``mimic_single_task_pipeline.py:98-116``)."""
+    from sklearn.model_selection import StratifiedKFold, train_test_split
+
+    patient = dataset.patient_split_table()
+    haim_id = patient["haim_id"].values
+    labels = patient["label"].values
+    rows_haim = dataset.haim_ids()
+    skf = StratifiedKFold(n_splits=nfold, shuffle=True, random_state=seed)
+    for id_train, id_test_val in skf.split(haim_id, labels):
+        train_patients = set(haim_id[id_train])
+        test_val_patients = haim_id[id_test_val]
+        labels_tv = labels[id_test_val]
+        id_test, id_val = train_test_split(
+            test_val_patients, test_size=0.5, stratify=labels_tv,
+            random_state=seed)[:2]
+        val_p, test_p = set(id_val), set(id_test)
+        train_ind = np.where(np.isin(rows_haim, list(train_patients)))[0]
+        val_ind = np.where(np.isin(rows_haim, list(val_p)))[0]
+        test_ind = np.where(np.isin(rows_haim, list(test_p)))[0]
+        yield train_ind, val_ind, test_ind
+
+
+def build_modn(cfg: MimicConfig, partitions: List[int], targets: List[str],
+               seed: int) -> MultiModN:
+    encoders = [MIMICMLPEncoder(cfg.state_size, p,
+                                (cfg.encoder_hidd_units, cfg.encoder_hidd_units),
+                                dropout=cfg.dropout)
+                for p in partitions]
+    decoders = [MLPDecoder(cfg.state_size,
+                           (cfg.decoder_hidd_units, cfg.decoder_hidd_units), 2)
+                for _ in targets]
+    return MultiModN(cfg.state_size, encoders, decoders, cfg.err_penalty,
+                     cfg.state_change_penalty, seed=seed)
+
+
+def run_fold_modn(cfg: MimicConfig, dataset_modn, partitions, targets,
+                  train_ind, val_ind, test_ind, seed, artifacts_dir=None,
+                  fold_tag=""):
+    """Train MultiModN on one fold with fused best-selection; return the
+    held-out-test 15-tuples (one per decoder) and the fit info."""
+    train_loader = ArrayLoader(Subset(dataset_modn, train_ind), cfg.batch_size)
+    val_loader = ArrayLoader(Subset(dataset_modn, val_ind), cfg.batch_size)
+    test_loader = ArrayLoader(Subset(dataset_modn, test_ind), cfg.batch_size)
+
+    model = build_modn(cfg, partitions, targets, seed)
+    history = MultiModNHistory(targets)
+    info = model.fit_best(train_loader, Adam(cfg.learning_rate),
+                          "cross_entropy", epochs=cfg.epochs,
+                          val_loader=val_loader, history=history,
+                          restore_best=True)
+    if artifacts_dir:
+        os.makedirs(artifacts_dir, exist_ok=True)
+        save_checkpoint(os.path.join(artifacts_dir,
+                                     f"modn_best_{fold_tag}.pkl"),
+                        model, info["best_epoch"], info["best_score"])
+        with open(os.path.join(artifacts_dir,
+                               f"modn_history_{fold_tag}.pkl"), "wb") as f:
+            pickle.dump(history, f)
+    test_metrics = model.test(test_loader, "cross_entropy")
+    return model, history, info, test_metrics
+
+
+def run_fold_haim(cfg: MimicConfig, dataset_haim, train_ind, val_ind,
+                  test_ind, seed):
+    """Train the HAIM baseline on the same fold with the same best-epoch
+    selection rule (host loop — HAIM epochs are one matmul stack, cheap).
+
+    ``dataset_haim``: a single-partition PartitionDataset over the zero-filled
+    (nanfill) feature matrix — the reference feeds HAIM the raw concatenated
+    features (``mimic_single_task_pipeline.py:200-204``).
+    """
+    train_loader = ArrayLoader(Subset(dataset_haim, train_ind), cfg.batch_size)
+    val_loader = ArrayLoader(Subset(dataset_haim, val_ind), cfg.batch_size)
+    test_loader = ArrayLoader(Subset(dataset_haim, test_ind), cfg.batch_size)
+
+    n_features = sum(dataset_haim.partitions)
+    model = HAIM(HAIMDecoder(
+        n_features, (cfg.decoder_hidd_units, cfg.decoder_hidd_units)),
+        seed=seed)
+    opt = Adam(cfg.learning_rate)
+    best_score, best_params = 0.0, None
+    for _ in range(cfg.epochs):
+        model.train_epoch(train_loader, opt, "cross_entropy")
+        val = model.test(val_loader, "cross_entropy")
+        score = val[1] + (val[3] + val[4]) / 2
+        if score > best_score:
+            best_score, best_params = score, model.state_dict()
+    if best_params is not None:
+        model.load_state_dict(best_params)
+    return model, model.test(test_loader, "cross_entropy")

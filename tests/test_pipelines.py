@@ -1,0 +1,73 @@
+"""Integration tier: every shipped pipeline runs 2-3 epochs end-to-end
+(mirrors the reference's test_all_pipelines.sh smoke strategy, SURVEY §4),
+plus artifact emission."""
+import os
+
+import numpy as np
+import pytest
+
+FAST_FLAGS = ["-e", "2", "-m", "false", "-y", "false", "-p", "false",
+              "-r", "false"]
+
+
+@pytest.mark.parametrize("module_name", [
+    "titanic_mlp_pipeline",
+    "titanic_partitioned_pipeline",
+    "titanic_featurewise_pipeline",
+    "titanic_missingness_pipeline",
+    "titanic_lstm_pipeline",
+    "titanic_rnn_pipeline",
+])
+def test_titanic_pipeline_smoke(module_name):
+    mod = __import__(f"pipelines.titanic.{module_name}",
+                     fromlist=["main"])
+    model, history = mod.main(FAST_FLAGS)
+    assert len(history.loss["train"]) == 2
+    assert np.isfinite(history.loss["train"][-1]).all()
+    assert len(history.loss["val"]) == 2
+
+
+def test_titanic_pipeline_artifacts(tmp_path, monkeypatch):
+    """With persistence on, the standard artifacts appear (model/history
+    pickles, plot PNG, results CSV — reference artifact set)."""
+    import pickle
+
+    import pipelines.titanic.titanic_mlp_pipeline as pipe
+    monkeypatch.setattr(pipe, "__file__",
+                        str(tmp_path / "titanic_mlp_pipeline.py"))
+    model, history = pipe.main(["-e", "2"])
+    assert (tmp_path / "models" / "titanic_mlp_model.pkl").exists()
+    assert (tmp_path / "models" / "titanic_mlp_history.pkl").exists()
+    assert (tmp_path / "plots" / "titanic_mlp.png").exists()
+    assert (tmp_path / "results" / "titanic_mlp.csv").exists()
+    # Pickled model round-trips and still predicts.
+    with open(tmp_path / "models" / "titanic_mlp_model.pkl", "rb") as f:
+        loaded = pickle.load(f)
+    x = np.zeros((4, 6), np.float32)
+    preds = loaded.predict([x])
+    assert preds.shape == (2, 1, 4)
+
+
+def test_mimic_single_task_small(tmp_path):
+    from pipelines.mimic.common import MimicConfig
+    from pipelines.mimic.mimic_single_task_pipeline import main
+
+    cfg = MimicConfig(targets=["Cardiomegaly"], epochs=3, nfold=2,
+                      synthetic_patients=40)
+    cfg_cache = str(tmp_path / "cache")
+    res = main(["-e", "3", "-m", "false"], cfg)
+    assert len(res) == 4  # 2 folds x (modn + haim)
+    for model_name, target, fold, auc in res:
+        assert 0.0 <= auc <= 1.0
+
+
+def test_mimic_mnar_small():
+    from pipelines.mimic.common import MimicConfig
+    from pipelines.mimic.mimic_single_task_mnar_missingness_pipeline import \
+        main
+
+    cfg = MimicConfig(targets=["Cardiomegaly"], epochs=2, nfold=2,
+                      synthetic_patients=40)
+    res = main(["-p", "50", "-e", "2"], cfg)
+    # 2 folds x (modn + haim) x (both=True/False)
+    assert len(res) == 8
