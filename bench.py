@@ -1,0 +1,121 @@
+"""Benchmark: MIMIC north-star training throughput on the default platform.
+
+Workload (SURVEY §6 / BASELINE.md): MultiModN with E=4 MIMIC-MLP encoders
+over source widths {10, 1024, 768, 99}, state 50, hidden 32, batch 16,
+N=1024 synthetic samples — the reference's heaviest configuration shape.
+
+Measures the framework's real training path: the fused multi-epoch ``fit``
+program (N epochs per device dispatch). Reports amortized per-epoch
+wall-clock and samples/sec, and compares against the cached PyTorch-CPU
+reference-semantics baseline (bench_baseline.json, produced by
+bench_baseline_torch.py on this machine).
+
+Prints ONE JSON line:
+  {"metric": "mimic_train_samples_per_sec", "value": ..., "unit":
+   "samples/s", "vs_baseline": ...}
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from bench_baseline_torch import (  # noqa: E402
+    BASELINE_PATH,
+    BENCH_BATCH,
+    BENCH_HIDDEN,
+    BENCH_N,
+    BENCH_STATE,
+    BENCH_WIDTHS,
+    bench_data,
+)
+
+EPOCHS_PER_DISPATCH = 50
+
+
+def measure_jax() -> dict:
+    import jax
+
+    from multimodn_tpu import Adam, MultiModN
+    from multimodn_tpu.data import ArrayLoader, PartitionDataset
+    from multimodn_tpu.decoders import MLPDecoder
+    from multimodn_tpu.encoders import MIMICMLPEncoder
+
+    data, y = bench_data()
+    X = np.concatenate(data, axis=1)
+    ds = PartitionDataset(X, y, list(BENCH_WIDTHS))
+    loader = ArrayLoader(ds, BENCH_BATCH)
+
+    model = MultiModN(
+        BENCH_STATE,
+        [MIMICMLPEncoder(BENCH_STATE, w, (BENCH_HIDDEN, BENCH_HIDDEN),
+                         dropout=0.0) for w in BENCH_WIDTHS],
+        [MLPDecoder(BENCH_STATE, (BENCH_HIDDEN, BENCH_HIDDEN), 2)],
+        1.0, 0.0)
+    opt = Adam(1e-3)
+
+    def sync():
+        # Force completion via a value transfer: on the axon tunnel platform
+        # block_until_ready returns before execution finishes, which silently
+        # turns the timing into a dispatch-latency measurement.
+        return float(np.asarray(model.params["init_state"]["value"])[0, 0])
+
+    # Warmup: compile the fused program + one timed-region dry pass.
+    t0 = time.perf_counter()
+    model.fit(loader, opt, "cross_entropy", epochs=EPOCHS_PER_DISPATCH)
+    sync()
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        model.fit(loader, opt, "cross_entropy", epochs=EPOCHS_PER_DISPATCH)
+        sync()
+        times.append(time.perf_counter() - t0)
+    per_epoch = float(np.median(times)) / EPOCHS_PER_DISPATCH
+    return {
+        "platform": str(jax.devices()[0]),
+        "compile_seconds": compile_s,
+        "epoch_seconds": per_epoch,
+        "samples_per_sec": BENCH_N / per_epoch,
+        "epochs_per_dispatch": EPOCHS_PER_DISPATCH,
+    }
+
+
+def load_baseline() -> dict:
+    if os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as f:
+            return json.load(f)
+    from bench_baseline_torch import measure_torch_epoch
+    result = measure_torch_epoch()
+    with open(BASELINE_PATH, "w") as f:
+        json.dump(result, f, indent=2)
+    return result
+
+
+def main():
+    ours = measure_jax()
+    baseline = load_baseline()
+    vs = ours["samples_per_sec"] / baseline["samples_per_sec"]
+    detail = {
+        "jax": ours,
+        "torch_baseline": baseline,
+    }
+    with open(os.path.join(REPO, "bench_detail.json"), "w") as f:
+        json.dump(detail, f, indent=2)
+    print(json.dumps({
+        "metric": "mimic_train_samples_per_sec",
+        "value": round(ours["samples_per_sec"], 1),
+        "unit": "samples/s",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
