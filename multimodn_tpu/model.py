@@ -409,6 +409,34 @@ class MultiModN:
         _, outputs, _ = fwd(self.params, data, jnp.ones((n,), jnp.float32))
         return [np.asarray(o) for o in outputs]
 
+    def fused_forward(self, x: Sequence, use_interpret: bool = False):
+        """Run the Pallas fused-chain kernel: the whole encoder chain + all
+        decoder heads in ONE TPU kernel with weights resident in VMEM
+        (see ``ops/fused_chain.py``). Per-sample NaN skip included.
+
+        Validated bit-exact against the XLA path; on current XLA the two are
+        performance-equivalent for shipped model sizes (XLA fuses this chain
+        well), so this is an optional explicit-kernel path, not the default.
+
+        Returns (states (E+1, N, S), outputs list of (E+1, N, C_d)).
+        """
+        from multimodn_tpu.ops.fused_chain import make_fused_chain_forward
+        key = ("pallas_fwd", use_interpret)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = jax.jit(make_fused_chain_forward(
+                self.encoders, self.decoders, self.state_size,
+                interpret=use_interpret))
+        fwd = self._fn_cache[key]
+        data = tuple(jnp.asarray(np.asarray(m, np.float32)) for m in x)
+        valid = jnp.stack(
+            [~jnp.any(jnp.isnan(m), axis=tuple(range(1, m.ndim)))
+             for m in data], axis=1).astype(jnp.float32)
+        data = tuple(jnp.nan_to_num(m) for m in data)
+        states, outs = fwd(self.params, data, valid,
+                           self.init_state.apply(self.params["init_state"],
+                                                 1, 0)[0])
+        return np.asarray(states), [np.asarray(o) for o in outs]
+
     def get_states(self, data_loader) -> List[np.ndarray]:
         """Final fusion state per sample (with NaN skip) — the
         interpretability hook (reference ``multimodn.py:460-492``)."""

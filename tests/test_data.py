@@ -1,0 +1,170 @@
+"""Data-layer tests: split parity with the reference algorithm, partition
+validation, loaders, datasets, checkpoints."""
+import numpy as np
+import pytest
+
+from multimodn_tpu.data import (
+    ArrayLoader,
+    FeatureWiseDataset,
+    JointDatasets,
+    MIMICDataset,
+    PartitionDataset,
+    TitanicDataset,
+)
+from multimodn_tpu.data.dataset import Subset
+
+
+def _ds(n=50, f=6, seed=0, partitions=None):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, f)).astype(np.float32)
+    y = rng.integers(0, 2, size=(n, 1))
+    return PartitionDataset(X, y, partitions)
+
+
+def test_random_split_matches_reference_algorithm():
+    """Same seeded permutation + grouping + remainder-to-split-0 as the
+    reference (multimod_dataset.py:14-52), verified against an independent
+    torch-based replica."""
+    import torch
+    from itertools import accumulate
+
+    ds = _ds(53)
+    probs = (0.6, 0.3, 0.1)
+    seed = 7
+    splits = ds.random_split(probs, seed, balanced_target_idx=0)
+
+    gen = torch.Generator().manual_seed(seed)
+    shuffled = torch.randperm(len(ds), generator=gen).tolist()
+    groups = {}
+    for idx in shuffled:
+        groups.setdefault(int(ds[idx][1][0]), []).append(idx)
+    expected = [[] for _ in probs]
+    for indices in groups.values():
+        lengths = [int(len(indices) * p / sum(probs)) for p in probs]
+        lengths[0] += len(indices) - sum(lengths)
+        for i, (off, ln) in enumerate(zip(accumulate(lengths), lengths)):
+            expected[i] += indices[off - ln:off]
+    for got, want in zip(splits, expected):
+        assert got.indices == want
+
+
+def test_random_split_covers_all_indices():
+    ds = _ds(41)
+    splits = ds.random_split((0.5, 0.25, 0.25), seed=3)
+    all_idx = sorted(i for s in splits for i in s.indices)
+    assert all_idx == list(range(41))
+
+
+def test_partition_dataset_validation_and_items():
+    ds = _ds(10, 6, partitions=[2, 4])
+    x, y = ds[3]
+    assert len(x) == 2 and x[0].shape == (2,) and x[1].shape == (4,)
+    with pytest.raises(ValueError):
+        PartitionDataset(np.zeros((5, 6), np.float32), np.zeros(5), [2, 2])
+
+
+def test_featurewise_dataset():
+    ds = FeatureWiseDataset(np.zeros((7, 4), np.float32), np.zeros(7))
+    x, _ = ds[0]
+    assert len(x) == 4 and all(a.shape == (1,) for a in x)
+
+
+def test_joint_datasets_concatenates():
+    a = _ds(9, 4, partitions=[2, 2])
+    b = _ds(9, 3, seed=1)
+    joint = JointDatasets([a, b])
+    x, y = joint[2]
+    assert len(x) == 2
+    assert x[0].shape == (4,) and x[1].shape == (3,)
+
+
+def test_loader_generic_item_path():
+    """Datasets without .arrays() go through the per-item loop."""
+
+    class Custom:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return [np.full(3, i, np.float32), np.full(2, -i, np.float32)], \
+                np.array([i % 2])
+
+    loader = ArrayLoader(Custom(), 3)
+    data, targets, mask = loader.stacks()
+    assert data[0].shape == (3, 3, 3) and data[1].shape == (3, 3, 2)
+    assert np.asarray(mask).sum() == 8  # 8 real rows, 1 padded
+
+
+def test_loader_subset_fast_path_equals_generic():
+    ds = _ds(20, 5, partitions=[2, 3])
+    sub = Subset(ds, [3, 1, 4, 15, 9])
+    loader = ArrayLoader(sub, 2)
+    rows = [sub[i] for i in range(5)]
+    data, targets, mask = (np.asarray(loader.stacks()[0][0]),
+                           np.asarray(loader.stacks()[1]),
+                           np.asarray(loader.stacks()[2]))
+    flat = data.reshape(-1, 2)[mask.reshape(-1) > 0]
+    np.testing.assert_allclose(flat, np.stack([r[0][0] for r in rows]))
+
+
+def test_titanic_preprocessing_columns():
+    ds = TitanicDataset(["Fare", "Pclass", "Age", "Sex_male", "Relatives",
+                         "Embarked"], ["Survived"])
+    assert ds.X.shape[1] == 6
+    assert set(np.unique(ds.y)) <= {0, 1}
+    # standardized features ~ zero mean
+    assert abs(ds.X.mean()) < 0.1
+
+
+def test_titanic_keep_missing():
+    ds = TitanicDataset(["Cabin_num", "Fare", "Age"], ["Survived"],
+                        dropna=False, std=True)
+    assert np.isnan(ds.X).any()  # Cabin/Age NaNs preserved
+
+
+def test_mimic_cache_roundtrip(tmp_path):
+    kw = {"n_patients": 30}
+    d1 = MIMICDataset(["de", "ts_ce"], ["Cardiomegaly"],
+                      cache_root=str(tmp_path), synthetic_kwargs=kw)
+    # Second construction must hit the cache (same data, no regeneration).
+    d2 = MIMICDataset(["de", "ts_ce"], ["Cardiomegaly"],
+                      cache_root=str(tmp_path), synthetic_kwargs=kw)
+    np.testing.assert_allclose(d1.X, d2.X)
+    assert d1.partitions == d2.partitions
+    assert (tmp_path / "Cardiomegaly" / "de_ts_ce" / "data.csv").exists()
+    assert (tmp_path / "Cardiomegaly" / "de_ts_ce" / "how_to_split.csv").exists()
+
+
+def test_mimic_multi_target_agg_label(tmp_path):
+    kw = {"n_patients": 30}
+    d = MIMICDataset(["de", "ts_ce"], ["Enlarged Cardiomediastinum",
+                                       "Cardiomegaly"],
+                     cache_root=str(tmp_path), synthetic_kwargs=kw)
+    assert d.y.shape[1] == 2
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from multimodn_tpu import Adam, MultiModN
+    from multimodn_tpu.checkpoint import (CheckpointManager, load_checkpoint,
+                                          save_checkpoint)
+    from multimodn_tpu.decoders import LogisticDecoder
+    from multimodn_tpu.encoders import MLPEncoder
+
+    ds = _ds(20)
+    loader = ArrayLoader(ds, 10)
+    m = MultiModN(2, [MLPEncoder(2, 6, (4,))], [LogisticDecoder(2)], 0.7, 0.3)
+    m.fit(loader, Adam(0.01), "cross_entropy", epochs=2)
+    path = save_checkpoint(str(tmp_path / "ck.pkl"), m, epoch=2, score=1.5)
+    m2 = MultiModN(2, [MLPEncoder(2, 6, (4,))], [LogisticDecoder(2)], 0.7, 0.3)
+    payload = load_checkpoint(path, m2)
+    assert payload["epoch"] == 2 and payload["auc_bac_val_cum"] == 1.5
+    np.testing.assert_allclose(
+        np.asarray(m.params["encoders"][0]["layers"][0]["w"]),
+        np.asarray(m2.params["encoders"][0]["layers"][0]["w"]))
+
+    mgr = CheckpointManager(str(tmp_path / "best"), keep=2)
+    assert mgr.save(m, 1, 0.5)
+    assert mgr.save(m, 2, 0.9)
+    assert mgr.save(m, 3, 0.7)      # displaces nothing (keep=2, worst is 0.5)
+    assert not mgr.save(m, 4, 0.1)  # below best-2
+    assert "epoch2" in mgr.best_path
