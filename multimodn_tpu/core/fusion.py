@@ -130,7 +130,10 @@ def forward_chain(
     state_change = jnp.stack(state_change)             # (E,)
     row_ok = jnp.stack(row_ok)                         # (E+1,)
     n_counted = jnp.stack(n_counted)                   # (E+1,)
-    return states_by_row, state_change, row_ok, n_counted
+    # NOTE: row order is metric-row order (enc_idx + 1), which differs from
+    # execution order under permuted `order`; `state` is the final EXECUTED
+    # state (what the reference's get_states returns, multimodn.py:490).
+    return states_by_row, state_change, row_ok, n_counted, state
 
 
 def decode_grid(

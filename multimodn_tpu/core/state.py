@@ -74,5 +74,6 @@ class StaticInitState(InitState):
         return {}
 
     def apply(self, params, batch_size, offset) -> jnp.ndarray:
+        offset = jnp.asarray(offset).astype(jnp.int32)
         idx = (offset + jnp.arange(batch_size)) % self._bank.shape[0]
         return jax.lax.stop_gradient(jnp.take(self._bank, idx, axis=0))

@@ -37,7 +37,7 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
     n_dec = len(decoders)
 
     def loss_fn(params, data, targets, sample_mask, rng, init_offset, train: bool):
-        states, state_change, row_ok, n_counted = forward_chain(
+        states, state_change, row_ok, n_counted, final_state = forward_chain(
             encoders, init_state, params, data, sample_mask,
             order=order, nan_skip=nan_skip, train=train, rng=rng,
             init_offset=init_offset,
@@ -60,6 +60,7 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
             "global_err": global_err,
             "global_sc": global_sc,
             "final_outputs": [out[-1] for out in grid["outputs"]],
+            "final_state": final_state,
             "all_outputs": grid["outputs"],
         }
         return loss, aux
@@ -364,7 +365,7 @@ def make_forward_fn(encoders, decoders, init_state,
 
     @functools.partial(jax.jit, static_argnames=("train",))
     def forward(params, data, sample_mask, rng=None, init_offset=0, train=False):
-        states, _, row_ok, _ = forward_chain(
+        states, _, row_ok, _, final_state = forward_chain(
             encoders, init_state, params, data, sample_mask,
             order=order, nan_skip=nan_skip, train=train, rng=rng,
             init_offset=init_offset,
@@ -372,6 +373,6 @@ def make_forward_fn(encoders, decoders, init_state,
         outputs = [dec.apply(params["decoders"][d], states)
                    for d, dec in enumerate(decoders)]
         preds = jnp.stack([jnp.argmax(o, axis=-1) for o in outputs], axis=1)
-        return preds, outputs, states
+        return preds, outputs, states, final_state
 
     return forward

@@ -397,7 +397,7 @@ class MultiModN:
         n = data[0].shape[0]
         order = self._resolve_order(None, encoder_sequence, train=False)
         fwd = self._forward_fn(order, "none")
-        preds, _, _ = fwd(self.params, data, jnp.ones((n,), jnp.float32))
+        preds, _, _, _ = fwd(self.params, data, jnp.ones((n,), jnp.float32))
         return np.asarray(preds)
 
     def predict_proba(self, x: Sequence, encoder_sequence=None) -> List[np.ndarray]:
@@ -406,7 +406,7 @@ class MultiModN:
         n = data[0].shape[0]
         order = self._resolve_order(None, encoder_sequence, train=False)
         fwd = self._forward_fn(order, "none")
-        _, outputs, _ = fwd(self.params, data, jnp.ones((n,), jnp.float32))
+        _, outputs, _, _ = fwd(self.params, data, jnp.ones((n,), jnp.float32))
         return [np.asarray(o) for o in outputs]
 
     def fused_forward(self, x: Sequence, use_interpret: bool = False):
@@ -446,8 +446,8 @@ class MultiModN:
         collected = []
         for b in range(data_loader.n_batches):
             batch = tuple(d[b] for d in data)
-            _, _, states = fwd(self.params, batch, mask[b])
-            final = np.asarray(states[-1])
+            _, _, _, final_state = fwd(self.params, batch, mask[b])
+            final = np.asarray(final_state)
             keep = np.asarray(mask[b]) > 0
             collected.append(final[keep])
         return list(np.concatenate(collected, axis=0))

@@ -39,7 +39,7 @@ def test_fused_chain_matches_xla(enc_cls, kwargs):
 
     data_nan = tuple(jnp.where(valid[:, e:e + 1] > 0, data[e], jnp.nan)
                      for e in range(2))
-    states_x, _, _, _ = forward_chain(
+    states_x, _, _, _, _ = forward_chain(
         encoders, model.init_state, model.params, data_nan,
         jnp.ones((16,), jnp.float32), order=default_order(2),
         nan_skip="sample")
