@@ -98,6 +98,7 @@ class PartitionDataset(MultiModDataset):
             )
         self.n_partitions = len(self.partitions)
         offsets = list(accumulate(self.partitions[:-1]))
+        self._X_full = X  # unsplit view for the native epoch packer
         self.X = np.split(X, offsets, axis=1)
         self.y = np.asarray(y)
 
@@ -111,6 +112,11 @@ class PartitionDataset(MultiModDataset):
     # per-item Python loop.
     def arrays(self):
         return list(self.X), self.y, None
+
+    # Native fast path: the unsplit matrix + widths let the C++ packer build
+    # all modality stacks, masks, and NaN-validity in one pass.
+    def full_arrays(self):
+        return self._X_full, list(self.partitions), self.y, None
 
 
 class FeatureWiseDataset(PartitionDataset):

@@ -72,9 +72,22 @@ class ArrayLoader:
     """
 
     def __init__(self, dataset, batch_size: int = 0, shuffle: bool = False,
-                 seed: int = 0, sharding=None):
+                 seed: int = 0, sharding=None, use_native: bool = True):
         self.dataset = dataset
         xs, y, seq = _materialize(dataset)
+        # Native fast path: the C++ packer consumes the unsplit matrix.
+        self._full_X, self._widths, self._row_indices = None, None, None
+        if use_native:
+            base, idx = dataset, None
+            if isinstance(base, Subset):
+                idx = np.asarray(base.indices, np.int64)
+                base = base.dataset
+            if hasattr(base, "full_arrays"):
+                fx, widths, _fy, _fseq = base.full_arrays()
+                self._full_X = np.ascontiguousarray(fx, np.float32)
+                self._widths = widths
+                self._row_indices = idx if idx is not None else \
+                    np.arange(len(base), dtype=np.int64)
         self.n_samples = y.shape[0]
         if y.ndim == 1:
             y = y[:, None]
@@ -123,9 +136,19 @@ class ArrayLoader:
     def stacks(self):
         """Return (data_tuple, targets, sample_mask) device arrays."""
         if self._stacks is None:
-            data = tuple(self._pad_stack(x) for x in self._xs)
+            packed = None
+            if self._full_X is not None:
+                from multimodn_tpu.data import native
+                packed = native.pack_epoch(
+                    self._full_X, self._row_indices[self._order],
+                    self._widths, self.batch_size, self.n_batches)
+            if packed is not None:
+                blocks, mask, _valid = packed
+                data = tuple(blocks)
+            else:
+                data = tuple(self._pad_stack(x) for x in self._xs)
+                mask = self._pad_stack(np.ones(self.n_samples, np.float32))
             targets = self._pad_stack(self._y)
-            mask = self._pad_stack(np.ones(self.n_samples, np.float32))
             if self.sharding is not None:
                 put = lambda a: jax.device_put(a, self.sharding)
             else:

@@ -1,0 +1,124 @@
+"""ctypes bridge to the native C++ epoch packer (native/packer.cpp).
+
+Compiled on first use with the system g++ into the package build dir; every
+entry point degrades to the numpy implementation when the toolchain or the
+shared object is unavailable, so the framework never hard-depends on it.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "../.."))
+_SRC = os.path.join(_REPO, "native", "packer.cpp")
+_BUILD_DIR = os.path.join(_REPO, "native", "build")
+_SO = os.path.join(_BUILD_DIR, "libmmn_packer.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _compile() -> Optional[str]:
+    if not os.path.exists(_SRC):
+        return None
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    if os.path.exists(_SO) and \
+            os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           "-o", _SO, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _SO
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return None
+
+
+def get_lib():
+    """Load (compiling if needed) the packer library; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        so = _compile()
+        if so is None:
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            return None
+        i64 = ctypes.c_int64
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.pack_epoch.argtypes = [
+            f32p, i64, i64,
+            ctypes.POINTER(i64), ctypes.POINTER(i64), ctypes.POINTER(i64),
+            i64, i64, i64,
+            ctypes.POINTER(f32p), f32p, f32p,
+        ]
+        lib.pack_epoch.restype = None
+        lib.standardize_columns.argtypes = [f32p, i64, i64]
+        lib.standardize_columns.restype = None
+        _lib = lib
+        return _lib
+
+
+def _f32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def pack_epoch(X: np.ndarray, order: np.ndarray, widths: Sequence[int],
+               batch: int, n_batches: int
+               ) -> Optional[Tuple[List[np.ndarray], np.ndarray, np.ndarray]]:
+    """Native epoch packing. Returns (blocks, mask, valid) or None when the
+    native library is unavailable (caller falls back to numpy).
+
+    blocks[m]: (n_batches, batch, widths[m]) float32
+    mask:      (n_batches, batch) float32
+    valid:     (n_batches, batch, M) float32
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    X = np.ascontiguousarray(X, dtype=np.float32)
+    f = X.shape[1]
+    n = len(order)  # rows to pack; `order` may index any row of X
+    m = len(widths)
+    assert sum(widths) == f
+    offsets = np.zeros(m, np.int64)
+    np.cumsum(widths[:-1], out=offsets[1:])
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    total = n_batches * batch
+
+    blocks = [np.empty((n_batches, batch, w), np.float32) for w in widths]
+    mask = np.empty((n_batches, batch), np.float32)
+    valid = np.empty((n_batches, batch, m), np.float32)
+
+    block_ptrs = (ctypes.POINTER(ctypes.c_float) * m)(
+        *[_f32p(b) for b in blocks])
+    widths_arr = np.asarray(widths, np.int64)
+    lib.pack_epoch(
+        _f32p(X), n, f,
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        widths_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        m, batch, n_batches,
+        block_ptrs, _f32p(mask), _f32p(valid))
+    return blocks, mask, valid
+
+
+def standardize_columns(X: np.ndarray) -> Optional[np.ndarray]:
+    """NaN-aware in-place column z-score (sklearn StandardScaler semantics).
+    Returns the array, or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    X = np.ascontiguousarray(X, dtype=np.float32)
+    lib.standardize_columns(_f32p(X), X.shape[0], X.shape[1])
+    return X
