@@ -12,6 +12,7 @@ from multimodn_tpu.encoders.recurrent import (
     RNNEncoder,
     RNNFeatureEncoder,
 )
+from multimodn_tpu.encoders.resnet import ResNet
 
 __all__ = [
     "MultiModEncoder",
@@ -26,4 +27,5 @@ __all__ = [
     "LSTMFeatureEncoder",
     "RNNEncoder",
     "RNNFeatureEncoder",
+    "ResNet",
 ]
