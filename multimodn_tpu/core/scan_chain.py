@@ -1,0 +1,129 @@
+"""Scanned encoder chain for homogeneous encoder stacks.
+
+The default fusion core unrolls the E-step chain at trace time
+(``core/fusion.py``) — ideal for small heterogeneous chains. When every
+encoder is structurally identical (same class, same layer dims — true for
+every shipped featurewise pipeline and any large-E configuration), the chain
+compiles to a single ``lax.scan`` step over STACKED parameters instead:
+
+- trace/compile size is O(1) in E (featurewise MIMIC would be E≈1900 —
+  unrollable, trivially scannable);
+- the modality order becomes a traced gather, so the reference's
+  ``shuffle_mode`` (fresh encoder order per batch,
+  ``multimodn.py:527-529``) runs INSIDE the jitted program via
+  ``jax.random.permutation`` — no retrace per permutation;
+- dataset-supplied ``encoding_sequence`` is the same gather with a fixed
+  index array.
+
+SURVEY §5 (long-context note): the "sequence" dimension of this architecture
+is the modality chain; this module is its O(E)-compiled-steps scaling path.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multimodn_tpu.core.fusion import masked_mean_sq_diff
+
+
+def encoders_homogeneous(encoders: Sequence) -> bool:
+    """True when all encoders share class, layer dims, and activation — the
+    condition for stacking their parameter pytrees."""
+    if len(encoders) < 1:
+        return False
+    first = encoders[0]
+    for enc in encoders[1:]:
+        if type(enc) is not type(first):
+            return False
+        for attr in ("_layer_dims", "_dims", "hidden_layers", "n_features",
+                     "state_size", "dropout_rate", "unbatched_compat"):
+            if getattr(enc, attr, None) != getattr(first, attr, None):
+                return False
+        if getattr(enc, "activation", None) is not \
+                getattr(first, "activation", None):
+            return False
+    return True
+
+
+def stack_encoder_params(params_list) -> dict:
+    """[per-encoder pytree] -> pytree with a leading (E,) axis per leaf."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params_list)
+
+
+def forward_chain_scan(
+    encoder,                      # the (shared-structure) encoder module
+    n_encoders: int,
+    init_state,
+    params: dict,                 # full model params (per-encoder list)
+    data: Sequence[jnp.ndarray],  # E arrays (B, F) — homogeneous width
+    sample_mask: jnp.ndarray,
+    *,
+    data_order: jnp.ndarray,      # (E,) int32: modality index per step
+    enc_order: jnp.ndarray,       # (E,) int32: encoder index per step
+    nan_skip: str = "sample",
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    init_offset=0,
+):
+    """Scan-based equivalent of ``fusion.forward_chain`` for homogeneous
+    chains. Same contract: returns (states_by_row (E+1, B, S), state_change
+    (E,), row_ok (E+1,), n_counted (E+1,), final_state)."""
+    E = n_encoders
+    batch = sample_mask.shape[0]
+    n_real = jnp.sum(sample_mask.astype(jnp.float32))
+    stacked = stack_encoder_params(params["encoders"])
+    data_stack = jnp.stack(data)                      # (E, B, F)
+
+    state0 = init_state.apply(params["init_state"], batch, init_offset)
+
+    def step(carry, xs):
+        state = carry
+        k, d_idx, e_idx = xs
+        x = data_stack[d_idx]
+        p_k = jax.tree_util.tree_map(lambda s: s[e_idx], stacked)
+        step_rng = jax.random.fold_in(rng, k) if rng is not None else None
+
+        old_state = state
+        if nan_skip == "none":
+            state = encoder.apply(p_k, state, x, train=train, rng=step_rng)
+            ok = jnp.ones(())
+            counted = n_real
+        else:
+            sample_has_nan = jnp.any(jnp.isnan(x),
+                                     axis=tuple(range(1, x.ndim)))
+            xz = jnp.nan_to_num(x)
+            new_state = encoder.apply(p_k, state, xz, train=train,
+                                      rng=step_rng)
+            if nan_skip == "batch":
+                any_nan = jnp.any(sample_has_nan & (sample_mask > 0))
+                ok = jnp.where(any_nan, 0.0, 1.0)
+                state = jnp.where(any_nan, old_state, new_state)
+                counted = n_real * ok
+            else:
+                valid = (~sample_has_nan) & (sample_mask > 0)
+                state = jnp.where(valid[:, None], new_state, old_state)
+                ok = jnp.ones(())
+                counted = n_real
+        sc = masked_mean_sq_diff(state, old_state, sample_mask)
+        return state, (state, sc, ok, counted, e_idx)
+
+    xs = (jnp.arange(E), data_order.astype(jnp.int32),
+          enc_order.astype(jnp.int32))
+    final_state, (states_exec, sc_exec, ok_exec, counted_exec, e_idx_exec) = \
+        jax.lax.scan(step, state0, xs)
+
+    # Scatter execution-order results into metric-row order (row enc_idx+1).
+    states_by_row = jnp.concatenate(
+        [state0[None], jnp.zeros_like(states_exec)], axis=0)
+    states_by_row = states_by_row.at[e_idx_exec + 1].set(states_exec)
+    state_change = jnp.zeros((E,)).at[e_idx_exec].set(sc_exec)
+    row_ok = jnp.ones((E + 1,)).at[e_idx_exec + 1].set(ok_exec) \
+        .at[0].set(1.0)
+    # Rows never executed (shorter sequences) stay 0:
+    executed = jnp.zeros((E + 1,)).at[e_idx_exec + 1].set(1.0).at[0].set(1.0)
+    row_ok = row_ok * executed
+    n_counted = jnp.zeros((E + 1,)).at[0].set(n_real) \
+        .at[e_idx_exec + 1].set(counted_exec)
+    return states_by_row, state_change, row_ok, n_counted, final_state

@@ -27,21 +27,47 @@ from multimodn_tpu.core.metrics import safe_div
 
 def make_batch_loss_fn(encoders, decoders, init_state, criterion,
                        err_penalty: float, state_change_penalty: float,
-                       order: Sequence[Tuple[int, int]], nan_skip: str):
+                       order: Sequence[Tuple[int, int]], nan_skip: str,
+                       chain: str = "unrolled", shuffle: bool = False):
     """Pure (params, batch...) -> (loss, aux) for one padded batch.
 
     ``state_change_penalty`` arrives already scaled by the constructor's 0.01
     factor (reference ``multimodn.py:86``, quirk #1).
+
+    ``chain='scan'`` uses the stacked-parameter lax.scan chain (homogeneous
+    encoders only — see core/scan_chain.py); with ``shuffle=True`` the
+    modality order is drawn per batch INSIDE the program (the reference's
+    shuffle_mode, ``multimodn.py:527-529``), which the unrolled chain cannot
+    express without retracing.
     """
     n_enc = len(encoders)
     n_dec = len(decoders)
+    if chain == "scan":
+        from multimodn_tpu.core.scan_chain import forward_chain_scan
+        base_data = jnp.asarray([d for d, _e in order], jnp.int32)
+        base_enc = jnp.asarray([e for _d, e in order], jnp.int32)
 
     def loss_fn(params, data, targets, sample_mask, rng, init_offset, train: bool):
-        states, state_change, row_ok, n_counted, final_state = forward_chain(
-            encoders, init_state, params, data, sample_mask,
-            order=order, nan_skip=nan_skip, train=train, rng=rng,
-            init_offset=init_offset,
-        )
+        if chain == "scan":
+            if shuffle and train:
+                # Shuffle the (data_idx, enc_idx) PAIRS, like the reference's
+                # random.shuffle of the iterable (multimodn.py:527-529).
+                perm_rng = jax.random.fold_in(rng, 982451653)
+                perm = jax.random.permutation(perm_rng, len(order))
+            else:
+                perm = jnp.arange(len(order))
+            states, state_change, row_ok, n_counted, final_state = \
+                forward_chain_scan(
+                    encoders[0], n_enc, init_state, params, data, sample_mask,
+                    data_order=base_data[perm], enc_order=base_enc[perm],
+                    nan_skip=nan_skip, train=train, rng=rng,
+                    init_offset=init_offset)
+        else:
+            states, state_change, row_ok, n_counted, final_state = \
+                forward_chain(
+                    encoders, init_state, params, data, sample_mask,
+                    order=order, nan_skip=nan_skip, train=train, rng=rng,
+                    init_offset=init_offset)
         grid = decode_grid(decoders, params, states, targets, sample_mask,
                            row_ok, criterion)
         # Reference loss (multimodn.py:194-202): grid mean * err_penalty +

@@ -58,7 +58,13 @@ class MultiModN:
         ones_initialized_counts: bool = True,
         seed: int = 0,
         mesh=None,
+        chain_mode: str = "auto",
     ):
+        """``chain_mode``: 'unrolled' traces each encoder step inline (any
+        encoder mix); 'scan' compiles the chain as one lax.scan step over
+        stacked parameters (homogeneous encoders only; O(1) compile in E and
+        in-program per-batch shuffle); 'auto' picks 'scan' when encoders are
+        homogeneous and shuffle_mode is on or E >= 16."""
         self.state_size = state_size
         self.encoders = list(encoders)
         self.decoders = list(decoders)
@@ -72,6 +78,7 @@ class MultiModN:
         self.nan_skip = nan_skip
         self.ones_initialized_counts = ones_initialized_counts
         self.mesh = mesh
+        self.chain_mode = chain_mode
         self._shuffle_rng = _pyrandom.Random(seed)
 
         key = jax.random.PRNGKey(seed)
@@ -92,12 +99,31 @@ class MultiModN:
     # ------------------------------------------------------------------
     # Program construction / caching
     # ------------------------------------------------------------------
+    def _chain_plan(self):
+        """Resolve (chain, in_program_shuffle) from chain_mode."""
+        from multimodn_tpu.core.scan_chain import encoders_homogeneous
+        if self.chain_mode == "unrolled":
+            return "unrolled", False
+        homogeneous = encoders_homogeneous(self.encoders)
+        if self.chain_mode == "scan":
+            if not homogeneous:
+                raise ValueError(
+                    "chain_mode='scan' requires structurally identical "
+                    "encoders (same class, dims, activation)")
+            return "scan", self.shuffle_mode
+        # auto
+        if homogeneous and (self.shuffle_mode or len(self.encoders) >= 16):
+            return "scan", self.shuffle_mode
+        return "unrolled", False
+
     def _loss_fn(self, criterion, order, nan_skip):
-        key = ("loss", id(criterion), order, nan_skip)
+        chain, shuffle = self._chain_plan()
+        key = ("loss", id(criterion), order, nan_skip, chain, shuffle)
         if key not in self._fn_cache:
             self._fn_cache[key] = make_batch_loss_fn(
                 self.encoders, self.decoders, self.init_state, criterion,
-                self.err_penalty, self.state_change_penalty, order, nan_skip)
+                self.err_penalty, self.state_change_penalty, order, nan_skip,
+                chain=chain, shuffle=shuffle)
         return self._fn_cache[key]
 
     def _train_fn(self, criterion, order, optimizer):
@@ -130,7 +156,9 @@ class MultiModN:
         else:
             seq = np.asarray(encoder_sequence).reshape(-1)
             order = [(int(k), int(e)) for k, e in enumerate(seq)]
-        if self.shuffle_mode and train:
+        if self.shuffle_mode and train and self._chain_plan()[0] != "scan":
+            # Host-side shuffle only for the unrolled chain; the scan chain
+            # permutes in-program per batch (reference-faithful cadence).
             self._shuffle_rng.shuffle(order)
         return tuple(order)
 

@@ -1,0 +1,140 @@
+"""Scanned homogeneous chain: equivalence with the unrolled chain, large-E
+scaling, in-program shuffle, NaN modes, permuted sequences."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodn_tpu import Adam, MultiModN, MultiModNHistory
+from multimodn_tpu.core.scan_chain import (
+    encoders_homogeneous,
+    forward_chain_scan,
+)
+from multimodn_tpu.core.fusion import default_order, forward_chain
+from multimodn_tpu.data import ArrayLoader, FeatureWiseDataset
+from multimodn_tpu.decoders import LogisticDecoder
+from multimodn_tpu.encoders import MIMICMLPEncoder, MLPEncoder, MLPFeatureEncoder
+
+
+def _homog_setup(E=5, B=12, S=3, seed=0):
+    encoders = [MLPFeatureEncoder(S, 4) for _ in range(E)]
+    model = MultiModN(S, encoders, [LogisticDecoder(S)], 0.7, 0.3)
+    rng = np.random.default_rng(seed)
+    data = tuple(jnp.asarray(rng.normal(size=(B, 1)).astype(np.float32))
+                 for _ in range(E))
+    mask = jnp.ones((B,), jnp.float32)
+    return model, encoders, data, mask
+
+
+def test_homogeneity_detection():
+    assert encoders_homogeneous([MLPFeatureEncoder(3, 4) for _ in range(3)])
+    assert not encoders_homogeneous([MLPEncoder(3, 2, (4,)),
+                                     MLPEncoder(3, 3, (4,))])
+    assert not encoders_homogeneous([MLPEncoder(3, 2, (4,)),
+                                     MIMICMLPEncoder(3, 2, (4,))])
+
+
+@pytest.mark.parametrize("nan_skip", ["sample", "batch", "none"])
+def test_scan_matches_unrolled(nan_skip):
+    model, encoders, data, mask = _homog_setup()
+    E = len(encoders)
+    data = list(data)
+    data[1] = data[1].at[2, 0].set(jnp.nan)  # some missingness
+    data = tuple(data)
+
+    order = default_order(E)
+    u = forward_chain(encoders, model.init_state, model.params, data, mask,
+                      order=order, nan_skip=nan_skip)
+    s = forward_chain_scan(encoders[0], E, model.init_state, model.params,
+                           data, mask,
+                           data_order=jnp.arange(E), enc_order=jnp.arange(E),
+                           nan_skip=nan_skip)
+    for a, b, name in zip(u, s, ["states", "sc", "row_ok", "n_counted",
+                                 "final"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
+                                   err_msg=name)
+
+
+def test_scan_matches_unrolled_permuted_order():
+    model, encoders, data, mask = _homog_setup(seed=1)
+    E = len(encoders)
+    perm = [3, 0, 4, 1, 2]
+    order = tuple((k, perm[k]) for k in range(E))  # seq semantics
+    u = forward_chain(encoders, model.init_state, model.params, data, mask,
+                      order=order, nan_skip="sample")
+    s = forward_chain_scan(encoders[0], E, model.init_state, model.params,
+                           data, mask,
+                           data_order=jnp.arange(E),
+                           enc_order=jnp.asarray(perm),
+                           nan_skip="sample")
+    for a, b in zip(u, s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_auto_mode_selects_scan_for_shuffle_and_large_E():
+    S = 3
+    m1 = MultiModN(S, [MLPFeatureEncoder(S, 4) for _ in range(3)],
+                   [LogisticDecoder(S)], 0.7, 0.3, shuffle_mode=True)
+    assert m1._chain_plan() == ("scan", True)
+    m2 = MultiModN(S, [MLPFeatureEncoder(S, 4) for _ in range(20)],
+                   [LogisticDecoder(S)], 0.7, 0.3)
+    assert m2._chain_plan() == ("scan", False)
+    m3 = MultiModN(S, [MLPFeatureEncoder(S, 4) for _ in range(3)],
+                   [LogisticDecoder(S)], 0.7, 0.3)
+    assert m3._chain_plan() == ("unrolled", False)
+    with pytest.raises(ValueError):
+        MultiModN(S, [MLPEncoder(S, 2, (4,)), MLPEncoder(S, 3, (4,))],
+                  [LogisticDecoder(S)], 0.7, 0.3,
+                  chain_mode="scan")._chain_plan()
+
+
+def test_scan_training_matches_unrolled_training():
+    rng = np.random.default_rng(2)
+    X = rng.normal(size=(40, 5)).astype(np.float32)
+    y = rng.integers(0, 2, size=(40, 1))
+    ds = FeatureWiseDataset(X, y)
+    results = []
+    for mode in ("scan", "unrolled"):
+        loader = ArrayLoader(ds, 16)
+        m = MultiModN(3, [MLPFeatureEncoder(3, 4) for _ in range(5)],
+                      [LogisticDecoder(3)], 0.7, 0.3, chain_mode=mode)
+        h = MultiModNHistory(["t"])
+        m.fit(loader, Adam(0.01), "cross_entropy", epochs=4, history=h)
+        results.append(h.loss["train"][-1])
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-5, atol=1e-6)
+
+
+def test_large_E_featurewise_trains():
+    """E=64 featurewise — painful to unroll, trivial to scan."""
+    rng = np.random.default_rng(3)
+    E = 64
+    X = rng.normal(size=(32, E)).astype(np.float32)
+    y = rng.integers(0, 2, size=(32, 1))
+    ds = FeatureWiseDataset(X, y)
+    loader = ArrayLoader(ds, 16)
+    m = MultiModN(4, [MLPFeatureEncoder(4, 4) for _ in range(E)],
+                  [LogisticDecoder(4)], 1.0, 0.0)
+    assert m._chain_plan()[0] == "scan"
+    h = MultiModNHistory(["t"])
+    m.fit(loader, Adam(0.01), "cross_entropy", epochs=2, history=h)
+    assert h.loss["train"][-1].shape == (E + 1, 1)
+    assert np.isfinite(h.loss["train"][-1]).all()
+
+
+def test_in_program_shuffle_trains_and_is_stochastic():
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(24, 4)).astype(np.float32)
+    y = rng.integers(0, 2, size=(24, 1))
+    ds = FeatureWiseDataset(X, y)
+    loader = ArrayLoader(ds, 8)
+    m = MultiModN(3, [MLPFeatureEncoder(3, 4) for _ in range(4)],
+                  [LogisticDecoder(3)], 0.7, 0.3, shuffle_mode=True)
+    h = MultiModNHistory(["t"])
+    for _ in range(3):
+        m.train_epoch(loader, Adam(0.01), "cross_entropy", h)
+    assert np.isfinite(h.loss["train"][-1]).all()
+    # Eval path ignores shuffle (identity order): two tests agree exactly.
+    r1 = m.test(loader, "cross_entropy")
+    r2 = m.test(loader, "cross_entropy")
+    assert float(r1[0][1]) == float(r2[0][1])
