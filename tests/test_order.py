@@ -80,11 +80,13 @@ def test_nonuniform_sequence_rejected():
 
 
 def test_shuffle_mode_draws_new_orders_and_trains():
+    """Host-side per-epoch shuffle (the unrolled-chain fallback; homogeneous
+    chains shuffle in-program instead — see test_scan_chain)."""
     ds = _setup()
     loader = ArrayLoader(ds, 12)
     model = MultiModN(2, [MLPEncoder(2, 3, (4,)), MLPEncoder(2, 3, (4,))],
                       [LogisticDecoder(2)], 0.7, 0.3, shuffle_mode=True,
-                      seed=0)
+                      seed=0, chain_mode="unrolled")
     orders = {model._resolve_order(loader, train=True) for _ in range(16)}
     assert len(orders) == 2  # both permutations of 2 encoders appear
     # Eval never shuffles.
