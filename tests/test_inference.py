@@ -1,0 +1,87 @@
+"""Inference-path parity vs the torch oracle: predict (no NaN skip) and
+get_states (with skip), plus history plotting/export and display_arch."""
+import os
+
+import numpy as np
+import torch
+
+from multimodn_tpu import Adam, MultiModN, MultiModNHistory
+from multimodn_tpu.data import ArrayLoader, PartitionDataset
+from multimodn_tpu.decoders import LogisticDecoder
+from multimodn_tpu.encoders import MLPEncoder
+from tests.test_parity import make_dataset, torch_batches
+from tests.torch_ref import TorchClassDecoder, TorchMLPEncoder, TorchOracle, \
+    transplant
+
+
+def _pair(seed=0, nan_frac=0.0, partitions=(3, 3)):
+    ds = make_dataset(n=40, partitions=partitions, seed=seed,
+                      nan_frac=nan_frac)
+    model = MultiModN(3, [MLPEncoder(3, p, (4,)) for p in partitions],
+                      [LogisticDecoder(3)], 0.7, 0.3, nan_skip="batch")
+    oracle = TorchOracle(3, [TorchMLPEncoder(3, p, (4,)) for p in partitions],
+                         [TorchClassDecoder(3, 2)], 0.7, 0.3)
+    transplant(oracle, model.state_dict())
+    return ds, model, oracle
+
+
+def test_predict_matches_oracle():
+    ds, model, oracle = _pair()
+    xs = [ds.X[0], ds.X[1]]
+    ours = model.predict(xs)
+    theirs = oracle.predict([torch.from_numpy(x) for x in xs])
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_get_states_matches_oracle_with_nan_skip():
+    ds, model, oracle = _pair(seed=1, nan_frac=0.4)
+    loader = ArrayLoader(ds, 8)
+    ours = np.stack(model.get_states(loader))
+    theirs = oracle.get_states(torch_batches(loader))
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_history_plot_and_results(tmp_path):
+    ds, model, _ = _pair(seed=2)
+    loader = ArrayLoader(ds, 16)
+    h = MultiModNHistory(["t0"])
+    model.fit(loader, Adam(0.01), "cross_entropy", epochs=3, history=h,
+              val_loader=loader)
+    # Plot works with multiple tags AND a single tag (fixes reference
+    # quirk #15).
+    p1 = tmp_path / "multi.png"
+    h.plot(str(p1), ["t0"])
+    assert p1.exists() and p1.stat().st_size > 0
+    h_single = MultiModNHistory(["t0"])
+    model.fit(loader, Adam(0.01), "cross_entropy", epochs=2,
+              history=h_single)
+    p2 = tmp_path / "single.png"
+    h_single.plot(str(p2), ["t0"], show_state_change=True)
+    assert p2.exists()
+
+    df = h.get_results()
+    assert list(df.index) == ["t0"]
+    assert "State change loss" in df.columns
+    assert "Train loss" in df.columns and "Val loss" in df.columns
+    csv = tmp_path / "res.csv"
+    h.save_results(str(csv))
+    assert csv.read_text().startswith("Target,")
+
+
+def test_display_arch_prints_params(capsys):
+    ds, model, _ = _pair(seed=3)
+    model.display_arch()
+    out = capsys.readouterr().out
+    assert "Encoder 0 (MLPEncoder)" in out
+    assert "Decoder 0 (LogisticDecoder" in out
+    assert "Total parameters:" in out
+
+
+def test_train_epoch_last_epoch_returns_test_on_train():
+    """Reference quirk #16: train_epoch(last_epoch=True) returns test()
+    on the train loader."""
+    ds, model, _ = _pair(seed=4)
+    loader = ArrayLoader(ds, 16)
+    res = model.train_epoch(loader, Adam(0.01), "cross_entropy",
+                            last_epoch=True)
+    assert res is not None and len(res) == 1 and len(res[0]) == 15

@@ -227,6 +227,36 @@ class TorchOracle(nn.Module):
         }
 
 
+    def predict(self, x_list):
+        """(E+1, D, N) argmax grid, no NaN skip (reference predict,
+        multimodn.py:422-458, quirk #9)."""
+        E, D = len(self.encoders), len(self.decoders)
+        n = x_list[0].shape[0]
+        full = np.zeros((E + 1, D, n))
+        with torch.no_grad():
+            state = self.init_state.tile(n, 1)
+            for d, dec in enumerate(self.decoders):
+                full[0][d] = dec(state).argmax(dim=1).numpy()
+            for e, enc in enumerate(self.encoders):
+                state = enc(state, x_list[e])
+                for d, dec in enumerate(self.decoders):
+                    full[e + 1][d] = dec(state).argmax(dim=1).numpy()
+        return full
+
+    def get_states(self, batches):
+        """Final state per sample with NaN skip (multimodn.py:460-492)."""
+        outs = []
+        with torch.no_grad():
+            for data, target in batches:
+                state = self.init_state.tile(target.shape[0], 1)
+                for e, enc in enumerate(self.encoders):
+                    if torch.isnan(data[e]).any():
+                        continue
+                    state = enc(state, data[e])
+                outs.append(state.numpy())
+        return np.concatenate(outs, axis=0)
+
+
 # ---------------------------------------------------------------------------
 # Weight transplant: JAX pytree -> torch modules
 # ---------------------------------------------------------------------------
