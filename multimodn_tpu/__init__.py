@@ -16,6 +16,20 @@ reference: /root/reference) as an idiomatic JAX/XLA framework:
   XLA collectives emitted from sharding annotations.
 """
 
+import os as _os
+
+# MULTIMODN_PLATFORM=cpu|tpu forces the JAX platform at import. Needed
+# because some TPU plugins (axon) override JAX_PLATFORMS from sitecustomize,
+# making the standard env var ineffective.
+_platform = _os.environ.get("MULTIMODN_PLATFORM")
+if _platform:
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _platform)
+    except Exception:
+        pass
+
 from multimodn_tpu.model import MultiModN
 from multimodn_tpu.core.state import InitState, TrainableInitState, StaticInitState
 from multimodn_tpu.core.history import MultiModNHistory

@@ -70,6 +70,18 @@ def _source_features(df: pd.DataFrame, sources) -> Tuple[List[str], List[int]]:
     return features, partitions
 
 
+def _resolve_cache_root(cache_root: str, synthetic_kwargs) -> str:
+    """Synthetic caches are keyed by their generation config so differently
+    sized synthetic datasets never alias (real-CSV caches use the root)."""
+    if os.environ.get("MULTIMODN_MIMIC_EMBED_PATH"):
+        return cache_root
+    kw = dict(synthetic_kwargs or {})
+    tag = (f"synth_p{kw.get('n_patients', 200)}"
+           f"_s{kw.get('seed', 2023)}"
+           f"_m{kw.get('max_stays_per_patient', 3)}")
+    return os.path.join(cache_root, tag)
+
+
 def build_mimic_cache(
     targets: List[str],
     sources: List[str],
@@ -78,6 +90,7 @@ def build_mimic_cache(
 ) -> str:
     """Materialize (or reuse) the per-(targets, sources) cache directory with
     ``data.csv`` and patient-level ``how_to_split.csv``; returns its path."""
+    cache_root = _resolve_cache_root(cache_root, synthetic_kwargs)
     pathologies = "_".join(targets)
     source_spec = "_".join(sources)
     cache_dir = os.path.join(cache_root, pathologies, source_spec)
@@ -86,20 +99,34 @@ def build_mimic_cache(
         return cache_dir
     os.makedirs(cache_dir, exist_ok=True)
 
-    df = _load_embeddings(targets, synthetic_kwargs)
-    df = df.drop_duplicates(subset=["img_id", "img_charttime"])
-    for target in targets:
-        df = df[df[target].isin([0, 1])]
-    # Aggregated label: 1 when a row is positive for more than one target
-    # (reference :42-44); for a single target the row label itself is used.
-    if len(targets) > 1:
-        agg = (df[targets].sum(axis=1) > 1).astype(int)
+    # Single-target data derives from the canonical two-pathology cache when
+    # it exists (reference ``mimic_get_nips_pathology_data`` reads
+    # ``<Enlarged Cardiomediastinum_Cardiomegaly>/<sources>/data.csv`` —
+    # ``mimic_dataset.py:96-99``), guaranteeing row alignment between
+    # multi-target experiments and their per-target baselines.
+    from multimodn_tpu.data.synth import MIMIC_DEFAULT_TARGETS
+    nips_src = os.path.join(cache_root, "_".join(MIMIC_DEFAULT_TARGETS),
+                            source_spec, "data.csv")
+    if len(targets) == 1 and os.path.exists(nips_src):
+        df = pd.read_csv(nips_src)  # already deduped, filtered, one-hot
+        df = df.assign(Agg=df[targets[0]].astype(int))
     else:
-        agg = df[targets[0]].astype(int)
-    df = df.assign(Agg=agg)
-    if "de" in [s.lower() for s in sources]:
-        df = pd.get_dummies(df, columns=["de_1", "de_2", "de_3", "de_4", "de_5"],
-                            drop_first=True, dtype=int)
+        df = _load_embeddings(targets, synthetic_kwargs)
+        df = df.drop_duplicates(subset=["img_id", "img_charttime"])
+        for target in targets:
+            df = df[df[target].isin([0, 1])]
+        # Aggregated label: 1 when a row is positive for more than one target
+        # (reference :42-44); for a single target the row label itself.
+        if len(targets) > 1:
+            agg = (df[targets].sum(axis=1) > 1).astype(int)
+        else:
+            agg = df[targets[0]].astype(int)
+        df = df.assign(Agg=agg)
+        if "de" in [s.lower() for s in sources]:
+            df = pd.get_dummies(df,
+                                columns=["de_1", "de_2", "de_3", "de_4",
+                                         "de_5"],
+                                drop_first=True, dtype=int)
     features, _ = _source_features(df, sources)
     data_full = df[features + targets + ["haim_id"]]
     data_full.to_csv(data_path, index=False)

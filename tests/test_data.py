@@ -1,5 +1,7 @@
 """Data-layer tests: split parity with the reference algorithm, partition
 validation, loaders, datasets, checkpoints."""
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -131,8 +133,10 @@ def test_mimic_cache_roundtrip(tmp_path):
                       cache_root=str(tmp_path), synthetic_kwargs=kw)
     np.testing.assert_allclose(d1.X, d2.X)
     assert d1.partitions == d2.partitions
-    assert (tmp_path / "Cardiomegaly" / "de_ts_ce" / "data.csv").exists()
-    assert (tmp_path / "Cardiomegaly" / "de_ts_ce" / "how_to_split.csv").exists()
+    cache = Path(d1.cache_dir)
+    assert cache.name == "de_ts_ce" and cache.parent.name == "Cardiomegaly"
+    assert (cache / "data.csv").exists()
+    assert (cache / "how_to_split.csv").exists()
 
 
 def test_mimic_multi_target_agg_label(tmp_path):
