@@ -92,6 +92,96 @@ class HAIM:
             self._fn_cache[key] = fit
         return self._fn_cache[key]
 
+    def _select_fit_fn(self, criterion, tx):
+        """Fused N-epoch train + per-epoch val scoring (AUROC+BAC) with the
+        best params carried on device — HAIM counterpart of MultiModN's
+        make_select_fit_fn, reproducing the reference HAIM loop
+        (``mimic_single_task_pipeline.py:210-228``) in one dispatch."""
+        from multimodn_tpu.core.metrics import masked_binary_auroc, safe_div
+
+        key = ("select", id(criterion), id(tx))
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        loss_fn = self._loss_fn(criterion)
+        decoder = self.decoder
+
+        @jax.jit
+        def fit(params, opt_state, x, t, m, vx, vt, vm, epoch_ids):
+            def score(params):
+                out = decoder.apply(params, vx)          # (nb, B, C)
+                out = out.reshape(-1, out.shape[-1])
+                norm = out / jnp.maximum(
+                    jnp.sum(out, axis=1, keepdims=True), 1e-12)
+                tt = vt.reshape(-1, vt.shape[-1])[:, 0]
+                mm = vm.reshape(-1)
+                auc = masked_binary_auroc(norm[:, 1], tt, mm)
+                pred = jnp.argmax(norm, axis=1)
+                tp = jnp.sum(mm * ((pred == 1) & (tt == 1)))
+                tn = jnp.sum(mm * ((pred == 0) & (tt == 0)))
+                fp = jnp.sum(mm * ((pred == 1) & (tt == 0)))
+                fn = jnp.sum(mm * ((pred == 0) & (tt == 1)))
+                bac = (safe_div(tp, tp + fn) + safe_div(tn, tn + fp)) / 2
+                return auc + bac
+
+            def epoch_body(carry, eid):
+                params, opt_state, best = carry
+
+                def body(carry, xs):
+                    params, opt_state = carry
+                    bx, bt, bm = xs
+                    _, grads = jax.value_and_grad(loss_fn)(params, bx, bt, bm)
+                    updates, opt_state = tx.update(grads, opt_state, params)
+                    params = jax.tree_util.tree_map(
+                        lambda p, u: p + u, params, updates)
+                    return (params, opt_state), None
+
+                (params, opt_state), _ = jax.lax.scan(
+                    body, (params, opt_state), (x, t, m))
+                s = score(params)
+                best_params, best_score, best_epoch = best
+                improved = s > best_score
+                best_params = jax.tree_util.tree_map(
+                    lambda b, p: jnp.where(improved, p, b), best_params,
+                    params)
+                best = (best_params, jnp.where(improved, s, best_score),
+                        jnp.where(improved, eid.astype(jnp.int32),
+                                  best_epoch))
+                return (params, opt_state, best), s
+
+            best0 = (params, jnp.zeros(()), jnp.asarray(-1, jnp.int32))
+            (params, opt_state, best), scores = jax.lax.scan(
+                epoch_body, (params, opt_state, best0), epoch_ids)
+            return params, opt_state, best[0], best[1], best[2], scores
+
+        self._fn_cache[key] = fit
+        return fit
+
+    def fit_best(self, train_loader, optimizer: Optimizer, criterion=None,
+                 epochs: int = 1, val_loader=None,
+                 restore_best: bool = True) -> dict:
+        """Fused multi-epoch training with on-device best-epoch selection on
+        validation AUROC + balanced accuracy."""
+        if val_loader is None:
+            raise ValueError("fit_best requires a val_loader")
+        criterion = resolve_criterion(criterion)
+        if self._opt is not optimizer or self.opt_state is None:
+            self._opt = optimizer
+            self.opt_state = optimizer.init(self.params)
+        x, t, m = self._single_modality(train_loader)
+        vx, vt, vm = self._single_modality(val_loader)
+        fit = self._select_fit_fn(criterion, optimizer.tx)
+        (self.params, self.opt_state, best_params, best_score, best_epoch,
+         scores) = fit(self.params, self.opt_state, x, t, m, vx, vt, vm,
+                       jnp.arange(epochs))
+        if restore_best:
+            self.params = best_params
+        return {
+            "best_epoch": int(best_epoch),
+            "best_score": float(best_score),
+            "best_params": jax.tree_util.tree_map(np.asarray, best_params),
+            "scores": np.asarray(scores),
+        }
+
     @staticmethod
     def _single_modality(loader):
         data, targets, mask = loader.stacks()

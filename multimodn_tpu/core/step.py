@@ -146,13 +146,18 @@ def make_train_epoch_fn(loss_fn, tx, *, donate: bool = True):
             params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
             offset = offset + jnp.sum(batch_mask)
             ys = {k: aux[k] for k in _GRID_KEYS}
+            # Per-batch scalars for log_interval parity (reference logs
+            # loss/err/state-change every k batches — multimodn.py:214-220).
+            ys["batch_log"] = jnp.stack(
+                [aux["loss"], aux["global_err"], aux["global_sc"]])
             return (params, opt_state, offset), ys
 
         xs = (data, targets, sample_mask, jnp.arange(n_batches))
         (params, opt_state, _), ys = jax.lax.scan(
             body, (params, opt_state, jnp.zeros(())), xs)
+        batch_log = ys.pop("batch_log")
         sums = {k: jnp.sum(v, axis=0) for k, v in ys.items()}
-        return params, opt_state, sums
+        return params, opt_state, sums, batch_log
 
     donate_argnums = (0, 1) if donate else ()
     return jax.jit(train_epoch, donate_argnums=donate_argnums)

@@ -196,7 +196,7 @@ class MultiModN:
 
         rng = jax.random.fold_in(jax.random.PRNGKey(0), self._epoch_counter)
         self._epoch_counter += 1
-        self.params, self.opt_state, sums = fn(
+        self.params, self.opt_state, sums, batch_log = fn(
             self.params, self.opt_state, data, targets, mask, rng)
 
         stats = jax.tree_util.tree_map(
@@ -205,11 +205,18 @@ class MultiModN:
                             self.ones_initialized_counts))
 
         if log_interval:
-            logger(
-                f"Epoch done ({train_loader.n_batches} batches)\n"
-                f"\tErr loss: {float(np.mean(stats['loss'])):.4f}\n"
-                f"\tState change: {float(np.mean(stats['state_change_loss'])):.4f}"
-            )
+            # Same content/cadence as the reference's in-loop logging
+            # (multimodn.py:214-220); emitted after the fused epoch since the
+            # epoch is one device program (values are exact per-batch).
+            log = np.asarray(batch_log)  # (n_batches, 3)
+            n_batches = train_loader.n_batches
+            for b in range(log_interval - 1, n_batches, log_interval):
+                logger(
+                    f"Batch {b + 1}/{n_batches}\n"
+                    f"\tLoss: {log[b][0]:.4f}\n"
+                    f"\tErr loss: {log[b][1]:.4f}\n"
+                    f"\tState change: {log[b][2]:.4f}"
+                )
 
         if history is not None:
             history.append_epoch("train", stats,

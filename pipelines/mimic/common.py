@@ -155,14 +155,7 @@ def run_fold_haim(cfg: MimicConfig, dataset_haim, train_ind, val_ind,
     model = HAIM(HAIMDecoder(
         n_features, (cfg.decoder_hidd_units, cfg.decoder_hidd_units)),
         seed=seed)
-    opt = Adam(cfg.learning_rate)
-    best_score, best_params = 0.0, None
-    for _ in range(cfg.epochs):
-        model.train_epoch(train_loader, opt, "cross_entropy")
-        val = model.test(val_loader, "cross_entropy")
-        score = val[1] + (val[3] + val[4]) / 2
-        if score > best_score:
-            best_score, best_params = score, model.state_dict()
-    if best_params is not None:
-        model.load_state_dict(best_params)
+    model.fit_best(train_loader, Adam(cfg.learning_rate), "cross_entropy",
+                   epochs=cfg.epochs, val_loader=val_loader,
+                   restore_best=True)
     return model, model.test(test_loader, "cross_entropy")
