@@ -125,6 +125,31 @@ _GRID_KEYS = ("err_loss", "state_change", "n_correct", "tp", "tn", "fp", "fn",
               "n_counted")
 
 
+def gated_update(tx, grads, opt_state, params, batch_mask):
+    """Apply the optimizer update only when the batch has real samples.
+
+    Fully-padded batches appear when datasets of different sizes are stacked
+    (e.g. vmapped k-fold training pads every fold to the max batch count);
+    skipping via lax.cond keeps optimizer state bit-identical to never having
+    seen the batch (Adam moments would otherwise decay on zero grads).
+    """
+    batch_real = jnp.any(batch_mask > 0)
+
+    def do_update(operand):
+        grads, opt_state, params = operand
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = jax.tree_util.tree_map(lambda p, u: p + u, params,
+                                            updates)
+        return new_params, new_opt_state
+
+    def skip(operand):
+        _, opt_state, params = operand
+        return params, opt_state
+
+    return jax.lax.cond(batch_real, do_update, skip,
+                        (grads, opt_state, params))
+
+
 def make_train_epoch_fn(loss_fn, tx, *, donate: bool = True):
     """Build the jitted whole-epoch training program.
 
@@ -142,8 +167,8 @@ def make_train_epoch_fn(loss_fn, tx, *, donate: bool = True):
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch_data, batch_targets, batch_mask, batch_rng,
                 offset, True)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            params, opt_state = gated_update(tx, grads, opt_state, params,
+                                             batch_mask)
             offset = offset + jnp.sum(batch_mask)
             ys = {k: aux[k] for k in _GRID_KEYS}
             # Per-batch scalars for log_interval parity (reference logs
@@ -221,8 +246,8 @@ def make_fit_fn(loss_fn, tx, with_val: bool):
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch_data, batch_targets, batch_mask, batch_rng,
                 offset, True)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            params, opt_state = gated_update(tx, grads, opt_state, params,
+                                             batch_mask)
             offset = offset + jnp.sum(batch_mask)
             ys = {k: aux[k] for k in _GRID_KEYS}
             return (params, opt_state, offset), ys
@@ -303,8 +328,8 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders):
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch_data, batch_targets, batch_mask, batch_rng,
                 offset, True)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            params, opt_state = gated_update(tx, grads, opt_state, params,
+                                             batch_mask)
             offset = offset + jnp.sum(batch_mask)
             return (params, opt_state, offset), {k: aux[k] for k in _GRID_KEYS}
 

@@ -1,0 +1,145 @@
+"""Experiment-scale fused programs: vmapped k-fold training.
+
+The MIMIC protocol (reference ``mimic_single_task_pipeline.py``) trains a
+fresh model per fold — 5 folds x 100 epochs x (train + val + checkpoint
+selection), all independent and identically shaped. On TPU that independence
+is free parallelism: ``kfold_fit_best`` stacks every fold's data (padded to a
+common batch count; fully-padded batches are skipped exactly via
+``gated_update``) and ``jax.vmap``s the fused select-fit program over the
+fold axis — the ENTIRE cross-validation experiment becomes one device
+dispatch with fold-batched matmuls (better MXU utilization than any single
+fold's batch of 16).
+
+Results are bit-identical to running ``MultiModN.fit_best`` per fold.
+"""
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodn_tpu.core.fusion import default_order
+from multimodn_tpu.core.losses import resolve_criterion
+from multimodn_tpu.core.step import epoch_reduction, make_select_fit_fn
+from multimodn_tpu.optim import Optimizer
+
+
+def _pad_batches(stacks, max_nb: int):
+    """Pad (data tuple, targets, mask) epoch stacks to ``max_nb`` batches."""
+    data, targets, mask = stacks
+
+    def pad(a):
+        nb = a.shape[0]
+        if nb == max_nb:
+            return np.asarray(a)
+        pad_width = [(0, max_nb - nb)] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(np.asarray(a), pad_width)
+
+    return tuple(pad(d) for d in data), pad(targets), pad(mask)
+
+
+def kfold_fit_best(
+    model_factory: Callable[[int], "MultiModN"],
+    folds: Sequence[Tuple],            # [(train_loader, val_loader), ...]
+    optimizer: Optimizer,
+    criterion=None,
+    epochs: int = 1,
+    seeds: Optional[Sequence[int]] = None,
+) -> List[dict]:
+    """Train one model per fold simultaneously.
+
+    Args:
+        model_factory: seed -> MultiModN; every fold's model must be
+            structurally identical (same encoders/decoders/config).
+        folds: per-fold (train_loader, val_loader) pairs; batch sizes must
+            match across folds.
+        seeds: per-fold init seeds (default 0..F-1, mirroring the reference's
+            per-fold seed increment).
+    Returns:
+        Per-fold dicts: {model (best params restored), best_epoch,
+        best_score, scores, train_sums, val_sums, n_train_batches,
+        n_val_batches}.
+    """
+    criterion = resolve_criterion(criterion)
+    n_folds = len(folds)
+    seeds = list(seeds) if seeds is not None else list(range(n_folds))
+    models = [model_factory(s) for s in seeds]
+    template = models[0]
+    if template.shuffle_mode:
+        raise NotImplementedError(
+            "kfold_fit_best currently assumes identity encoder order")
+
+    order = default_order(len(template.encoders))
+    loss_fn = template._loss_fn(criterion, order, template.nan_skip)
+    binary = [d.n_classes == 2 for d in template.decoders]
+    fit = make_select_fit_fn(loss_fn, optimizer.tx, binary)
+
+    train_stacks = [f[0].stacks() for f in folds]
+    val_stacks = [f[1].stacks() for f in folds]
+    max_tb = max(s[1].shape[0] for s in train_stacks)
+    max_vb = max(s[1].shape[0] for s in val_stacks)
+    train_p = [_pad_batches(s, max_tb) for s in train_stacks]
+    val_p = [_pad_batches(s, max_vb) for s in val_stacks]
+
+    stack = lambda items: jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([np.asarray(x) for x in xs]), *items)
+    data = stack([p[0] for p in train_p])
+    targets = jnp.stack([p[1] for p in train_p])
+    mask = jnp.stack([p[2] for p in train_p])
+    vdata = stack([p[0] for p in val_p])
+    vtargets = jnp.stack([p[1] for p in val_p])
+    vmask = jnp.stack([p[2] for p in val_p])
+
+    params = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[m.params for m in models])
+    opt_state = jax.vmap(optimizer.tx.init)(params)
+    rngs = jnp.stack([jax.random.fold_in(jax.random.PRNGKey(0), 0)
+                      for _ in range(n_folds)])
+
+    vfit = jax.vmap(fit, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, 0))
+    (params, opt_state, tsums, vsums, best_params, best_score, best_epoch,
+     scores) = vfit(params, opt_state, data, targets, mask,
+                    vdata, vtargets, vmask, jnp.arange(epochs), rngs)
+
+    results = []
+    best_params = jax.tree_util.tree_map(np.asarray, best_params)
+    tsums = jax.tree_util.tree_map(np.asarray, tsums)
+    vsums = jax.tree_util.tree_map(np.asarray, vsums)
+    for f, model in enumerate(models):
+        fold_best = jax.tree_util.tree_map(lambda x: x[f], best_params)
+        model.load_state_dict(fold_best)
+        results.append({
+            "model": model,
+            "best_epoch": int(np.asarray(best_epoch)[f]),
+            "best_score": float(np.asarray(best_score)[f]),
+            "scores": np.asarray(scores)[f],
+            "train_sums": jax.tree_util.tree_map(lambda x: x[f], tsums),
+            "val_sums": jax.tree_util.tree_map(lambda x: x[f], vsums),
+            "n_train_batches": train_stacks[f][1].shape[0],
+            "n_val_batches": val_stacks[f][1].shape[0],
+        })
+    return results
+
+
+def fold_history(result: dict, targets: List[str],
+                 ones_initialized_counts: bool = True):
+    """Rebuild a MultiModNHistory from a kfold_fit_best result."""
+    from multimodn_tpu.core.history import MultiModNHistory
+
+    history = MultiModNHistory(targets)
+    epochs = result["scores"].shape[0]
+    for e in range(epochs):
+        t_e = {k: v[e] for k, v in result["train_sums"].items()}
+        stats = jax.tree_util.tree_map(
+            np.asarray, epoch_reduction(t_e, result["n_train_batches"],
+                                        ones_initialized_counts))
+        history.append_epoch("train", stats,
+                             state_change=stats["state_change_loss"])
+        v_e = {k: v[e] for k, v in result["val_sums"].items()}
+        vstats = jax.tree_util.tree_map(
+            np.asarray, epoch_reduction(v_e, result["n_val_batches"],
+                                        ones_initialized_counts))
+        history.append_epoch("val", vstats)
+    return history

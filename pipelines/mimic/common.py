@@ -54,6 +54,9 @@ class MimicConfig:
     miss_perc: float = 0.0
     # Synthetic data size when no real embeddings CSV is configured.
     synthetic_patients: int = 120
+    # Train all folds of a target simultaneously via jax.vmap (one device
+    # dispatch for the whole cross-validation; bit-identical results).
+    vmap_folds: bool = True
 
 
 def _metric_scalars(metrics_tuple):
@@ -136,6 +139,30 @@ def run_fold_modn(cfg: MimicConfig, dataset_modn, partitions, targets,
             pickle.dump(history, f)
     test_metrics = model.test(test_loader, "cross_entropy")
     return model, history, info, test_metrics
+
+
+def run_all_folds_modn(cfg: MimicConfig, dataset_modn, partitions, targets,
+                       fold_indices, base_seed: int):
+    """All folds of one target trained simultaneously (vmapped select-fit;
+    see multimodn_tpu.experiments.kfold_fit_best). Returns per-fold
+    (model, info, test_metrics) with the same per-fold seeds the sequential
+    path uses."""
+    from multimodn_tpu.experiments import kfold_fit_best
+
+    folds = [(ArrayLoader(Subset(dataset_modn, tr), cfg.batch_size),
+              ArrayLoader(Subset(dataset_modn, va), cfg.batch_size))
+             for tr, va, _te in fold_indices]
+    seeds = [base_seed + i for i in range(len(fold_indices))]
+    results = kfold_fit_best(
+        lambda s: build_modn(cfg, partitions, targets, s),
+        folds, Adam(cfg.learning_rate), "cross_entropy",
+        epochs=cfg.epochs, seeds=seeds)
+    out = []
+    for res, (_tr, _va, te) in zip(results, fold_indices):
+        test_loader = ArrayLoader(Subset(dataset_modn, te), cfg.batch_size)
+        test_metrics = res["model"].test(test_loader, "cross_entropy")
+        out.append((res["model"], res, test_metrics))
+    return out
 
 
 def run_fold_haim(cfg: MimicConfig, dataset_haim, train_ind, val_ind,

@@ -16,6 +16,7 @@ from pipelines.mimic.common import (
     _metric_scalars,
     append_result_row,
     patient_kfold_splits,
+    run_all_folds_modn,
     run_fold_haim,
     run_fold_modn,
 )
@@ -46,20 +47,33 @@ def main(argv=None, cfg: MimicConfig = None):
         part_modn = dataset_modn.partition_dataset(partitions)
         part_haim = dataset_haim.partition_dataset()
 
+        fold_indices = list(
+            patient_kfold_splits(dataset_modn, cfg.nfold, args.seed))
+
+        if cfg.vmap_folds:
+            # All folds in one vmapped dispatch (bit-identical to the
+            # sequential path; see tests/test_experiments.py).
+            fold_runs = run_all_folds_modn(cfg, part_modn, partitions,
+                                           [target], fold_indices, args.seed)
+        else:
+            fold_runs = None
+
         seed = args.seed
-        for fold, (tr, va, te) in enumerate(
-                patient_kfold_splits(dataset_modn, cfg.nfold, args.seed)):
+        for fold, (tr, va, te) in enumerate(fold_indices):
             hp = [target, fold, cfg.miss_perc, seed, cfg.state_size,
                   cfg.batch_size, cfg.encoder_hidd_units,
                   cfg.decoder_hidd_units, cfg.dropout, cfg.epochs]
 
-            artifacts = None
-            if args.save_model:
-                artifacts = os.path.join(STORAGE, "models", target,
-                                         "_".join(cfg.sources))
-            _, _, info, test_modn = run_fold_modn(
-                cfg, part_modn, partitions, [target], tr, va, te, seed,
-                artifacts_dir=artifacts, fold_tag=f"fold{fold}_seed{seed}")
+            if fold_runs is not None:
+                _, info, test_modn = fold_runs[fold]
+            else:
+                artifacts = None
+                if args.save_model:
+                    artifacts = os.path.join(STORAGE, "models", target,
+                                             "_".join(cfg.sources))
+                _, _, info, test_modn = run_fold_modn(
+                    cfg, part_modn, partitions, [target], tr, va, te, seed,
+                    artifacts_dir=artifacts, fold_tag=f"fold{fold}_seed{seed}")
             print(f"[{target}] fold {fold}: best epoch "
                   f"{info['best_epoch']} score {info['best_score']:.4f} "
                   f"test auc {float(test_modn[0][1]):.4f}")

@@ -1,0 +1,79 @@
+"""vmapped k-fold training: must match per-fold fit_best exactly, including
+with unequal fold sizes (padded batches skipped via gated updates)."""
+import numpy as np
+
+from multimodn_tpu import Adam, MultiModN
+from multimodn_tpu.data import ArrayLoader, PartitionDataset
+from multimodn_tpu.data.dataset import Subset
+from multimodn_tpu.decoders import LogisticDecoder
+from multimodn_tpu.encoders import MLPEncoder
+from multimodn_tpu.experiments import fold_history, kfold_fit_best
+
+
+def _factory(seed):
+    return MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                     [LogisticDecoder(3)], 1.0, 0.0, seed=seed)
+
+
+def _folds(seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(90, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = PartitionDataset(X, y, [3, 3])
+    # Unequal fold sizes on purpose: 40/12 vs 30/8 train/val rows ->
+    # different batch counts, exercising the padded-batch gating.
+    folds = [
+        (ArrayLoader(Subset(ds, list(range(0, 40))), 16),
+         ArrayLoader(Subset(ds, list(range(40, 52))), 16)),
+        (ArrayLoader(Subset(ds, list(range(52, 82))), 16),
+         ArrayLoader(Subset(ds, list(range(82, 90))), 16)),
+    ]
+    return folds
+
+
+def test_kfold_vmap_matches_sequential():
+    epochs = 5
+    folds = _folds()
+    results = kfold_fit_best(_factory, folds, Adam(0.01), "cross_entropy",
+                             epochs=epochs)
+
+    for f, (tr, va) in enumerate(_folds()):
+        m = _factory(f)
+        info = m.fit_best(tr, Adam(0.01), "cross_entropy", epochs=epochs,
+                          val_loader=va)
+        assert info["best_epoch"] == results[f]["best_epoch"]
+        np.testing.assert_allclose(info["best_score"],
+                                   results[f]["best_score"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(info["scores"], results[f]["scores"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(m.params["encoders"][0]["layers"][0]["w"]),
+            np.asarray(results[f]["model"]
+                       .params["encoders"][0]["layers"][0]["w"]),
+            rtol=1e-5, atol=1e-6)
+
+
+def test_fold_history_reconstruction():
+    folds = _folds(1)
+    results = kfold_fit_best(_factory, folds, Adam(0.01), "cross_entropy",
+                             epochs=3)
+    h = fold_history(results[0], ["t"])
+    assert len(h.loss["train"]) == 3 and len(h.loss["val"]) == 3
+    assert np.isfinite(h.loss["train"][-1]).all()
+    # Padded batches must not dilute the epoch means: compare with the
+    # sequential history for fold 1 (the shorter one).
+    from multimodn_tpu import MultiModNHistory
+    m = _factory(1)
+    h_seq = MultiModNHistory(["t"])
+    tr, va = _folds(1)[1]
+    m.fit_best(tr, Adam(0.01), "cross_entropy", epochs=3, val_loader=va,
+               history=h_seq)
+    h1 = fold_history(results[1], ["t"])
+    for e in range(3):
+        np.testing.assert_allclose(h_seq.loss["train"][e],
+                                   h1.loss["train"][e],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(h_seq.accuracy["val"][e],
+                                   h1.accuracy["val"][e],
+                                   rtol=1e-5, atol=1e-6)
