@@ -74,7 +74,10 @@ def kfold_fit_best(
     order = default_order(len(template.encoders))
     loss_fn = template._loss_fn(criterion, order, template.nan_skip)
     binary = [d.n_classes == 2 for d in template.decoders]
-    fit = make_select_fit_fn(loss_fn, optimizer.tx, binary)
+    # Folds get padded to a common batch count -> empty batches exist, so the
+    # exact-skip gating must be on here.
+    fit = make_select_fit_fn(loss_fn, optimizer.tx, binary,
+                             gate_empty_batches=True)
 
     train_stacks = [f[0].stacks() for f in folds]
     val_stacks = [f[1].stacks() for f in folds]
