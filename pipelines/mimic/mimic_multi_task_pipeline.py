@@ -15,6 +15,7 @@ from pipelines.mimic.common import (
     _metric_scalars,
     append_result_row,
     patient_kfold_splits,
+    run_all_folds_modn,
     run_fold_haim,
     run_fold_modn,
 )
@@ -39,17 +40,26 @@ def main(argv=None, cfg: MimicConfig = None):
     partitions = dataset_modn.partitions
     part_modn = dataset_modn.partition_dataset(partitions)
 
+    fold_indices = list(
+        patient_kfold_splits(dataset_modn, cfg.nfold, args.seed))
+    fold_runs = None
+    if cfg.vmap_folds:
+        fold_runs = run_all_folds_modn(cfg, part_modn, partitions,
+                                       cfg.targets, fold_indices, args.seed)
+
     all_results = []
     seed = args.seed
-    for fold, (tr, va, te) in enumerate(
-            patient_kfold_splits(dataset_modn, cfg.nfold, args.seed)):
-        artifacts = None
-        if args.save_model:
-            artifacts = os.path.join(STORAGE, "models", "multi_task",
-                                     "_".join(cfg.sources))
-        _, _, info, test_modn = run_fold_modn(
-            cfg, part_modn, partitions, cfg.targets, tr, va, te, seed,
-            artifacts_dir=artifacts, fold_tag=f"fold{fold}_seed{seed}")
+    for fold, (tr, va, te) in enumerate(fold_indices):
+        if fold_runs is not None:
+            _, info, test_modn = fold_runs[fold]
+        else:
+            artifacts = None
+            if args.save_model:
+                artifacts = os.path.join(STORAGE, "models", "multi_task",
+                                         "_".join(cfg.sources))
+            _, _, info, test_modn = run_fold_modn(
+                cfg, part_modn, partitions, cfg.targets, tr, va, te, seed,
+                artifacts_dir=artifacts, fold_tag=f"fold{fold}_seed{seed}")
         for t_idx, target in enumerate(cfg.targets):
             hp = [target, fold, cfg.miss_perc, seed, cfg.state_size,
                   cfg.batch_size, cfg.encoder_hidd_units,
