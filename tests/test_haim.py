@@ -1,0 +1,73 @@
+"""HAIM parallel-fusion baseline: training, the 15-tuple suite, and the
+fused fit_best matching the host-loop selection rule exactly."""
+import numpy as np
+
+from multimodn_tpu import Adam
+from multimodn_tpu.baselines.haim import HAIM, HAIMDecoder
+from multimodn_tpu.data import ArrayLoader, PartitionDataset
+
+
+def _loaders(seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(80, 10)).astype(np.float32)
+    y = (X @ rng.normal(size=10) > 0).astype(np.int64)[:, None]
+    tr = ArrayLoader(PartitionDataset(X[:60], y[:60]), 16)
+    va = ArrayLoader(PartitionDataset(X[60:], y[60:]), 16)
+    return tr, va
+
+
+def test_haim_trains_and_tests():
+    tr, va = _loaders()
+    m = HAIM(HAIMDecoder(10, (8,)), seed=0)
+    opt = Adam(0.01)
+    for _ in range(5):
+        m.train_epoch(tr, opt, "cross_entropy")
+    res = m.test(va, "cross_entropy")
+    assert len(res) == 15
+    assert 0.5 <= res[1] <= 1.0  # learnable signal -> AUROC above chance
+    out, t = m.predict(va)
+    assert out.shape[0] == t.shape[0] == 20
+
+
+def test_haim_last_epoch_returns_test():
+    tr, _ = _loaders(1)
+    m = HAIM(HAIMDecoder(10, (8,)), seed=0)
+    res = m.train_epoch(tr, Adam(0.01), "cross_entropy", last_epoch=True)
+    assert res is not None and len(res) == 15
+
+
+def test_haim_fit_best_matches_host_loop():
+    tr, va = _loaders(2)
+    epochs = 8
+
+    m1 = HAIM(HAIMDecoder(10, (8,)), seed=0)
+    opt1 = Adam(0.01)
+    best_score, best_params, best_epoch = 0.0, None, -1
+    for e in range(epochs):
+        m1.train_epoch(tr, opt1, "cross_entropy")
+        val = m1.test(va, "cross_entropy")
+        s = val[1] + (val[3] + val[4]) / 2
+        if s > best_score:
+            best_score, best_params, best_epoch = s, m1.state_dict(), e
+
+    m2 = HAIM(HAIMDecoder(10, (8,)), seed=0)
+    info = m2.fit_best(tr, Adam(0.01), "cross_entropy", epochs=epochs,
+                       val_loader=va)
+    assert info["best_epoch"] == best_epoch
+    np.testing.assert_allclose(info["best_score"], best_score,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(best_params["layers"][0]["w"],
+                               info["best_params"]["layers"][0]["w"],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_haim_multi_modality_concat():
+    """HAIM over a multi-partition loader concatenates modalities."""
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(32, 10)).astype(np.float32)
+    y = rng.integers(0, 2, size=(32, 1))
+    loader = ArrayLoader(PartitionDataset(X, y, [4, 6]), 8)
+    m = HAIM(HAIMDecoder(10, (8,)), seed=0)
+    m.train_epoch(loader, Adam(0.01), "cross_entropy")
+    res = m.test(loader, "cross_entropy")
+    assert np.isfinite(res[1])
