@@ -125,6 +125,16 @@ _GRID_KEYS = ("err_loss", "state_change", "n_correct", "tp", "tn", "fp", "fn",
               "n_counted")
 
 
+def resolve_unroll(scan_unroll, n_batches: int) -> int:
+    """Batch-scan unroll factor. On TPU, unrolling the tiny per-batch step
+    bodies roughly halves epoch time (measured: 3.3 -> 1.6 ms/epoch on the
+    MIMIC bench at unroll=8); on CPU it only inflates compile time, so the
+    default (None) resolves to 8 on accelerators and 1 on CPU."""
+    if scan_unroll is None:
+        scan_unroll = 1 if jax.default_backend() == "cpu" else 8
+    return max(1, min(scan_unroll, n_batches))
+
+
 def gated_update(tx, grads, opt_state, params, batch_mask,
                  enabled: bool = False):
     """Apply the optimizer update, optionally skipping fully-padded batches.
@@ -158,7 +168,8 @@ def gated_update(tx, grads, opt_state, params, batch_mask,
 
 
 def make_train_epoch_fn(loss_fn, tx, *, donate: bool = True,
-                        gate_empty_batches: bool = False):
+                        gate_empty_batches: bool = False,
+                        scan_unroll=None):
     """Build the jitted whole-epoch training program.
 
     Signature: (params, opt_state, data, targets, sample_mask, rng)
@@ -188,7 +199,8 @@ def make_train_epoch_fn(loss_fn, tx, *, donate: bool = True,
 
         xs = (data, targets, sample_mask, jnp.arange(n_batches))
         (params, opt_state, _), ys = jax.lax.scan(
-            body, (params, opt_state, jnp.zeros(())), xs)
+            body, (params, opt_state, jnp.zeros(())), xs,
+            unroll=resolve_unroll(scan_unroll, n_batches))
         batch_log = ys.pop("batch_log")
         sums = {k: jnp.sum(v, axis=0) for k, v in ys.items()}
         return params, opt_state, sums, batch_log
@@ -197,7 +209,7 @@ def make_train_epoch_fn(loss_fn, tx, *, donate: bool = True,
     return jax.jit(train_epoch, donate_argnums=donate_argnums)
 
 
-def make_eval_epoch_fn(loss_fn):
+def make_eval_epoch_fn(loss_fn, scan_unroll=None):
     """Build the jitted whole-epoch evaluation program.
 
     Returns per-epoch grid sums plus the concatenated final-row decoder
@@ -220,7 +232,8 @@ def make_eval_epoch_fn(loss_fn):
             return offset, ys
 
         xs = (data, targets, sample_mask, jnp.arange(n_batches))
-        _, ys = jax.lax.scan(body, jnp.zeros(()), xs)
+        _, ys = jax.lax.scan(body, jnp.zeros(()), xs,
+                             unroll=resolve_unroll(scan_unroll, n_batches))
         sums = {k: jnp.sum(ys[k], axis=0) for k in _GRID_KEYS}
         # (n_batches, B, C_d) -> (N, C_d)
         final_outputs = [o.reshape(-1, o.shape[-1]) for o in ys["final_outputs"]]
@@ -230,7 +243,8 @@ def make_eval_epoch_fn(loss_fn):
 
 
 def make_fit_fn(loss_fn, tx, with_val: bool,
-                gate_empty_batches: bool = False):
+                gate_empty_batches: bool = False,
+                scan_unroll=None):
     """Build the jitted MULTI-epoch training program: N epochs (optionally
     each followed by a validation sweep) in ONE device dispatch.
 
@@ -265,7 +279,8 @@ def make_fit_fn(loss_fn, tx, with_val: bool,
 
         xs = (data, targets, sample_mask, jnp.arange(n_batches))
         (params, opt_state, _), ys = jax.lax.scan(
-            body, (params, opt_state, jnp.zeros(())), xs)
+            body, (params, opt_state, jnp.zeros(())), xs,
+            unroll=resolve_unroll(scan_unroll, n_batches))
         return params, opt_state, {k: jnp.sum(v, axis=0) for k, v in ys.items()}
 
     def run_eval_epoch(params, data, targets, sample_mask, rng):
@@ -279,7 +294,8 @@ def make_fit_fn(loss_fn, tx, with_val: bool,
             return offset + jnp.sum(batch_mask), {k: aux[k] for k in _GRID_KEYS}
 
         xs = (data, targets, sample_mask, jnp.arange(n_batches))
-        _, ys = jax.lax.scan(body, jnp.zeros(()), xs)
+        _, ys = jax.lax.scan(body, jnp.zeros(()), xs,
+                             unroll=resolve_unroll(scan_unroll, n_batches))
         return {k: jnp.sum(v, axis=0) for k, v in ys.items()}
 
     if with_val:
@@ -314,7 +330,8 @@ def make_fit_fn(loss_fn, tx, with_val: bool,
 
 
 def make_select_fit_fn(loss_fn, tx, binary_decoders,
-                       gate_empty_batches: bool = False):
+                       gate_empty_batches: bool = False,
+                       scan_unroll=None):
     """Fused multi-epoch training WITH on-device best-checkpoint selection.
 
     Reproduces the reference MIMIC experiment loop's per-epoch rule
@@ -348,7 +365,8 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
 
         xs = (data, targets, sample_mask, jnp.arange(targets.shape[0]))
         (params, opt_state, _), ys = jax.lax.scan(
-            body, (params, opt_state, jnp.zeros(())), xs)
+            body, (params, opt_state, jnp.zeros(())), xs,
+            unroll=resolve_unroll(scan_unroll, targets.shape[0]))
         return params, opt_state, {k: jnp.sum(v, axis=0) for k, v in ys.items()}
 
     def run_eval_epoch(params, data, targets, sample_mask, rng):
@@ -362,7 +380,8 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
             return offset + jnp.sum(batch_mask), ys
 
         xs = (data, targets, sample_mask, jnp.arange(targets.shape[0]))
-        _, ys = jax.lax.scan(body, jnp.zeros(()), xs)
+        _, ys = jax.lax.scan(body, jnp.zeros(()), xs,
+                             unroll=resolve_unroll(scan_unroll, targets.shape[0]))
         sums = {k: jnp.sum(ys[k], axis=0) for k in _GRID_KEYS}
         outputs = [o.reshape(-1, o.shape[-1]) for o in ys["final_outputs"]]
         return sums, outputs
