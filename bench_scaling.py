@@ -1,0 +1,100 @@
+"""Scaling benchmark: beyond-reference model sizes on one TPU chip.
+
+The reference's model sizes (state<=50, hidden 32) leave the MXU idle — the
+north-star bench is overhead-bound. This script measures a scaled-up
+configuration (wide encoders, large state, big batch) in fp32 vs bf16 mixed
+precision to demonstrate the regime the framework is designed to grow into.
+Secondary benchmark: the driver's tracked metric stays bench.py.
+
+Usage: python bench_scaling.py  (prints one JSON line per config)
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+WIDTHS = [1024, 1024, 1024, 1024]
+STATE = 256
+HIDDEN = 1024
+BATCH = 512
+N = 4096
+EPOCHS = 5
+
+
+def model_flops_per_sample() -> float:
+    """Forward MACs per sample (backward ~2x)."""
+    macs = 0
+    for w in WIDTHS:
+        macs += (w + STATE) * HIDDEN + HIDDEN * HIDDEN + HIDDEN * STATE
+    # decoder on E+1 rows
+    macs += (len(WIDTHS) + 1) * (STATE * HIDDEN + HIDDEN * HIDDEN + HIDDEN * 2)
+    return 2 * macs * 3  # fwd+bwd ~3x fwd FLOPs
+
+
+def run(compute_dtype):
+    import jax
+
+    from multimodn_tpu import Adam, MultiModN
+    from multimodn_tpu.data import ArrayLoader, PartitionDataset
+    from multimodn_tpu.decoders import MLPDecoder
+    from multimodn_tpu.encoders import MIMICMLPEncoder
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(N, sum(WIDTHS))).astype(np.float32)
+    y = rng.integers(0, 2, size=(N, 1))
+    loader = ArrayLoader(PartitionDataset(X, y, WIDTHS), BATCH)
+    model = MultiModN(
+        STATE,
+        [MIMICMLPEncoder(STATE, w, (HIDDEN, HIDDEN), dropout=0.0)
+         for w in WIDTHS],
+        [MLPDecoder(STATE, (HIDDEN, HIDDEN), 2)],
+        1.0, 0.0, compute_dtype=compute_dtype)
+    opt = Adam(1e-3)
+
+    def sync():
+        return float(np.asarray(
+            model.params["init_state"]["value"])[0, 0])
+
+    t0 = time.perf_counter()
+    model.fit(loader, opt, "cross_entropy", epochs=EPOCHS)
+    sync()
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        model.fit(loader, opt, "cross_entropy", epochs=EPOCHS)
+        sync()
+        times.append(time.perf_counter() - t0)
+    per_epoch = float(np.median(times)) / EPOCHS
+    sps = N / per_epoch
+    tflops = sps * model_flops_per_sample() / 1e12
+    return {
+        "metric": f"scaling_train_samples_per_sec_"
+                  f"{compute_dtype or 'float32'}",
+        "value": round(sps, 1),
+        "unit": "samples/s",
+        "epoch_ms": round(per_epoch * 1e3, 2),
+        "model_tflops_per_sec": round(tflops, 2),
+        "compile_s": round(compile_s, 1),
+        "config": {"widths": WIDTHS, "state": STATE, "hidden": HIDDEN,
+                   "batch": BATCH, "n": N},
+    }
+
+
+def main():
+    results = [run(None), run("bfloat16")]
+    for r in results:
+        print(json.dumps(r))
+    with open(os.path.join(REPO, "bench_scaling.json"), "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -39,8 +39,10 @@ def default_order(n_encoders: int) -> Tuple[Tuple[int, int], ...]:
 
 def masked_mean_sq_diff(new_state, old_state, sample_mask):
     """State-change penalty term: mean over (valid samples x features) of the
-    squared state delta (reference ``multimodn.py:174``)."""
-    per_sample = jnp.mean((new_state - old_state) ** 2, axis=-1)
+    squared state delta (reference ``multimodn.py:174``). Accumulated in
+    float32 regardless of the compute dtype."""
+    diff = (new_state.astype(jnp.float32) - old_state.astype(jnp.float32))
+    per_sample = jnp.mean(diff ** 2, axis=-1)
     m = sample_mask.astype(per_sample.dtype)
     return jnp.sum(per_sample * m) / jnp.maximum(jnp.sum(m), 1.0)
 
@@ -168,6 +170,8 @@ def decode_grid(
     outputs = []
     for d, dec in enumerate(decoders):
         out = dec.apply(params["decoders"][d], states_by_row)   # (E+1, B, C)
+        # Losses and metrics always reduce in float32 (mixed-precision safe).
+        out = out.astype(jnp.float32)
         outputs.append(out)
         tgt = jnp.broadcast_to(targets[:, d][None, :], (n_rows, targets.shape[0]))
         ce = criterion(out, tgt, row_mask if criterion_accepts_mask(criterion) else None)

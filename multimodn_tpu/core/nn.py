@@ -36,8 +36,13 @@ def dense_init(key, in_dim: int, out_dim: int, dtype=jnp.float32) -> dict:
 
 def dense_apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     """y = x @ w + b. Supports arbitrary leading batch dims, so a decoder can
-    evaluate the whole (E+1, B, S) state stack in one contraction."""
-    return jnp.matmul(x, params["w"], preferred_element_type=x.dtype) + params["b"]
+    evaluate the whole (E+1, B, S) state stack in one contraction.
+
+    The contraction always accumulates in float32 (the MXU's native mode for
+    bf16 inputs) and the result is cast back to the activation dtype, so
+    bf16 compute chains stay bf16 end-to-end with fp32 accumulation."""
+    y = jnp.matmul(x, params["w"], preferred_element_type=jnp.float32)
+    return y.astype(x.dtype) + params["b"].astype(x.dtype)
 
 
 # Activation registry: string names keep pipeline configs serializable while

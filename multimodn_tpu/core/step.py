@@ -28,7 +28,8 @@ from multimodn_tpu.core.metrics import safe_div
 def make_batch_loss_fn(encoders, decoders, init_state, criterion,
                        err_penalty: float, state_change_penalty: float,
                        order: Sequence[Tuple[int, int]], nan_skip: str,
-                       chain: str = "unrolled", shuffle: bool = False):
+                       chain: str = "unrolled", shuffle: bool = False,
+                       compute_dtype=None):
     """Pure (params, batch...) -> (loss, aux) for one padded batch.
 
     ``state_change_penalty`` arrives already scaled by the constructor's 0.01
@@ -48,6 +49,17 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
         base_enc = jnp.asarray([e for _d, e in order], jnp.int32)
 
     def loss_fn(params, data, targets, sample_mask, rng, init_offset, train: bool):
+        if compute_dtype is not None:
+            # Mixed precision: forward/backward in compute_dtype (bf16 on
+            # TPU = MXU-native inputs with fp32 accumulation, see
+            # core/nn.dense_apply); losses/metrics/penalties reduce in fp32
+            # (decode_grid, masked_mean_sq_diff); master params and the
+            # optax update stay fp32 — gradients arrive fp32 through the
+            # differentiable casts.
+            cast = lambda leaf: leaf.astype(compute_dtype) \
+                if jnp.issubdtype(leaf.dtype, jnp.floating) else leaf
+            params = jax.tree_util.tree_map(cast, params)
+            data = tuple(cast(x) for x in data)
         if chain == "scan":
             if shuffle and train:
                 # Shuffle the (data_idx, enc_idx) PAIRS, like the reference's

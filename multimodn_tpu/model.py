@@ -59,12 +59,20 @@ class MultiModN:
         seed: int = 0,
         mesh=None,
         chain_mode: str = "auto",
+        compute_dtype=None,
     ):
         """``chain_mode``: 'unrolled' traces each encoder step inline (any
         encoder mix); 'scan' compiles the chain as one lax.scan step over
         stacked parameters (homogeneous encoders only; O(1) compile in E and
         in-program per-batch shuffle); 'auto' picks 'scan' when encoders are
-        homogeneous and shuffle_mode is on or E >= 16."""
+        homogeneous and shuffle_mode is on or E >= 16.
+
+        ``compute_dtype``: None (default, fp32 everywhere — reference parity)
+        or 'bfloat16' for mixed precision: forward/backward run in bf16 with
+        fp32 matmul accumulation, losses/metrics reduce in fp32, and master
+        parameters + optimizer state stay fp32. Worth it for large encoder
+        widths where the MXU is the bottleneck; at the reference's tiny model
+        sizes fp32 is already overhead-bound."""
         self.state_size = state_size
         self.encoders = list(encoders)
         self.decoders = list(decoders)
@@ -79,6 +87,7 @@ class MultiModN:
         self.ones_initialized_counts = ones_initialized_counts
         self.mesh = mesh
         self.chain_mode = chain_mode
+        self.compute_dtype = compute_dtype
         self._shuffle_rng = _pyrandom.Random(seed)
 
         key = jax.random.PRNGKey(seed)
@@ -118,12 +127,14 @@ class MultiModN:
 
     def _loss_fn(self, criterion, order, nan_skip):
         chain, shuffle = self._chain_plan()
-        key = ("loss", id(criterion), order, nan_skip, chain, shuffle)
+        key = ("loss", id(criterion), order, nan_skip, chain, shuffle,
+               str(self.compute_dtype))
         if key not in self._fn_cache:
             self._fn_cache[key] = make_batch_loss_fn(
                 self.encoders, self.decoders, self.init_state, criterion,
                 self.err_penalty, self.state_change_penalty, order, nan_skip,
-                chain=chain, shuffle=shuffle)
+                chain=chain, shuffle=shuffle,
+                compute_dtype=self.compute_dtype)
         return self._fn_cache[key]
 
     def _train_fn(self, criterion, order, optimizer):
