@@ -60,6 +60,7 @@ class MultiModN:
         mesh=None,
         chain_mode: str = "auto",
         compute_dtype=None,
+        scan_unroll=None,
     ):
         """``chain_mode``: 'unrolled' traces each encoder step inline (any
         encoder mix); 'scan' compiles the chain as one lax.scan step over
@@ -72,7 +73,11 @@ class MultiModN:
         fp32 matmul accumulation, losses/metrics reduce in fp32, and master
         parameters + optimizer state stay fp32. Worth it for large encoder
         widths where the MXU is the bottleneck; at the reference's tiny model
-        sizes fp32 is already overhead-bound."""
+        sizes fp32 is already overhead-bound.
+
+        ``scan_unroll``: unroll factor for the per-batch training/eval scans
+        (None = 8 on accelerators, 1 on CPU; measured ~2x epoch speedup on
+        TPU at 8, up to ~2.3x at 32 with longer compiles)."""
         self.state_size = state_size
         self.encoders = list(encoders)
         self.decoders = list(decoders)
@@ -88,6 +93,7 @@ class MultiModN:
         self.mesh = mesh
         self.chain_mode = chain_mode
         self.compute_dtype = compute_dtype
+        self.scan_unroll = scan_unroll
         self._shuffle_rng = _pyrandom.Random(seed)
 
         key = jax.random.PRNGKey(seed)
@@ -141,14 +147,16 @@ class MultiModN:
         key = ("train", id(criterion), order, self.nan_skip, id(optimizer.tx))
         if key not in self._fn_cache:
             loss_fn = self._loss_fn(criterion, order, self.nan_skip)
-            self._fn_cache[key] = make_train_epoch_fn(loss_fn, optimizer.tx)
+            self._fn_cache[key] = make_train_epoch_fn(
+                loss_fn, optimizer.tx, scan_unroll=self.scan_unroll)
         return self._fn_cache[key]
 
     def _eval_fn(self, criterion, order):
         key = ("eval", id(criterion), order, self.nan_skip)
         if key not in self._fn_cache:
             loss_fn = self._loss_fn(criterion, order, self.nan_skip)
-            self._fn_cache[key] = make_eval_epoch_fn(loss_fn)
+            self._fn_cache[key] = make_eval_epoch_fn(
+                loss_fn, scan_unroll=self.scan_unroll)
         return self._fn_cache[key]
 
     def _forward_fn(self, order, nan_skip):
@@ -270,7 +278,9 @@ class MultiModN:
                id(optimizer.tx), with_val)
         if key not in self._fn_cache:
             loss_fn = self._loss_fn(criterion, order, self.nan_skip)
-            self._fn_cache[key] = make_fit_fn(loss_fn, optimizer.tx, with_val)
+            self._fn_cache[key] = make_fit_fn(loss_fn, optimizer.tx,
+                                              with_val,
+                                              scan_unroll=self.scan_unroll)
         fn = self._fn_cache[key]
 
         rng = jax.random.fold_in(jax.random.PRNGKey(0), self._epoch_counter)
@@ -344,8 +354,8 @@ class MultiModN:
         if key not in self._fn_cache:
             loss_fn = self._loss_fn(criterion, order, self.nan_skip)
             binary = [d.n_classes == 2 for d in self.decoders]
-            self._fn_cache[key] = make_select_fit_fn(loss_fn, optimizer.tx,
-                                                     binary)
+            self._fn_cache[key] = make_select_fit_fn(
+                loss_fn, optimizer.tx, binary, scan_unroll=self.scan_unroll)
         fn = self._fn_cache[key]
 
         rng = jax.random.fold_in(jax.random.PRNGKey(0), self._epoch_counter)

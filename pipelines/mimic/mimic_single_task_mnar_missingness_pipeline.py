@@ -81,9 +81,12 @@ def main(argv=None, cfg: MimicConfig = None):
         base = MIMICDataset(cfg.sources, targets=[target],
                             synthetic_kwargs=synth)
         partitions = base.partitions
-        seed = args.seed
-        for fold, (tr, va, te) in enumerate(
-                patient_kfold_splits(base, cfg.nfold, args.seed)):
+        fold_indices = list(patient_kfold_splits(base, cfg.nfold, args.seed))
+
+        # Per-fold MNAR-degraded datasets (the injected rows depend on each
+        # fold's train/val split).
+        fold_datasets = []
+        for tr, va, te in fold_indices:
             if put_none:
                 idx = (_mnar_indices(base, tr, target, class_label,
                                      cfg.miss_perc)
@@ -91,7 +94,6 @@ def main(argv=None, cfg: MimicConfig = None):
                                        cfg.miss_perc))
             else:
                 idx = []
-
             dataset_modn = MIMICDataset(
                 cfg.sources, targets=[target], put_none=put_none,
                 indices_to_nan=idx, features_to_nan=vd_features,
@@ -100,9 +102,41 @@ def main(argv=None, cfg: MimicConfig = None):
                 cfg.sources, targets=[target], put_none=put_none,
                 nanfill=True, indices_to_nan=idx, features_to_nan=vd_features,
                 synthetic_kwargs=synth).partition_dataset()
+            fold_datasets.append((dataset_modn, dataset_haim))
 
-            model, _, info, _ = run_fold_modn(
-                cfg, dataset_modn, partitions, [target], tr, va, te, seed)
+        fold_runs = None
+        if cfg.vmap_folds:
+            # All folds' (differently degraded) data trained in one vmapped
+            # dispatch — fold data content differs, shapes agree.
+            from multimodn_tpu.experiments import kfold_fit_best
+            from pipelines.mimic.common import build_modn
+            from multimodn_tpu import Adam
+            folds = [(ArrayLoader(Subset(ds_m, tr), cfg.batch_size),
+                      ArrayLoader(Subset(ds_m, va), cfg.batch_size))
+                     for (ds_m, _dh), (tr, va, _te)
+                     in zip(fold_datasets, fold_indices)]
+            fold_runs = kfold_fit_best(
+                lambda s: build_modn(cfg, partitions, [target], s),
+                folds, Adam(cfg.learning_rate), "cross_entropy",
+                epochs=cfg.epochs,
+                seeds=[args.seed + i for i in range(len(folds))])
+
+        seed = args.seed
+        for fold, (tr, va, te) in enumerate(fold_indices):
+            dataset_modn, dataset_haim = fold_datasets[fold]
+            if put_none:
+                idx = (_mnar_indices(base, tr, target, class_label,
+                                     cfg.miss_perc)
+                       + _mnar_indices(base, va, target, class_label,
+                                       cfg.miss_perc))
+            else:
+                idx = []
+
+            if fold_runs is not None:
+                model = fold_runs[fold]["model"]
+            else:
+                model, _, info, _ = run_fold_modn(
+                    cfg, dataset_modn, partitions, [target], tr, va, te, seed)
 
             # Test twice: clean (both=False) and flipped-class degraded
             # (both=True) — reference :218-242.
