@@ -81,6 +81,20 @@ class MultiModN:
         self.state_size = state_size
         self.encoders = list(encoders)
         self.decoders = list(decoders)
+        for i, enc in enumerate(self.encoders):
+            if getattr(enc, "state_size", state_size) != state_size:
+                raise ValueError(
+                    f"Encoder {i} ({type(enc).__name__}) has state_size "
+                    f"{enc.state_size}, model expects {state_size}")
+        for i, dec in enumerate(self.decoders):
+            if getattr(dec, "state_size", state_size) != state_size:
+                raise ValueError(
+                    f"Decoder {i} ({type(dec).__name__}) has state_size "
+                    f"{dec.state_size}, model expects {state_size}")
+        if nan_skip not in ("sample", "batch", "none"):
+            raise ValueError(
+                f"nan_skip must be 'sample', 'batch', or 'none', "
+                f"got {nan_skip!r}")
         self.err_penalty = float(err_penalty)
         # The reference bakes a 0.01 factor into the constructor
         # (multimodn.py:86, quirk #1) — preserved.

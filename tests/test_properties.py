@@ -1,0 +1,98 @@
+"""Property tier (SURVEY §7: 'property: NaN-mask ≡ skip, permutation
+invariance'): structural equivalences that must hold for any data."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from multimodn_tpu import Adam, MultiModN, MultiModNHistory
+from multimodn_tpu.data import ArrayLoader, PartitionDataset
+from multimodn_tpu.decoders import LogisticDecoder
+from multimodn_tpu.encoders import MLPEncoder
+
+
+def _data(n=30, widths=(3, 3, 3), seed=0, all_nan_modality=None):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, sum(widths))).astype(np.float32)
+    if all_nan_modality is not None:
+        lo = sum(widths[:all_nan_modality])
+        X[:, lo:lo + widths[all_nan_modality]] = np.nan
+    y = rng.integers(0, 2, size=(n, 1))
+    return X, y
+
+
+def test_all_nan_modality_equals_removed_encoder():
+    """An always-NaN modality (skipped every step) must leave states exactly
+    as if that encoder were never in the chain."""
+    widths = (3, 3, 3)
+    X_nan, y = _data(all_nan_modality=1)
+    X_cut = np.concatenate([X_nan[:, :3], X_nan[:, 6:]], axis=1)
+
+    full = MultiModN(2, [MLPEncoder(2, 3, (4,)) for _ in range(3)],
+                     [LogisticDecoder(2)], 1.0, 0.0, nan_skip="sample")
+    # Two-encoder model wired with encoders 0 and 2's params from `full`.
+    cut = MultiModN(2, [MLPEncoder(2, 3, (4,)) for _ in range(2)],
+                    [LogisticDecoder(2)], 1.0, 0.0, nan_skip="sample")
+    state = full.state_dict()
+    cut.load_state_dict({
+        "init_state": state["init_state"],
+        "encoders": [state["encoders"][0], state["encoders"][2]],
+        "decoders": state["decoders"],
+    })
+
+    l_full = ArrayLoader(PartitionDataset(X_nan, y, [3, 3, 3]), 10)
+    l_cut = ArrayLoader(PartitionDataset(X_cut, y, [3, 3]), 10)
+    s_full = np.stack(full.get_states(l_full))
+    s_cut = np.stack(cut.get_states(l_cut))
+    np.testing.assert_allclose(s_full, s_cut, atol=1e-6)
+
+
+def test_identity_sequence_equals_no_sequence():
+    """An explicit encoding_sequence equal to identity must change nothing."""
+    from tests.test_order import SeqDataset
+
+    X, y = _data(seed=1)
+    plain = PartitionDataset(X, y, [3, 3, 3])
+    seq = SeqDataset(X, y, [3, 3, 3], [0, 1, 2])
+
+    m1 = MultiModN(2, [MLPEncoder(2, 3, (4,)) for _ in range(3)],
+                   [LogisticDecoder(2)], 1.0, 0.0)
+    m2 = MultiModN(2, [MLPEncoder(2, 3, (4,)) for _ in range(3)],
+                   [LogisticDecoder(2)], 1.0, 0.0)
+    h1, h2 = MultiModNHistory(["t"]), MultiModNHistory(["t"])
+    m1.fit(ArrayLoader(plain, 10), Adam(0.01), "cross_entropy", epochs=3,
+           history=h1)
+    m2.fit(ArrayLoader(seq, 10), Adam(0.01), "cross_entropy", epochs=3,
+           history=h2)
+    np.testing.assert_allclose(h1.loss["train"][-1], h2.loss["train"][-1],
+                               atol=1e-6)
+
+
+def test_batch_size_one_padding_invariance():
+    """batch_size > n gives one padded batch whose metrics equal full-batch."""
+    X, y = _data(n=10, seed=2)
+    ds = PartitionDataset(X, y, [3, 3, 3])
+    m1 = MultiModN(2, [MLPEncoder(2, 3, (4,)) for _ in range(3)],
+                   [LogisticDecoder(2)], 1.0, 0.0)
+    m2 = MultiModN(2, [MLPEncoder(2, 3, (4,)) for _ in range(3)],
+                   [LogisticDecoder(2)], 1.0, 0.0)
+    h1, h2 = MultiModNHistory(["t"]), MultiModNHistory(["t"])
+    m1.fit(ArrayLoader(ds, 10), Adam(0.01), "cross_entropy", epochs=2,
+           history=h1)   # exact full batch
+    m2.fit(ArrayLoader(ds, 16), Adam(0.01), "cross_entropy", epochs=2,
+           history=h2)   # padded to 16
+    np.testing.assert_allclose(h1.loss["train"][-1], h2.loss["train"][-1],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(h1.accuracy["train"][-1],
+                               h2.accuracy["train"][-1],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_ctor_validation():
+    with pytest.raises(ValueError, match="Encoder 0 .* state_size"):
+        MultiModN(2, [MLPEncoder(3, 3, (4,))], [LogisticDecoder(2)], 1.0, 0.0)
+    with pytest.raises(ValueError, match="Decoder 0 .* state_size"):
+        MultiModN(2, [MLPEncoder(2, 3, (4,))], [LogisticDecoder(3)], 1.0, 0.0)
+    with pytest.raises(ValueError, match="nan_skip"):
+        MultiModN(2, [MLPEncoder(2, 3, (4,))], [LogisticDecoder(2)], 1.0,
+                  0.0, nan_skip="bogus")
