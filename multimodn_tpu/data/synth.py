@@ -113,9 +113,16 @@ def synthetic_mimic_embeddings(
         for i in range(width):
             frame[f"{src}_{i}"] = block[:, i].astype(np.float32)
 
-    for t_idx, target in enumerate(targets):
-        w = rng.normal(size=8)
-        score = row_latent @ w + 0.5 * rng.normal(size=n_rows)
+    for target in targets:
+        # Per-target generator seeded by the target NAME (stable crc32), so
+        # a target's labels are identical whether the frame is generated for
+        # that target alone or together with others — single-target datasets
+        # built independently must agree with multi-target ones.
+        import zlib
+        t_rng = np.random.default_rng(
+            (seed * 1_000_003 + zlib.crc32(target.encode())) % 2**63)
+        w = t_rng.normal(size=8)
+        score = row_latent @ w + 0.5 * t_rng.normal(size=n_rows)
         frame[target] = (score > np.median(score)).astype(int)
 
     return pd.DataFrame(frame)
