@@ -57,7 +57,7 @@ def forward_chain_scan(
     n_encoders: int,
     init_state,
     params: dict,                 # full model params (per-encoder list)
-    data: Sequence[jnp.ndarray],  # E arrays (B, F) — homogeneous width
+    data,                         # (B, E, F) array OR tuple of E (B, F)
     sample_mask: jnp.ndarray,
     *,
     data_order: jnp.ndarray,      # (E,) int32: modality index per step
@@ -69,12 +69,27 @@ def forward_chain_scan(
 ):
     """Scan-based equivalent of ``fusion.forward_chain`` for homogeneous
     chains. Same contract: returns (states_by_row (E+1, B, S), state_change
-    (E,), row_ok (E+1,), n_counted (E+1,), final_state)."""
+    (E,), row_ok (E+1,), n_counted (E+1,), final_state).
+
+    ``data`` should arrive as ONE (B, E, F) array (the loader/model stack the
+    modalities once) — passing E separate arrays makes XLA's scan-operand
+    count O(E) and compile time superlinear in E. A tuple is still accepted
+    for small E.
+    """
     E = n_encoders
     batch = sample_mask.shape[0]
     n_real = jnp.sum(sample_mask.astype(jnp.float32))
-    stacked = stack_encoder_params(params["encoders"])
-    data_stack = jnp.stack(data)                      # (E, B, F)
+    # Scan-mode models store encoder params already stacked (leading E axis
+    # per leaf) so the jit signature, gradients, and optimizer update are
+    # O(1) in E — a per-encoder list would put O(E) leaves in the program
+    # and make XLA compile time superlinear in E.
+    enc_params = params["encoders"]
+    stacked = stack_encoder_params(enc_params) \
+        if isinstance(enc_params, (list, tuple)) else enc_params
+    if isinstance(data, (tuple, list)):
+        data_stack = jnp.stack(data)                  # (E, B, F)
+    else:
+        data_stack = jnp.swapaxes(data, 0, 1)         # (B, E, F) -> (E, B, F)
 
     state0 = init_state.apply(params["init_state"], batch, init_offset)
 

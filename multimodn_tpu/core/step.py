@@ -59,7 +59,8 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
             cast = lambda leaf: leaf.astype(compute_dtype) \
                 if jnp.issubdtype(leaf.dtype, jnp.floating) else leaf
             params = jax.tree_util.tree_map(cast, params)
-            data = tuple(cast(x) for x in data)
+            data = tuple(cast(x) for x in data) \
+                if isinstance(data, tuple) else cast(data)
         if chain == "scan":
             if shuffle and train:
                 # Shuffle the (data_idx, enc_idx) PAIRS, like the reference's
@@ -455,7 +456,8 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
 
 
 def make_forward_fn(encoders, decoders, init_state,
-                    order: Sequence[Tuple[int, int]], nan_skip: str):
+                    order: Sequence[Tuple[int, int]], nan_skip: str,
+                    chain: str = "unrolled"):
     """Jitted inference over one padded batch.
 
     Returns (predictions (E+1, D, B) argmax classes, outputs list, states).
@@ -465,11 +467,21 @@ def make_forward_fn(encoders, decoders, init_state,
 
     @functools.partial(jax.jit, static_argnames=("train",))
     def forward(params, data, sample_mask, rng=None, init_offset=0, train=False):
-        states, _, row_ok, _, final_state = forward_chain(
-            encoders, init_state, params, data, sample_mask,
-            order=order, nan_skip=nan_skip, train=train, rng=rng,
-            init_offset=init_offset,
-        )
+        if chain == "scan":
+            from multimodn_tpu.core.scan_chain import forward_chain_scan
+            states, _, row_ok, _, final_state = forward_chain_scan(
+                encoders[0], len(encoders), init_state, params, data,
+                sample_mask,
+                data_order=jnp.asarray([d for d, _e in order], jnp.int32),
+                enc_order=jnp.asarray([e for _d, e in order], jnp.int32),
+                nan_skip=nan_skip, train=train, rng=rng,
+                init_offset=init_offset)
+        else:
+            states, _, row_ok, _, final_state = forward_chain(
+                encoders, init_state, params, data, sample_mask,
+                order=order, nan_skip=nan_skip, train=train, rng=rng,
+                init_offset=init_offset,
+            )
         outputs = [dec.apply(params["decoders"][d], states)
                    for d, dec in enumerate(decoders)]
         preds = jnp.stack([jnp.argmax(o, axis=-1) for o in outputs], axis=1)

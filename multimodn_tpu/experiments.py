@@ -27,7 +27,9 @@ from multimodn_tpu.optim import Optimizer
 
 
 def _pad_batches(stacks, max_nb: int):
-    """Pad (data tuple, targets, mask) epoch stacks to ``max_nb`` batches."""
+    """Pad (data, targets, mask) epoch stacks to ``max_nb`` batches. ``data``
+    is a tuple of per-modality arrays (unrolled chain) or one stacked array
+    (scan chain)."""
     data, targets, mask = stacks
 
     def pad(a):
@@ -37,7 +39,8 @@ def _pad_batches(stacks, max_nb: int):
         pad_width = [(0, max_nb - nb)] + [(0, 0)] * (a.ndim - 1)
         return np.pad(np.asarray(a), pad_width)
 
-    return tuple(pad(d) for d in data), pad(targets), pad(mask)
+    data = tuple(pad(d) for d in data) if isinstance(data, tuple) else pad(data)
+    return data, pad(targets), pad(mask)
 
 
 def kfold_fit_best(
@@ -79,8 +82,10 @@ def kfold_fit_best(
     fit = make_select_fit_fn(loss_fn, optimizer.tx, binary,
                              gate_empty_batches=True)
 
-    train_stacks = [f[0].stacks() for f in folds]
-    val_stacks = [f[1].stacks() for f in folds]
+    # In scan-chain mode the loss fn expects ONE stacked modality array
+    # (see MultiModN._place) — _place also attaches any mesh sharding.
+    train_stacks = [template._place(f[0]) for f in folds]
+    val_stacks = [template._place(f[1]) for f in folds]
     max_tb = max(s[1].shape[0] for s in train_stacks)
     max_vb = max(s[1].shape[0] for s in val_stacks)
     train_p = [_pad_batches(s, max_tb) for s in train_stacks]

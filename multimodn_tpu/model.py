@@ -114,9 +114,15 @@ class MultiModN:
         k_init, k_enc, k_dec = jax.random.split(key, 3)
         enc_keys = jax.random.split(k_enc, max(len(self.encoders), 1))
         dec_keys = jax.random.split(k_dec, max(len(self.decoders), 1))
+        enc_params = [e.init(k) for e, k in zip(self.encoders, enc_keys)]
+        if self._chain_plan()[0] == "scan":
+            # Stacked storage: one leaf per layer tensor with a leading (E,)
+            # axis, keeping program arity O(1) in E (see scan_chain).
+            from multimodn_tpu.core.scan_chain import stack_encoder_params
+            enc_params = stack_encoder_params(enc_params)
         self.params = {
             "init_state": self.init_state.init(k_init),
-            "encoders": [e.init(k) for e, k in zip(self.encoders, enc_keys)],
+            "encoders": enc_params,
             "decoders": [d.init(k) for d, k in zip(self.decoders, dec_keys)],
         }
 
@@ -174,10 +180,12 @@ class MultiModN:
         return self._fn_cache[key]
 
     def _forward_fn(self, order, nan_skip):
-        key = ("fwd", order, nan_skip)
+        chain = self._chain_plan()[0]
+        key = ("fwd", order, nan_skip, chain)
         if key not in self._fn_cache:
             self._fn_cache[key] = make_forward_fn(
-                self.encoders, self.decoders, self.init_state, order, nan_skip)
+                self.encoders, self.decoders, self.init_state, order,
+                nan_skip, chain=chain)
         return self._fn_cache[key]
 
     def _resolve_order(self, loader=None,
@@ -196,11 +204,22 @@ class MultiModN:
         return tuple(order)
 
     def _place(self, loader):
-        """Attach the model's mesh sharding to a loader lazily."""
+        """Attach the model's mesh sharding to a loader lazily; in scan-chain
+        mode, fuse the modality tuple into ONE (nb, B, E, F) array so the
+        epoch scans carry a single xs leaf (E separate leaves make XLA
+        compile time superlinear in E)."""
         if self.mesh is not None and loader.sharding is None:
             from multimodn_tpu.parallel.sharding import batch_sharding
             loader.sharding = batch_sharding(self.mesh)
-        return loader.stacks()
+        data, targets, mask = loader.stacks()
+        if self._chain_plan()[0] == "scan" and isinstance(data, tuple):
+            key = id(loader)
+            cached = self._fn_cache.get(("stacked_data", key))
+            if cached is None or cached[0] is not data:
+                stacked = jnp.stack(data, axis=2)
+                self._fn_cache[("stacked_data", key)] = (data, stacked)
+            data = self._fn_cache[("stacked_data", key)][1]
+        return data, targets, mask
 
     # ------------------------------------------------------------------
     # Training / evaluation
@@ -465,6 +484,8 @@ class MultiModN:
         """
         data = tuple(jnp.asarray(np.asarray(m, np.float32)) for m in x)
         n = data[0].shape[0]
+        if self._chain_plan()[0] == "scan":
+            data = jnp.stack(data, axis=1)  # (B, E, F)
         order = self._resolve_order(None, encoder_sequence, train=False)
         fwd = self._forward_fn(order, "none")
         preds, _, _, _ = fwd(self.params, data, jnp.ones((n,), jnp.float32))
@@ -474,6 +495,8 @@ class MultiModN:
         """Per-decoder (E+1, N, C_d) raw decoder outputs after every step."""
         data = tuple(jnp.asarray(np.asarray(m, np.float32)) for m in x)
         n = data[0].shape[0]
+        if self._chain_plan()[0] == "scan":
+            data = jnp.stack(data, axis=1)  # (B, E, F)
         order = self._resolve_order(None, encoder_sequence, train=False)
         fwd = self._forward_fn(order, "none")
         _, outputs, _, _ = fwd(self.params, data, jnp.ones((n,), jnp.float32))
@@ -515,7 +538,8 @@ class MultiModN:
         fwd = self._forward_fn(order, self.nan_skip)
         collected = []
         for b in range(data_loader.n_batches):
-            batch = tuple(d[b] for d in data)
+            batch = data[b] if not isinstance(data, tuple) \
+                else tuple(d[b] for d in data)
             _, _, _, final_state = fwd(self.params, batch, mask[b])
             final = np.asarray(final_state)
             keep = np.asarray(mask[b]) > 0

@@ -27,12 +27,22 @@ def summarize_model(model) -> str:
     n = _count_params(model.params["init_state"])
     total += n
     out.append(f"InitState ({type(model.init_state).__name__}): {n} params")
-    for i, enc in enumerate(model.encoders):
-        p = model.params["encoders"][i]
-        n = _count_params(p)
+    enc_params = model.params["encoders"]
+    if isinstance(enc_params, (list, tuple)):
+        for i, enc in enumerate(model.encoders):
+            p = enc_params[i]
+            n = _count_params(p)
+            total += n
+            out.append(f"Encoder {i} ({type(enc).__name__}): {n} params")
+            out.append(_describe_tree(p))
+    else:
+        # Scan-mode stacked storage: one pytree with a leading (E,) axis.
+        n = _count_params(enc_params)
         total += n
-        out.append(f"Encoder {i} ({type(enc).__name__}): {n} params")
-        out.append(_describe_tree(p))
+        out.append(f"Encoders x{len(model.encoders)} "
+                   f"({type(model.encoders[0]).__name__}, stacked): "
+                   f"{n} params")
+        out.append(_describe_tree(enc_params))
     for i, dec in enumerate(model.decoders):
         p = model.params["decoders"][i]
         n = _count_params(p)
