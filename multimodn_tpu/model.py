@@ -11,10 +11,10 @@ Known intentional divergences (each gated or documented):
   NaN skip; pass ``nan_skip='batch'`` for exact reference behavior (quirk #2).
 - ``log_interval`` logging emits after the epoch completes (values identical;
   the epoch runs as one device program so there is no mid-epoch host hook).
-- ``shuffle_mode`` draws a fresh encoder order per train_epoch call (the
-  reference reshuffles per batch with Python's RNG); each new permutation is a
-  new static order. For the shipped model sizes (E <= 9) the permutation space
-  is small and traces are cached.
+- ``shuffle_mode`` on homogeneous chains permutes per batch INSIDE the jitted
+  program (reference cadence); on heterogeneous chains it falls back to a
+  fresh order per train_epoch call (each permutation is a cached trace;
+  E <= 9 for all shipped heterogeneous configs).
 """
 from __future__ import annotations
 
