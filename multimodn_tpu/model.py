@@ -520,13 +520,23 @@ class MultiModN:
                 self.encoders, self.decoders, self.state_size,
                 interpret=use_interpret))
         fwd = self._fn_cache[key]
+        params = self.params
+        if not isinstance(params["encoders"], (list, tuple)):
+            # Scan-mode stacked storage -> per-encoder list for the kernel.
+            E = len(self.encoders)
+            params = dict(params)
+            params["encoders"] = [
+                jax.tree_util.tree_map(lambda s, i=i: s[i],
+                                       self.params["encoders"])
+                for i in range(E)
+            ]
         data = tuple(jnp.asarray(np.asarray(m, np.float32)) for m in x)
         valid = jnp.stack(
             [~jnp.any(jnp.isnan(m), axis=tuple(range(1, m.ndim)))
              for m in data], axis=1).astype(jnp.float32)
         data = tuple(jnp.nan_to_num(m) for m in data)
-        states, outs = fwd(self.params, data, valid,
-                           self.init_state.apply(self.params["init_state"],
+        states, outs = fwd(params, data, valid,
+                           self.init_state.apply(params["init_state"],
                                                  1, 0)[0])
         return np.asarray(states), [np.asarray(o) for o in outs]
 
