@@ -53,6 +53,7 @@ class MLPDecoder(MultiModDecoder):
     ):
         super().__init__(state_size)
         self.n_classes = n_classes
+        self.hidden_layers = tuple(hidden_layers)
         self.output_activation = resolve_activation(output_activation)
         self.hidden_activation = resolve_activation(hidden_activation)
         self._dims = [state_size] + list(hidden_layers) + [n_classes]

@@ -1,0 +1,204 @@
+"""Serving: incremental (real-time) sequential fusion + portable exports.
+
+MultiModN's signature property is *sequential* fusion — "granular real-time
+predictive feedback" (reference README.md:9): as each modality arrives, the
+state advances and every decoder can be read immediately. The training-side
+APIs process whole chains; ``InferenceSession`` exposes the step-at-a-time
+view for serving:
+
+    session = InferenceSession(model)
+    state = session.init(batch_size)
+    state, probs = session.step(state, encoder_idx=0, x=tabular_features)
+    ...                       # later, when the image embedding arrives:
+    state, probs = session.step(state, encoder_idx=1, x=image_embedding)
+
+Each (encoder_idx) step is a cached jitted program; NaN inputs skip the
+update per sample (missingness semantics preserved at serving time).
+
+``export_model`` / ``load_model`` provide a pickle-free on-disk format
+(config JSON + params .npz) for deployment: no arbitrary code execution on
+load, unlike the reference's whole-object pickles.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class InferenceSession:
+    """Step-at-a-time fusion over a trained MultiModN."""
+
+    def __init__(self, model):
+        self.model = model
+        self._step_fns = {}
+        self._decode_fn = None
+
+    def init(self, batch_size: int) -> jnp.ndarray:
+        """Initial (batch, state_size) fusion state."""
+        return self.model.init_state.apply(
+            self.model.params["init_state"], batch_size, 0)
+
+    def _encoder_params(self, idx: int):
+        enc = self.model.params["encoders"]
+        if isinstance(enc, (list, tuple)):
+            return enc[idx]
+        # scan-mode stacked storage
+        return jax.tree_util.tree_map(lambda s: s[idx], enc)
+
+    def step(self, state, encoder_idx: int, x,
+             nan_skip: bool = True) -> Tuple[jnp.ndarray, List[np.ndarray]]:
+        """Advance the state with one modality; return (state, per-decoder
+        probabilities for the updated state).
+
+        NaN rows leave their state unchanged (per-sample missingness), like
+        the training-time skip.
+        """
+        key = (encoder_idx, nan_skip)
+        if key not in self._step_fns:
+            encoder = self.model.encoders[encoder_idx]
+            decoders = self.model.decoders
+            model = self.model
+
+            @jax.jit
+            def step_fn(enc_params, dec_params, state, x):
+                xz = jnp.nan_to_num(x)
+                new_state = encoder.apply(enc_params, state, xz)
+                if nan_skip:
+                    has_nan = jnp.any(jnp.isnan(x),
+                                      axis=tuple(range(1, x.ndim)))
+                    new_state = jnp.where(has_nan[:, None], state, new_state)
+                outs = [dec.apply(dec_params[d], new_state)
+                        for d, dec in enumerate(decoders)]
+                return new_state, outs
+
+            self._step_fns[key] = step_fn
+        x = jnp.asarray(np.asarray(x, np.float32))
+        state, outs = self._step_fns[key](
+            self._encoder_params(encoder_idx),
+            self.model.params["decoders"], state, x)
+        return state, [np.asarray(o) for o in outs]
+
+    def decode(self, state) -> List[np.ndarray]:
+        """Per-decoder probabilities for the current state (step 0 reads)."""
+        if self._decode_fn is None:
+            decoders = self.model.decoders
+
+            @jax.jit
+            def decode_fn(dec_params, state):
+                return [dec.apply(dec_params[d], state)
+                        for d, dec in enumerate(decoders)]
+
+            self._decode_fn = decode_fn
+        outs = self._decode_fn(self.model.params["decoders"], state)
+        return [np.asarray(o) for o in outs]
+
+
+# ---------------------------------------------------------------------------
+# Pickle-free export / load
+# ---------------------------------------------------------------------------
+
+def _flatten_with_paths(tree, prefix=""):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flatten_with_paths(v, f"{prefix}/{k}" if prefix else k)
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            yield from _flatten_with_paths(v, f"{prefix}/{i}")
+    else:
+        yield prefix, np.asarray(tree)
+
+
+def _unflatten_like(template, flat: dict, prefix=""):
+    if isinstance(template, dict):
+        return {k: _unflatten_like(v, flat, f"{prefix}/{k}" if prefix else k)
+                for k, v in template.items()}
+    if isinstance(template, (list, tuple)):
+        return [_unflatten_like(v, flat, f"{prefix}/{i}")
+                for i, v in enumerate(template)]
+    return jnp.asarray(flat[prefix])
+
+
+def export_model(model, directory: str):
+    """Write config.json + params.npz: a deployment artifact that loads
+    without unpickling arbitrary code."""
+    os.makedirs(directory, exist_ok=True)
+    from multimodn_tpu.core.state import StaticInitState
+
+    def module_spec(m):
+        spec = {"class": type(m).__name__}
+        for attr in ("state_size", "n_features", "hidden_layers",
+                     "dropout_rate", "n_classes", "unbatched_compat"):
+            if hasattr(m, attr):
+                v = getattr(m, attr)
+                spec[attr] = list(v) if isinstance(v, tuple) else v
+        # Persist activation by registry name where known.
+        from multimodn_tpu.core.nn import ACTIVATIONS
+        for attr in ("activation", "hidden_activation", "output_activation"):
+            fn = getattr(m, attr, None)
+            if fn is not None:
+                names = [k for k, f in ACTIVATIONS.items() if f is fn]
+                spec[attr] = names[0] if names else "relu"
+        return spec
+
+    config = {
+        "state_size": model.state_size,
+        "err_penalty": model.err_penalty,
+        # ctor re-applies the 0.01 factor (quirk #1) — store the raw value.
+        "state_change_penalty": model.state_change_penalty / 0.01,
+        "nan_skip": model.nan_skip,
+        "chain_mode": model.chain_mode,
+        "shuffle_mode": model.shuffle_mode,
+        "ones_initialized_counts": model.ones_initialized_counts,
+        "encoders": [module_spec(e) for e in model.encoders],
+        "decoders": [module_spec(d) for d in model.decoders],
+        "static_init_state": isinstance(model.init_state, StaticInitState),
+    }
+    with open(os.path.join(directory, "config.json"), "w") as f:
+        json.dump(config, f, indent=2)
+    flat = dict(_flatten_with_paths(model.state_dict()))
+    np.savez(os.path.join(directory, "params.npz"), **flat)
+    return directory
+
+
+def load_model(directory: str):
+    """Reconstruct a MultiModN from export_model's artifact."""
+    import multimodn_tpu.decoders as dec_mod
+    import multimodn_tpu.encoders as enc_mod
+    from multimodn_tpu.model import MultiModN
+
+    with open(os.path.join(directory, "config.json")) as f:
+        config = json.load(f)
+
+    def build(spec, registry):
+        cls = getattr(registry, spec["class"])
+        kwargs = {}
+        import inspect
+        sig = inspect.signature(cls.__init__)
+        for name in sig.parameters:
+            if name in ("self",):
+                continue
+            key = {"hidden_size": "hidden_layers",
+                   "dropout": "dropout_rate"}.get(name, name)
+            if key in spec:
+                v = spec[key]
+                kwargs[name] = tuple(v) if isinstance(v, list) else v
+        return cls(**kwargs)
+
+    encoders = [build(s, enc_mod) for s in config["encoders"]]
+    decoders = [build(s, dec_mod) for s in config["decoders"]]
+    model = MultiModN(
+        config["state_size"], encoders, decoders,
+        config["err_penalty"], config["state_change_penalty"],
+        shuffle_mode=config.get("shuffle_mode", False),
+        nan_skip=config.get("nan_skip", "sample"),
+        ones_initialized_counts=config.get("ones_initialized_counts", True),
+        chain_mode=config.get("chain_mode", "auto"),
+    )
+    flat = dict(np.load(os.path.join(directory, "params.npz")))
+    model.params = _unflatten_like(model.params, flat)
+    return model

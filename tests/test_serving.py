@@ -1,0 +1,75 @@
+"""Serving tier: incremental fusion sessions and pickle-free export/load."""
+import numpy as np
+
+from multimodn_tpu import Adam, MultiModN
+from multimodn_tpu.data import ArrayLoader, PartitionDataset
+from multimodn_tpu.decoders import LogisticDecoder, MLPDecoder
+from multimodn_tpu.encoders import MIMICMLPEncoder, MLPEncoder
+from multimodn_tpu.serving import InferenceSession, export_model, load_model
+
+
+def _trained_model(seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(40, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    loader = ArrayLoader(PartitionDataset(X, y, [3, 3]), 16)
+    model = MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                      [LogisticDecoder(3)], 0.7, 0.3)
+    model.fit(loader, Adam(0.01), "cross_entropy", epochs=3)
+    return model, X
+
+
+def test_incremental_session_matches_batch_forward():
+    model, X = _trained_model()
+    session = InferenceSession(model)
+    B = 8
+    x0, x1 = X[:B, :3], X[:B, 3:]
+
+    state = session.init(B)
+    probs0 = session.decode(state)              # step-0 predictions
+    state, probs1 = session.step(state, 0, x0)  # after modality 0
+    state, probs2 = session.step(state, 1, x1)  # after modality 1
+
+    full = model.predict_proba([x0, x1])
+    np.testing.assert_allclose(probs0[0], full[0][0], atol=1e-6)
+    np.testing.assert_allclose(probs1[0], full[0][1], atol=1e-6)
+    np.testing.assert_allclose(probs2[0], full[0][2], atol=1e-6)
+
+
+def test_incremental_session_nan_skip():
+    model, X = _trained_model(1)
+    session = InferenceSession(model)
+    x0 = X[:4, :3].copy()
+    x0[2] = np.nan
+    state = session.init(4)
+    new_state, _ = session.step(state, 0, x0)
+    # NaN row keeps its state; others move.
+    np.testing.assert_allclose(np.asarray(new_state)[2],
+                               np.asarray(state)[2])
+    assert not np.allclose(np.asarray(new_state)[0], np.asarray(state)[0])
+
+
+def test_export_load_roundtrip(tmp_path):
+    model, X = _trained_model(2)
+    export_model(model, str(tmp_path / "artifact"))
+    assert (tmp_path / "artifact" / "config.json").exists()
+    assert (tmp_path / "artifact" / "params.npz").exists()
+
+    loaded = load_model(str(tmp_path / "artifact"))
+    x0, x1 = X[:6, :3], X[:6, 3:]
+    np.testing.assert_allclose(model.predict_proba([x0, x1])[0],
+                               loaded.predict_proba([x0, x1])[0],
+                               atol=1e-6)
+
+
+def test_export_load_mimic_style(tmp_path):
+    model = MultiModN(5, [MIMICMLPEncoder(5, 7, (8, 8), dropout=0.2),
+                          MIMICMLPEncoder(5, 4, (8, 8), dropout=0.2)],
+                      [MLPDecoder(5, (8,), 2)], 1.0, 0.0)
+    export_model(model, str(tmp_path / "m"))
+    loaded = load_model(str(tmp_path / "m"))
+    assert loaded.encoders[0].dropout_rate == 0.2
+    assert loaded.decoders[0].n_classes == 2
+    x = [np.zeros((3, 7), np.float32), np.zeros((3, 4), np.float32)]
+    np.testing.assert_allclose(model.predict_proba(x)[0],
+                               loaded.predict_proba(x)[0], atol=1e-6)
