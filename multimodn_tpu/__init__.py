@@ -36,6 +36,7 @@ from multimodn_tpu.core.history import MultiModNHistory
 from multimodn_tpu.core.losses import cross_entropy_loss, CrossEntropyLoss
 from multimodn_tpu.core.metrics import get_performance_metrics, performance_metrics
 from multimodn_tpu.optim import Adam, SGD, AdamW
+from multimodn_tpu.serving import InferenceSession, export_model, load_model
 
 __version__ = "0.1.0"
 
@@ -52,4 +53,7 @@ __all__ = [
     "Adam",
     "SGD",
     "AdamW",
+    "InferenceSession",
+    "export_model",
+    "load_model",
 ]
