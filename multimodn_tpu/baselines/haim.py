@@ -12,7 +12,7 @@ batches) with an optional fused multi-epoch ``fit`` like MultiModN's.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple, Union
+from typing import Callable, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ is the modality chain; this module is its O(E)-compiled-steps scaling path.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ Mirrors the reference hierarchy (reference ``multimodn/state.py:8-47``):
 from __future__ import annotations
 
 from abc import ABC, abstractmethod
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ Static shapes mean XLA compiles once per dataset geometry.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ mask-exact, so results match variable-size batches bit-for-bit.
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import numpy as np

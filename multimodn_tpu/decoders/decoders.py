@@ -10,8 +10,6 @@ from __future__ import annotations
 
 from typing import Callable, Sequence, Tuple, Union
 
-import jax.numpy as jnp
-
 from multimodn_tpu.core.nn import dense_apply, mlp_init, resolve_activation
 from multimodn_tpu.decoders.base import MultiModDecoder
 

@@ -14,7 +14,7 @@ Two distinct concat topologies exist in the reference and both are preserved:
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple, Union
+from typing import Callable, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ Known intentional divergences (each gated or documented):
 from __future__ import annotations
 
 import random as _pyrandom
-from typing import Callable, List, Optional, Sequence, Tuple, Union
+from typing import Callable, List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
