@@ -1,0 +1,87 @@
+"""Loss-function unit tier: torch-semantics CE, BCE, MSE, masking, wrapping."""
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from multimodn_tpu.core.losses import (
+    CrossEntropyLoss,
+    bce_loss,
+    cross_entropy_loss,
+    mse_loss,
+    resolve_criterion,
+)
+
+
+def _case(seed=0, b=12, c=3):
+    rng = np.random.default_rng(seed)
+    out = rng.normal(size=(b, c)).astype(np.float32)
+    tgt = rng.integers(0, c, size=(b,))
+    return out, tgt
+
+
+def test_cross_entropy_matches_torch():
+    out, tgt = _case()
+    ours = float(cross_entropy_loss(jnp.asarray(out), jnp.asarray(tgt)))
+    theirs = float(torch.nn.CrossEntropyLoss()(torch.from_numpy(out),
+                                               torch.from_numpy(tgt)))
+    assert ours == pytest.approx(theirs, abs=1e-6)
+
+
+def test_cross_entropy_mask_excludes_samples():
+    out, tgt = _case(1)
+    mask = np.ones(12, np.float32)
+    mask[6:] = 0
+    masked = float(cross_entropy_loss(jnp.asarray(out), jnp.asarray(tgt),
+                                      jnp.asarray(mask)))
+    head = float(cross_entropy_loss(jnp.asarray(out[:6]),
+                                    jnp.asarray(tgt[:6])))
+    assert masked == pytest.approx(head, abs=1e-6)
+
+
+def test_bce_matches_torch():
+    out, _ = _case(2, c=2)
+    p = 1 / (1 + np.exp(-out))  # valid probabilities
+    tgt = np.random.default_rng(2).integers(0, 2, size=(12,))
+    ours = float(bce_loss(jnp.asarray(p), jnp.asarray(tgt)))
+    theirs = float(torch.nn.BCELoss()(torch.from_numpy(p[:, 1]),
+                                      torch.from_numpy(tgt.astype(np.float32))))
+    assert ours == pytest.approx(theirs, abs=1e-5)
+
+
+def test_mse_one_hot():
+    out = np.array([[1.0, 0.0], [0.0, 1.0]], np.float32)
+    tgt = np.array([0, 1])
+    assert float(mse_loss(jnp.asarray(out), jnp.asarray(tgt))) == 0.0
+    tgt2 = np.array([1, 0])
+    assert float(mse_loss(jnp.asarray(out), jnp.asarray(tgt2))) == 1.0
+
+
+def test_resolve_criterion_wraps_two_arg_callables():
+    def naive(outputs, targets):
+        return jnp.mean(outputs.sum(axis=-1) * 0 + 1.0)
+
+    wrapped = resolve_criterion(naive)
+    assert wrapped._accepts_mask is False
+    out, tgt = _case(3)
+    assert float(wrapped(jnp.asarray(out), jnp.asarray(tgt), None)) == 1.0
+    # Mask-aware callables pass through.
+    assert resolve_criterion(cross_entropy_loss) is cross_entropy_loss
+    assert resolve_criterion(CrossEntropyLoss())._accepts_mask
+    with pytest.raises(ValueError):
+        resolve_criterion("not-a-loss")
+
+
+def test_criterion_leading_dims():
+    """Built-in losses reduce over the LAST axis only — the grid path feeds
+    (E+1, B, C) stacks."""
+    out, tgt = _case(4)
+    stacked = jnp.stack([jnp.asarray(out)] * 5)
+    tgts = jnp.broadcast_to(jnp.asarray(tgt), (5, 12))
+    per_row = cross_entropy_loss(stacked, tgts)
+    assert per_row.shape == (5,)
+    np.testing.assert_allclose(np.asarray(per_row),
+                               [float(cross_entropy_loss(jnp.asarray(out),
+                                                         jnp.asarray(tgt)))] * 5,
+                               rtol=1e-6)

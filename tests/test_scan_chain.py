@@ -122,6 +122,29 @@ def test_large_E_featurewise_trains():
     assert np.isfinite(h.loss["train"][-1]).all()
 
 
+def test_scan_mode_with_dropout_trains():
+    """Stochastic encoders (dropout) under the scan chain: per-step rng
+    folding works and training stays finite."""
+    rng = np.random.default_rng(7)
+    E = 20
+    X = rng.normal(size=(32, E * 2)).astype(np.float32)
+    y = rng.integers(0, 2, size=(32, 1))
+    from multimodn_tpu.data import PartitionDataset
+    ds = PartitionDataset(X, y, [2] * E)
+    loader = ArrayLoader(ds, 16)
+    m = MultiModN(4, [MIMICMLPEncoder(4, 2, (4,), dropout=0.3)
+                      for _ in range(E)],
+                  [LogisticDecoder(4)], 1.0, 0.0)
+    assert m._chain_plan()[0] == "scan"
+    h = MultiModNHistory(["t"])
+    m.fit(loader, Adam(0.01), "cross_entropy", epochs=3, history=h)
+    assert np.isfinite(h.loss["train"][-1]).all()
+    # Eval (train=False) is deterministic despite dropout.
+    r1 = m.test(loader, "cross_entropy")
+    r2 = m.test(loader, "cross_entropy")
+    assert float(r1[0][1]) == float(r2[0][1])
+
+
 def test_in_program_shuffle_trains_and_is_stochastic():
     rng = np.random.default_rng(4)
     X = rng.normal(size=(24, 4)).astype(np.float32)
