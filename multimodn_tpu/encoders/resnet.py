@@ -158,3 +158,68 @@ class ResNet(MultiModEncoder):
             feats = jax.lax.stop_gradient(feats)
         return dense_apply(params["head"],
                            jnp.concatenate([feats, state], axis=-1))
+
+    # ------------------------------------------------------------------
+    def update_batch_stats(self, params, images, momentum: float = 0.9):
+        """Return params with BatchNorm running statistics EMA-updated from
+        one batch (torch momentum convention: new = (1-m)*batch + m*old with
+        torch's momentum=0.1 <-> momentum=0.9 here).
+
+        The training step itself is pure (train=True normalizes with batch
+        stats and never mutates); call this periodically — or per batch — on
+        the side when eval-mode stats should track training data.
+        """
+        stats = {}
+
+        def record(name, xs):
+            stats[name] = (jnp.mean(xs, axis=(0, 1, 2)),
+                           jnp.var(xs, axis=(0, 1, 2)))
+
+        # Re-run the stem/stages capturing pre-normalization activations.
+        x = _conv(images, params["stem"]["w"], 2)
+        record("stem", x)
+        x = jax.nn.relu(_bn(x, params["stem"]["bn"], True))
+        x = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "SAME")
+        for s, blocks in enumerate(params["stages"]):
+            for b, block in enumerate(blocks):
+                stride = 2 if (s > 0 and b == 0) else 1
+                h = _conv(x, block["conv1"]["w"], stride)
+                record(f"{s}/{b}/conv1", h)
+                h = jax.nn.relu(_bn(h, block["conv1"]["bn"], True))
+                h = _conv(h, block["conv2"]["w"], 1)
+                record(f"{s}/{b}/conv2", h)
+                h = _bn(h, block["conv2"]["bn"], True)
+                shortcut = x
+                if "down" in block:
+                    shortcut = _conv(x, block["down"]["w"], stride)
+                    record(f"{s}/{b}/down", shortcut)
+                    shortcut = _bn(shortcut, block["down"]["bn"], True)
+                x = jax.nn.relu(h + shortcut)
+
+        def ema(bn, key):
+            mean, var = stats[key]
+            return dict(bn, mean=momentum * bn["mean"] + (1 - momentum) * mean,
+                        var=momentum * bn["var"] + (1 - momentum) * var)
+
+        new = jax.tree_util.tree_map(lambda v: v, params)
+        new["stem"] = dict(new["stem"], bn=ema(params["stem"]["bn"], "stem"))
+        new_stages = []
+        for s, blocks in enumerate(params["stages"]):
+            nb = []
+            for b, block in enumerate(blocks):
+                blk = dict(block,
+                           conv1=dict(block["conv1"],
+                                      bn=ema(block["conv1"]["bn"],
+                                             f"{s}/{b}/conv1")),
+                           conv2=dict(block["conv2"],
+                                      bn=ema(block["conv2"]["bn"],
+                                             f"{s}/{b}/conv2")))
+                if "down" in block:
+                    blk["down"] = dict(block["down"],
+                                       bn=ema(block["down"]["bn"],
+                                              f"{s}/{b}/down"))
+                nb.append(blk)
+            new_stages.append(nb)
+        new["stages"] = new_stages
+        return new

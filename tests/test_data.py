@@ -172,3 +172,20 @@ def test_checkpoint_roundtrip(tmp_path):
     assert mgr.save(m, 3, 0.7)      # displaces nothing (keep=2, worst is 0.5)
     assert not mgr.save(m, 4, 0.1)  # below best-2
     assert "epoch2" in mgr.best_path
+
+
+def test_loader_shuffle_reshuffles_per_epoch():
+    ds = _ds(20, 4)
+    loader = ArrayLoader(ds, 5, shuffle=True, seed=1)
+    first = np.asarray(loader.stacks()[0][0]).copy()
+    loader.reshuffle()
+    second = np.asarray(loader.stacks()[0][0])
+    assert not np.array_equal(first, second)
+    # Same multiset of rows either way.
+    np.testing.assert_allclose(np.sort(first.reshape(-1, 4), axis=0),
+                               np.sort(second.reshape(-1, 4), axis=0))
+    # shuffle=False is a no-op.
+    stable = ArrayLoader(ds, 5, shuffle=False)
+    a = np.asarray(stable.stacks()[0][0]).copy()
+    stable.reshuffle()
+    np.testing.assert_array_equal(a, np.asarray(stable.stacks()[0][0]))

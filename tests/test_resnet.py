@@ -90,3 +90,28 @@ def test_resnet_inside_multimodn():
     h = MultiModNHistory(["t"])
     model.train_epoch(loader, Adam(1e-3), "cross_entropy", h)
     assert np.isfinite(h.loss["train"][-1]).all()
+
+
+def test_resnet_batch_stats_ema():
+    import jax
+    import jax.numpy as jnp
+
+    enc = ResNet(state_size=S)
+    params = enc.init(jax.random.PRNGKey(10))
+    imgs = jnp.asarray(np.random.default_rng(10)
+                       .normal(size=(4, H, H, 3)).astype(np.float32) * 3 + 1)
+    updated = enc.update_batch_stats(params, imgs, momentum=0.0)
+    # momentum=0 -> running stats become exactly the batch stats of the stem.
+    from multimodn_tpu.encoders.resnet import _conv
+    stem_out = _conv(imgs, params["stem"]["w"], 2)
+    np.testing.assert_allclose(np.asarray(updated["stem"]["bn"]["mean"]),
+                               np.asarray(jnp.mean(stem_out, axis=(0, 1, 2))),
+                               rtol=1e-5, atol=1e-5)
+    # Other params untouched.
+    np.testing.assert_allclose(np.asarray(updated["head"]["w"]),
+                               np.asarray(params["head"]["w"]))
+    # Eval-mode forward with updated stats differs from identity-stats eval.
+    state = jnp.zeros((4, S))
+    out_before = enc.apply(params, state, imgs, train=False)
+    out_after = enc.apply(updated, state, imgs, train=False)
+    assert not np.allclose(np.asarray(out_before), np.asarray(out_after))
