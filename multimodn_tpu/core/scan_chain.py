@@ -129,6 +129,13 @@ def forward_chain_scan(
     final_state, (states_exec, sc_exec, ok_exec, counted_exec, e_idx_exec) = \
         jax.lax.scan(step, state0, xs)
 
+    return _scatter_rows(E, state0, states_exec, sc_exec, ok_exec,
+                         counted_exec, e_idx_exec, n_real, final_state)
+
+
+def _scatter_rows(E, state0, states_exec, sc_exec, ok_exec, counted_exec,
+                  e_idx_exec, n_real, final_state):
+
     # Scatter execution-order results into metric-row order (row enc_idx+1).
     states_by_row = jnp.concatenate(
         [state0[None], jnp.zeros_like(states_exec)], axis=0)
@@ -142,3 +149,85 @@ def forward_chain_scan(
     n_counted = jnp.zeros((E + 1,)).at[0].set(n_real) \
         .at[e_idx_exec + 1].set(counted_exec)
     return states_by_row, state_change, row_ok, n_counted, final_state
+
+
+def forward_chain_switch(
+    encoders,                     # heterogeneous encoder modules
+    init_state,
+    params: dict,                 # per-encoder parameter LIST
+    data,                         # tuple of E (B, F_e) arrays
+    sample_mask: jnp.ndarray,
+    *,
+    data_order: jnp.ndarray,      # (n_steps,) int32 — traced OK
+    enc_order: jnp.ndarray,       # (n_steps,) int32 — traced OK
+    nan_skip: str = "sample",
+    train: bool = False,
+    rng=None,
+    init_offset=0,
+):
+    """Dynamic (traced) encoder order for HETEROGENEOUS chains.
+
+    The scan step dispatches with ``lax.switch`` over E encoder branches;
+    modality inputs are zero-padded to the max width and each branch slices
+    its own width statically. This is what makes the reference's per-batch
+    ``shuffle_mode`` (``multimodn.py:527-529``) jit-compatible for chains
+    that mix encoder classes/widths — the homogeneous fast path is
+    ``forward_chain_scan``. Same return contract.
+    """
+    E = len(encoders)
+    batch = sample_mask.shape[0]
+    n_real = jnp.sum(sample_mask.astype(jnp.float32))
+    fmax = max(d.shape[-1] for d in data)
+    data_pad = jnp.stack([
+        jnp.pad(d, ((0, 0), (0, fmax - d.shape[-1]))) for d in data
+    ])                                                  # (E, B, Fmax)
+
+    state0 = init_state.apply(params["init_state"], batch, init_offset)
+
+    def make_branch(j):
+        enc = encoders[j]
+        width = data[j].shape[-1]
+
+        def branch(operand):
+            state, x_pad, step_rng = operand
+            return enc.apply(params["encoders"][j], state, x_pad[:, :width],
+                             train=train, rng=step_rng)
+        return branch
+
+    branches = [make_branch(j) for j in range(E)]
+
+    def step(carry, xs):
+        state = carry
+        k, d_idx, e_idx = xs
+        x = data_pad[d_idx]
+        step_rng = jax.random.fold_in(rng, k) if rng is not None else None
+        old_state = state
+
+        if nan_skip == "none":
+            state = jax.lax.switch(e_idx, branches, (state, x, step_rng))
+            ok = jnp.ones(())
+            counted = n_real
+        else:
+            sample_has_nan = jnp.any(jnp.isnan(x), axis=1)
+            xz = jnp.nan_to_num(x)
+            new_state = jax.lax.switch(e_idx, branches, (state, xz, step_rng))
+            if nan_skip == "batch":
+                any_nan = jnp.any(sample_has_nan & (sample_mask > 0))
+                ok = jnp.where(any_nan, 0.0, 1.0)
+                state = jnp.where(any_nan, old_state, new_state)
+                counted = n_real * ok
+            else:
+                valid = (~sample_has_nan) & (sample_mask > 0)
+                state = jnp.where(valid[:, None], new_state, old_state)
+                ok = jnp.ones(())
+                counted = n_real
+        sc = masked_mean_sq_diff(state, old_state, sample_mask)
+        return state, (state, sc, ok, counted, e_idx)
+
+    n_steps = data_order.shape[0]
+    xs = (jnp.arange(n_steps), data_order.astype(jnp.int32),
+          enc_order.astype(jnp.int32))
+    final_state, (states_exec, sc_exec, ok_exec, counted_exec, e_idx_exec) = \
+        jax.lax.scan(step, state0, xs)
+    return _scatter_rows(E, state0, states_exec, sc_exec, ok_exec,
+                         counted_exec, e_idx_exec, n_real, final_state)

@@ -43,8 +43,9 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
     """
     n_enc = len(encoders)
     n_dec = len(decoders)
-    if chain == "scan":
-        from multimodn_tpu.core.scan_chain import forward_chain_scan
+    if chain in ("scan", "switch"):
+        from multimodn_tpu.core.scan_chain import (forward_chain_scan,
+                                                   forward_chain_switch)
         base_data = jnp.asarray([d for d, _e in order], jnp.int32)
         base_enc = jnp.asarray([e for _d, e in order], jnp.int32)
 
@@ -61,7 +62,7 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
             params = jax.tree_util.tree_map(cast, params)
             data = tuple(cast(x) for x in data) \
                 if isinstance(data, tuple) else cast(data)
-        if chain == "scan":
+        if chain in ("scan", "switch"):
             if shuffle and train:
                 # Shuffle the (data_idx, enc_idx) PAIRS, like the reference's
                 # random.shuffle of the iterable (multimodn.py:527-529).
@@ -69,12 +70,22 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
                 perm = jax.random.permutation(perm_rng, len(order))
             else:
                 perm = jnp.arange(len(order))
-            states, state_change, row_ok, n_counted, final_state = \
-                forward_chain_scan(
-                    encoders[0], n_enc, init_state, params, data, sample_mask,
-                    data_order=base_data[perm], enc_order=base_enc[perm],
-                    nan_skip=nan_skip, train=train, rng=rng,
-                    init_offset=init_offset)
+            chain_fn = forward_chain_scan if chain == "scan" else None
+            if chain == "scan":
+                states, state_change, row_ok, n_counted, final_state = \
+                    forward_chain_scan(
+                        encoders[0], n_enc, init_state, params, data,
+                        sample_mask,
+                        data_order=base_data[perm], enc_order=base_enc[perm],
+                        nan_skip=nan_skip, train=train, rng=rng,
+                        init_offset=init_offset)
+            else:
+                states, state_change, row_ok, n_counted, final_state = \
+                    forward_chain_switch(
+                        encoders, init_state, params, data, sample_mask,
+                        data_order=base_data[perm], enc_order=base_enc[perm],
+                        nan_skip=nan_skip, train=train, rng=rng,
+                        init_offset=init_offset)
         else:
             states, state_change, row_ok, n_counted, final_state = \
                 forward_chain(

@@ -146,9 +146,15 @@ class MultiModN:
                     "chain_mode='scan' requires structurally identical "
                     "encoders (same class, dims, activation)")
             return "scan", self.shuffle_mode
+        if self.chain_mode == "switch":
+            return "switch", self.shuffle_mode
         # auto
         if homogeneous and (self.shuffle_mode or len(self.encoders) >= 16):
             return "scan", self.shuffle_mode
+        if not homogeneous and self.shuffle_mode:
+            # Heterogeneous + per-batch shuffle: lax.switch dispatch keeps
+            # the shuffle inside the jitted program (no retraces).
+            return "switch", True
         return "unrolled", False
 
     def _loss_fn(self, criterion, order, nan_skip):
@@ -197,9 +203,10 @@ class MultiModN:
         else:
             seq = np.asarray(encoder_sequence).reshape(-1)
             order = [(int(k), int(e)) for k, e in enumerate(seq)]
-        if self.shuffle_mode and train and self._chain_plan()[0] != "scan":
-            # Host-side shuffle only for the unrolled chain; the scan chain
-            # permutes in-program per batch (reference-faithful cadence).
+        if self.shuffle_mode and train and \
+                self._chain_plan()[0] not in ("scan", "switch"):
+            # Host-side shuffle only for the unrolled chain; scan/switch
+            # chains permute in-program per batch (reference cadence).
             self._shuffle_rng.shuffle(order)
         return tuple(order)
 

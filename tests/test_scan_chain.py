@@ -161,3 +161,50 @@ def test_in_program_shuffle_trains_and_is_stochastic():
     r1 = m.test(loader, "cross_entropy")
     r2 = m.test(loader, "cross_entropy")
     assert float(r1[0][1]) == float(r2[0][1])
+
+
+def test_switch_chain_matches_unrolled_heterogeneous():
+    """lax.switch dynamic dispatch for MIXED encoder types/widths equals the
+    unrolled chain at identity order."""
+    import jax.numpy as jnp
+    from multimodn_tpu.core.scan_chain import forward_chain_switch
+
+    S = 3
+    encoders = [MLPEncoder(S, 2, (4,)), MIMICMLPEncoder(S, 5, (4,),
+                                                        dropout=0.0),
+                MLPEncoder(S, 3, (6,))]
+    model = MultiModN(S, encoders, [LogisticDecoder(S)], 1.0, 0.0)
+    rng = np.random.default_rng(9)
+    B = 10
+    data = tuple(jnp.asarray(rng.normal(size=(B, e.n_features))
+                             .astype(np.float32)) for e in encoders)
+    data = (data[0].at[1, 0].set(jnp.nan),) + data[1:]
+    mask = jnp.ones((B,), jnp.float32)
+
+    u = forward_chain(encoders, model.init_state, model.params, data, mask,
+                      order=default_order(3), nan_skip="sample")
+    s = forward_chain_switch(encoders, model.init_state, model.params, data,
+                             mask, data_order=jnp.arange(3),
+                             enc_order=jnp.arange(3), nan_skip="sample")
+    for a, b in zip(u, s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_heterogeneous_shuffle_uses_switch_and_trains():
+    from multimodn_tpu.data import PartitionDataset
+
+    S = 3
+    rng = np.random.default_rng(10)
+    X = rng.normal(size=(24, 5)).astype(np.float32)
+    y = rng.integers(0, 2, size=(24, 1))
+    ds = PartitionDataset(X, y, [2, 3])
+    loader = ArrayLoader(ds, 8)
+    m = MultiModN(S, [MLPEncoder(S, 2, (4,)), MLPEncoder(S, 3, (4,))],
+                  [LogisticDecoder(S)], 0.7, 0.3, shuffle_mode=True)
+    assert m._chain_plan() == ("switch", True)
+    # In-program shuffle -> identity order host-side.
+    assert m._resolve_order(loader, train=True) == ((0, 0), (1, 1))
+    h = MultiModNHistory(["t"])
+    for _ in range(3):
+        m.train_epoch(loader, Adam(0.01), "cross_entropy", h)
+    assert np.isfinite(h.loss["train"][-1]).all()
