@@ -469,6 +469,14 @@ class MultiModN:
         # Per-decoder final-encoder-row performance suite
         # (reference multimodn.py:411-419): row-sum normalization (NOT
         # softmax, quirk #5), argmax, positive-class probability column.
+        # Collection-corner decision (tests/test_reference_oracle.py::
+        # test_nan_skipped_last_encoder_corner): the reference collects
+        # outputs inside the skip-guarded loop keyed on enc_idx == E-1
+        # (multimodn.py:354-357), so a batch that NaN-skips the LAST encoder
+        # is dropped from outputs but not targets — get_performance_metrics
+        # then crashes on misaligned arrays. We always emit metric-row E
+        # outputs for every sample (aligned, never crashes); the only
+        # divergence is in configurations where the reference cannot run.
         flat_mask = np.asarray(mask).reshape(-1) > 0
         flat_targets = np.asarray(targets).reshape(-1, targets.shape[-1])[flat_mask]
         results = []

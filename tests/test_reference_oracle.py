@@ -1,0 +1,346 @@
+"""Parity against the ACTUAL reference implementation.
+
+Unlike tests/test_parity.py (whose oracle is a torch re-implementation of the
+reference's documented semantics), these tests import and execute the real
+``/root/reference/multimodn/multimodn.py`` code — with torchmetrics /
+torchsummary replaced by the minimal stubs in tests/ref_oracle.py — transplant
+identical weights, feed identical batches, and assert the training/eval
+trajectories, the 15-tuple performance suite, predict() grids, and
+get_states() match. This closes the "self-referential oracle" gap: a shared
+misreading of the reference cannot pass here, because the right-hand side IS
+reference code.
+"""
+import numpy as np
+import pytest
+import torch
+
+from multimodn_tpu import Adam, MultiModN, MultiModNHistory
+from multimodn_tpu.data import ArrayLoader, PartitionDataset
+from multimodn_tpu.decoders import LogisticDecoder, MLPDecoder
+from multimodn_tpu.encoders import MIMICMLPEncoder, MLPEncoder
+from tests.ref_oracle import (
+    load_reference,
+    ref_module,
+    reference_batches,
+    transplant_reference,
+)
+
+GRID_KEYS = ("loss", "accuracy", "sensitivity", "specificity",
+             "balanced_accuracy")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return load_reference()
+
+
+@pytest.fixture(scope="module")
+def ref_enc():
+    return ref_module("multimodn.encoders.mlp_encoder")
+
+
+@pytest.fixture(scope="module")
+def ref_dec():
+    return ref_module("multimodn.decoders.decoders")
+
+
+def make_dataset(n=90, partitions=(3, 3), seed=0, nan_frac=0.0, n_targets=1,
+                 nan_modality=0):
+    rng = np.random.default_rng(seed)
+    f = sum(partitions)
+    X = rng.normal(size=(n, f)).astype(np.float32)
+    w = rng.normal(size=(f, n_targets))
+    y = (X @ w > 0).astype(np.int64)
+    if nan_frac > 0:
+        rows = rng.random(n) < nan_frac
+        start = int(sum(partitions[:nan_modality]))
+        X[rows, start:start + partitions[nan_modality]] = np.nan
+    return PartitionDataset(X, y, list(partitions))
+
+
+def run_pair(ref, encoders, decoders, ref_encoders, ref_decoders, dataset,
+             epochs=4, batch_size=16, lr=0.01, err_p=0.7, sc_p=0.3,
+             nan_skip="batch", encoder_sequence=None):
+    """Train the JAX model and the real reference side by side on identical
+    data/weights; return (model, ref_model, histories, batches, loader)."""
+    state_size = encoders[0].state_size
+    loader = ArrayLoader(dataset, batch_size=batch_size)
+    model = MultiModN(state_size, encoders, decoders, err_p, sc_p,
+                      nan_skip=nan_skip)
+    ref_model = ref.MultiModN(state_size, ref_encoders, ref_decoders,
+                              err_p, sc_p, device=torch.device("cpu"))
+    transplant_reference(ref_model, model.state_dict())
+
+    opt = Adam(lr)
+    ref_opt = torch.optim.Adam(ref_model.parameters(), lr)
+    criterion = torch.nn.CrossEntropyLoss()
+    batches = reference_batches(loader, encoder_sequence)
+
+    hist = MultiModNHistory([f"t{i}" for i in range(len(decoders))])
+    ref_hist = ref.MultiModNHistory([f"t{i}" for i in range(len(decoders))])
+    for _ in range(epochs):
+        model.train_epoch(loader, opt, "cross_entropy", hist)
+        ref_model.train_epoch(batches, ref_opt, criterion, ref_hist)
+    return model, ref_model, (hist, ref_hist), batches, loader
+
+
+def assert_history_matches(hist, ref_hist, tag="train", rtol=2e-4, atol=2e-5):
+    for key in GRID_KEYS:
+        ours = np.asarray(getattr(hist, key)[tag])
+        theirs = np.asarray(getattr(ref_hist, key)[tag])
+        assert ours.shape == theirs.shape, \
+            f"{key}: shape {ours.shape} vs reference {theirs.shape}"
+        np.testing.assert_allclose(ours, theirs, rtol=rtol, atol=atol,
+                                   err_msg=f"trajectory mismatch: {key}")
+    if tag == "train":
+        np.testing.assert_allclose(
+            np.asarray(hist.state_change_loss),
+            np.asarray(ref_hist.state_change_loss),
+            rtol=rtol, atol=atol, err_msg="trajectory mismatch: state_change")
+
+
+# ---------------------------------------------------------------------------
+# Training-trajectory parity (reference multimodn.py:89-252)
+# ---------------------------------------------------------------------------
+
+def test_titanic_mlp_config_matches_reference(ref, ref_enc, ref_dec):
+    """The canonical quick-start config (titanic_mlp_pipeline.py:69-76):
+    state_size 1, one MLPEncoder(6, (5,5)), one LogisticDecoder."""
+    ds = make_dataset(n=96, partitions=(6,))
+    _, _, (hist, ref_hist), _, _ = run_pair(
+        ref,
+        [MLPEncoder(1, 6, (5, 5))], [LogisticDecoder(1)],
+        [ref_enc.MLPEncoder(1, 6, (5, 5))], [ref_dec.LogisticDecoder(1)],
+        ds, epochs=4, batch_size=32, lr=0.01)
+    assert_history_matches(hist, ref_hist)
+
+
+def test_partitioned_config_matches_reference(ref, ref_enc, ref_dec):
+    """Multi-encoder fusion (titanic_partitioned_pipeline.py: partitions
+    [3,2], state_size 5, two MLPEncoders)."""
+    ds = make_dataset(n=80, partitions=(3, 2), seed=1)
+    _, _, (hist, ref_hist), _, _ = run_pair(
+        ref,
+        [MLPEncoder(5, 3, (5, 5)), MLPEncoder(5, 2, (5, 5))],
+        [LogisticDecoder(5)],
+        [ref_enc.MLPEncoder(5, 3, (5, 5)), ref_enc.MLPEncoder(5, 2, (5, 5))],
+        [ref_dec.LogisticDecoder(5)],
+        ds, epochs=4, batch_size=16)
+    assert_history_matches(hist, ref_hist)
+
+
+def test_mimic_config_matches_reference(ref, ref_enc, ref_dec):
+    """MIMIC-shaped config (mimic_single_task_pipeline.py:123-124):
+    MIMIC_MLPEncoders + MLPDecoder, err 1.0 / sc 0.0 (dropout 0 for
+    rng-free determinism)."""
+    ds = make_dataset(n=64, partitions=(8, 4), seed=2)
+    _, _, (hist, ref_hist), _, _ = run_pair(
+        ref,
+        [MIMICMLPEncoder(5, 8, (8, 8), dropout=0.0),
+         MIMICMLPEncoder(5, 4, (8, 8), dropout=0.0)],
+        [MLPDecoder(5, (8, 8), 2)],
+        [ref_enc.MIMIC_MLPEncoder(5, 8, (8, 8), dropout=0.0),
+         ref_enc.MIMIC_MLPEncoder(5, 4, (8, 8), dropout=0.0)],
+        [ref_dec.MLPDecoder(5, (8, 8), 2)],
+        ds, epochs=4, batch_size=16, lr=0.001, err_p=1.0, sc_p=0.0)
+    assert_history_matches(hist, ref_hist)
+
+
+def test_multi_decoder_matches_reference(ref, ref_enc, ref_dec):
+    ds = make_dataset(n=80, partitions=(3, 3), seed=3, n_targets=2)
+    _, _, (hist, ref_hist), _, _ = run_pair(
+        ref,
+        [MLPEncoder(4, 3, (5,)), MLPEncoder(4, 3, (5,))],
+        [LogisticDecoder(4), MLPDecoder(4, (6,), 2)],
+        [ref_enc.MLPEncoder(4, 3, (5,)), ref_enc.MLPEncoder(4, 3, (5,))],
+        [ref_dec.LogisticDecoder(4), ref_dec.MLPDecoder(4, (6,), 2)],
+        ds, epochs=3)
+    assert_history_matches(hist, ref_hist)
+
+
+def test_batch_nan_skip_matches_reference(ref, ref_enc, ref_dec):
+    """NaN batches skip the encoder wholesale (multimodn.py:167-169) —
+    including the reference's ones-initialized per-row sample counters
+    (quirk #3) interacting with skipped rows."""
+    ds = make_dataset(n=60, partitions=(3, 3), seed=4, nan_frac=0.35)
+    _, _, (hist, ref_hist), _, _ = run_pair(
+        ref,
+        [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+        [LogisticDecoder(3)],
+        [ref_enc.MLPEncoder(3, 3, (4,)), ref_enc.MLPEncoder(3, 3, (4,))],
+        [ref_dec.LogisticDecoder(3)],
+        ds, epochs=3, batch_size=8, nan_skip="batch")
+    assert_history_matches(hist, ref_hist)
+
+
+class _SeqPartitionDataset(PartitionDataset):
+    """PartitionDataset carrying a fixed per-sample encoding sequence."""
+
+    def __init__(self, X, y, partitions, seq):
+        super().__init__(X, y, partitions)
+        self._enc_seq = np.asarray(seq, np.int64)
+
+    def __getitem__(self, i):
+        xs, y = super().__getitem__(i)[:2]
+        return xs, y, self._enc_seq
+
+    def arrays(self):
+        xs, y = super().arrays()[:2]
+        return xs, y, np.tile(self._enc_seq[None, :], (len(self), 1))
+
+
+def test_encoder_sequence_matches_reference(ref, ref_enc, ref_dec):
+    """A batch-uniform dataset-supplied encoding sequence drives the same
+    (data_idx, enc_idx) iteration as the reference's get_encoder_iterable
+    (multimodn.py:509-531). Asymmetric encoder widths (3 vs 2 features)
+    ensure an order mix-up cannot silently pass."""
+    seq = np.asarray([1, 0], np.int64)  # visit encoder 1 first
+    rng = np.random.default_rng(6)
+    X = rng.normal(size=(48, 5)).astype(np.float32)
+    y = (X @ rng.normal(size=(5, 1)) > 0).astype(np.int64)
+    ds = _SeqPartitionDataset(X, y, [3, 2], seq)
+    loader = ArrayLoader(ds, batch_size=16)
+    assert loader.encoding_sequence is not None
+
+    # data slot 0 (3 features) feeds encoder 1; slot 1 (2 features) feeds
+    # encoder 0 — so encoder 1 takes 3 inputs and encoder 0 takes 2.
+    model = MultiModN(3, [MLPEncoder(3, 2, (4,)), MLPEncoder(3, 3, (4,))],
+                      [LogisticDecoder(3)], 0.7, 0.3, nan_skip="batch")
+    ref_model = ref.MultiModN(
+        3, [ref_enc.MLPEncoder(3, 2, (4,)), ref_enc.MLPEncoder(3, 3, (4,))],
+        [ref_dec.LogisticDecoder(3)], 0.7, 0.3, device=torch.device("cpu"))
+    transplant_reference(ref_model, model.state_dict())
+    opt = Adam(0.01)
+    ref_opt = torch.optim.Adam(ref_model.parameters(), 0.01)
+    batches = reference_batches(loader, encoder_sequence=seq)
+    hist, ref_hist = MultiModNHistory(["t0"]), ref.MultiModNHistory(["t0"])
+    for _ in range(3):
+        model.train_epoch(loader, opt, "cross_entropy", hist)
+        ref_model.train_epoch(batches, ref_opt,
+                              torch.nn.CrossEntropyLoss(), ref_hist)
+    assert_history_matches(hist, ref_hist)
+
+
+# ---------------------------------------------------------------------------
+# test() parity: history grids + the 15-tuple suite (multimodn.py:255-419)
+# ---------------------------------------------------------------------------
+
+def test_eval_and_metric_suite_match_reference(ref, ref_enc, ref_dec):
+    ds = make_dataset(n=70, partitions=(6,), seed=7)
+    loader = ArrayLoader(ds, batch_size=32)
+    model = MultiModN(2, [MLPEncoder(2, 6, (5,))], [LogisticDecoder(2)],
+                      0.7, 0.3, nan_skip="batch")
+    ref_model = ref.MultiModN(
+        2, [ref_enc.MLPEncoder(2, 6, (5,))], [ref_dec.LogisticDecoder(2)],
+        0.7, 0.3, device=torch.device("cpu"))
+    transplant_reference(ref_model, model.state_dict())
+
+    hist, ref_hist = MultiModNHistory(["t0"]), ref.MultiModNHistory(["t0"])
+    ours = model.test(loader, "cross_entropy", hist, tag="val")
+    theirs = ref_model.test(reference_batches(loader),
+                            torch.nn.CrossEntropyLoss(), ref_hist, tag="val")
+    assert_history_matches(hist, ref_hist, tag="val")
+
+    assert len(ours) == len(theirs) == 1
+    ours15, theirs15 = ours[0], theirs[0]
+    assert len(ours15) == len(theirs15) == 15
+    # Scalars: f1, auc, accuracy, sensitivity, specificity (+ counts 9-12).
+    for i in (0, 1, 2, 3, 4, 9, 10, 11, 12):
+        np.testing.assert_allclose(
+            float(np.asarray(ours15[i])), float(np.asarray(theirs15[i])),
+            rtol=1e-5, atol=1e-6, err_msg=f"metric tuple index {i}")
+    # Curves: fpr/tpr/precision/recall/thresholds.
+    for i in (5, 6, 7, 8, 13, 14):
+        np.testing.assert_allclose(
+            np.asarray(ours15[i], np.float64),
+            np.asarray(theirs15[i], np.float64),
+            rtol=1e-5, atol=1e-6, err_msg=f"metric curve index {i}")
+
+
+def test_last_epoch_flag_matches_reference(ref, ref_enc, ref_dec):
+    """train_epoch(last_epoch=True) returns test() on the train loader
+    (quirk #16, multimodn.py:251-252)."""
+    ds = make_dataset(n=48, partitions=(6,), seed=8)
+    loader = ArrayLoader(ds, batch_size=16)
+    model = MultiModN(2, [MLPEncoder(2, 6, (5,))], [LogisticDecoder(2)],
+                      0.7, 0.3, nan_skip="batch")
+    ref_model = ref.MultiModN(
+        2, [ref_enc.MLPEncoder(2, 6, (5,))], [ref_dec.LogisticDecoder(2)],
+        0.7, 0.3, device=torch.device("cpu"))
+    transplant_reference(ref_model, model.state_dict())
+    opt, ref_opt = Adam(0.01), torch.optim.Adam(ref_model.parameters(), 0.01)
+    res = model.train_epoch(loader, opt, "cross_entropy", None,
+                            last_epoch=True)
+    ref_res = ref_model.train_epoch(reference_batches(loader), ref_opt,
+                                    torch.nn.CrossEntropyLoss(), None,
+                                    last_epoch=True)
+    assert res is not None and ref_res is not None
+    for i in (0, 1, 2, 3, 4):
+        np.testing.assert_allclose(
+            float(np.asarray(res[0][i])), float(np.asarray(ref_res[0][i])),
+            rtol=2e-4, atol=2e-5, err_msg=f"last_epoch tuple index {i}")
+
+
+# ---------------------------------------------------------------------------
+# predict() / get_states() parity (multimodn.py:422-492)
+# ---------------------------------------------------------------------------
+
+def test_predict_matches_reference(ref, ref_enc, ref_dec):
+    ds = make_dataset(n=40, partitions=(3, 3), seed=9)
+    model = MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                      [LogisticDecoder(3)], 0.7, 0.3)
+    ref_model = ref.MultiModN(
+        3, [ref_enc.MLPEncoder(3, 3, (4,)), ref_enc.MLPEncoder(3, 3, (4,))],
+        [ref_dec.LogisticDecoder(3)], 0.7, 0.3, device=torch.device("cpu"))
+    transplant_reference(ref_model, model.state_dict())
+    xs, _, _ = ds.arrays()
+    ours = model.predict([x[:10] for x in xs])
+    theirs = ref_model.predict([torch.from_numpy(x[:10]) for x in xs])
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_get_states_matches_reference(ref, ref_enc, ref_dec):
+    ds = make_dataset(n=40, partitions=(3, 3), seed=10, nan_frac=0.3)
+    loader = ArrayLoader(ds, batch_size=8)
+    model = MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                      [LogisticDecoder(3)], 0.7, 0.3, nan_skip="batch")
+    ref_model = ref.MultiModN(
+        3, [ref_enc.MLPEncoder(3, 3, (4,)), ref_enc.MLPEncoder(3, 3, (4,))],
+        [ref_dec.LogisticDecoder(3)], 0.7, 0.3, device=torch.device("cpu"))
+    transplant_reference(ref_model, model.state_dict())
+    ours = np.stack(model.get_states(loader))
+    theirs = np.stack([s.numpy() for s in
+                       ref_model.get_states(reference_batches(loader))])
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# The test()-collection corner (VERDICT missing #4): a batch that NaN-skips
+# the LAST encoder is dropped from the reference's output collection while
+# its targets are kept, so get_performance_metrics receives misaligned
+# arrays and crashes (multimodn.py:354-357 keyed on enc_idx == E-1 inside
+# the skip-guarded loop). Reachable-behavior decision, documented in
+# model.py: the rebuild always emits metric-row E outputs for every sample
+# (aligned, non-crashing); this test pins BOTH facts.
+# ---------------------------------------------------------------------------
+
+def test_nan_skipped_last_encoder_corner(ref, ref_enc, ref_dec):
+    ds = make_dataset(n=32, partitions=(3, 3), seed=11, nan_frac=0.4,
+                      nan_modality=1)  # NaNs in the LAST encoder's modality
+    loader = ArrayLoader(ds, batch_size=4)
+    model = MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                      [LogisticDecoder(3)], 0.7, 0.3, nan_skip="batch")
+    ref_model = ref.MultiModN(
+        3, [ref_enc.MLPEncoder(3, 3, (4,)), ref_enc.MLPEncoder(3, 3, (4,))],
+        [ref_dec.LogisticDecoder(3)], 0.7, 0.3, device=torch.device("cpu"))
+    transplant_reference(ref_model, model.state_dict())
+
+    # The reference crashes: misaligned outputs vs targets.
+    with pytest.raises(Exception):
+        ref_model.test(reference_batches(loader),
+                       torch.nn.CrossEntropyLoss(), None)
+
+    # The rebuild returns aligned, finite metrics for every sample.
+    results = model.test(loader, "cross_entropy", None)
+    assert len(results) == 1 and len(results[0]) == 15
+    assert np.isfinite(float(np.asarray(results[0][1])))  # auroc
