@@ -174,7 +174,19 @@ def decode_grid(
         out = out.astype(jnp.float32)
         outputs.append(out)
         tgt = jnp.broadcast_to(targets[:, d][None, :], (n_rows, targets.shape[0]))
-        ce = criterion(out, tgt, row_mask if criterion_accepts_mask(criterion) else None)
+        if criterion_accepts_mask(criterion):
+            ce = criterion(out, tgt, row_mask)
+        else:
+            # Reference-style 2-arg criteria expect ONE (B, C)/(B,) batch per
+            # call (multimodn.py:146) — vmap over the metric-row axis so a
+            # criterion that reduces to a scalar yields per-row losses
+            # instead of broadcasting one global mean into every grid cell.
+            ce = jax.vmap(lambda o, t: jnp.asarray(criterion(o, t)))(out, tgt)
+        if ce.shape != (n_rows,):
+            raise ValueError(
+                f"criterion must reduce each (B, C) row to a scalar; got "
+                f"shape {ce.shape} for {n_rows} rows. Mask-aware criteria "
+                f"take (outputs, targets, mask) and return per-row means.")
         # criterion returns (E+1,) means; dead rows contribute 0 like the
         # reference's never-written grid cells.
         err_cols.append(ce * row_ok)

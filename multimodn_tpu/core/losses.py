@@ -86,12 +86,20 @@ class CrossEntropyLoss:
         return cross_entropy_loss(outputs, targets, mask)
 
 
+import weakref
+
+_WRAP_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def resolve_criterion(criterion):
     """Accept a string name, a callable, or None (-> cross-entropy).
 
-    Callables taking only (outputs, targets) are wrapped; they cannot be
-    mask-corrected, so with such criteria padded batch tails contribute to the
-    per-cell mean (use mask-aware 3-arg criteria for exactness)."""
+    Callables taking only (outputs, targets) are applied per metric row via
+    vmap (see core.fusion.decode_grid); they cannot be mask-corrected, so
+    with such criteria padded batch tails contribute to the per-cell mean
+    (use mask-aware 3-arg criteria for exactness). Wrapping is memoized per
+    base callable so repeated train/eval calls with the same user criterion
+    reuse one compiled program."""
     if criterion is None:
         return cross_entropy_loss
     if callable(criterion):
@@ -105,10 +113,20 @@ def resolve_criterion(criterion):
         if n_params >= 3:
             criterion._accepts_mask = True
             return criterion
+        try:
+            cached = _WRAP_CACHE.get(criterion)
+        except TypeError:          # unhashable/unweakrefable callable
+            cached = None
+        if cached is not None:
+            return cached
 
         def wrapped(outputs, targets, mask=None, _base=criterion):
             return _base(outputs, targets)
         wrapped._accepts_mask = False
+        try:
+            _WRAP_CACHE[criterion] = wrapped
+        except TypeError:
+            pass
         return wrapped
     try:
         return LOSSES[criterion]

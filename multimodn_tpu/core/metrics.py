@@ -50,22 +50,36 @@ def safe_div(num, denom):
 
 def masked_binary_auroc(probs: jnp.ndarray, labels: jnp.ndarray,
                         valid: jnp.ndarray) -> jnp.ndarray:
-    """Exact binary AUROC on device via the pairwise Mann-Whitney statistic
-    (ties count 0.5 — identical to trapezoidal ROC integration).
+    """Exact binary AUROC on device via the rank-sum (Mann-Whitney U)
+    statistic with tie-averaged ranks — identical to trapezoidal ROC
+    integration (ties count 0.5).
 
-    O(N^2) but fully vectorized; for validation-set sizes (<= a few thousand)
-    this is microseconds on the VPU and lets checkpoint selection happen
-    INSIDE the fused multi-epoch program with zero host round-trips.
+    O(N log N): one sort + two searchsorted passes, all jit/vmap friendly —
+    checkpoint selection runs INSIDE the fused multi-epoch program with zero
+    host round-trips even at real MIMIC validation sizes (~10^4-10^5 rows),
+    where the previous pairwise O(N^2) formulation would materialize a
+    multi-GB (N, N) matrix. Property-tested against sklearn up to N=10^5
+    (tests/test_metrics.py).
     """
     probs = probs.astype(jnp.float32)
-    v = valid.astype(jnp.float32)
-    pos = v * (labels == 1)
-    neg = v * (labels == 0)
-    diff = probs[:, None] - probs[None, :]
-    wins = (diff > 0).astype(jnp.float32) + 0.5 * (diff == 0).astype(jnp.float32)
-    num = jnp.sum(wins * pos[:, None] * neg[None, :])
-    denom = jnp.sum(pos) * jnp.sum(neg)
-    return jnp.where(denom > 0, num / jnp.maximum(denom, 1.0), 0.0)
+    v = valid.astype(jnp.float32) > 0
+    pos = v & (labels == 1)
+    neg = v & (labels == 0)
+    # Invalid rows get +inf: they occupy the top ranks without perturbing
+    # the relative (tie-averaged) ranks of the valid rows below them.
+    x = jnp.where(v, probs, jnp.inf)
+    sorted_x = jnp.sort(x)
+    left = jnp.searchsorted(sorted_x, x, side="left")
+    right = jnp.searchsorted(sorted_x, x, side="right")
+    # Tie-averaged 1-based rank: values tied over sorted slots
+    # [left+1, right] average to (left + right + 1) / 2.
+    rank = 0.5 * (left + right + 1).astype(jnp.float32)
+    n_pos = jnp.sum(pos.astype(jnp.float32))
+    n_neg = jnp.sum(neg.astype(jnp.float32))
+    sum_pos_ranks = jnp.sum(jnp.where(pos, rank, 0.0))
+    u = sum_pos_ranks - n_pos * (n_pos + 1.0) / 2.0
+    denom = n_pos * n_neg
+    return jnp.where(denom > 0, u / jnp.maximum(denom, 1.0), 0.0)
 
 
 # --------------------------------------------------------------------------

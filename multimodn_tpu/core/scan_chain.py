@@ -124,7 +124,8 @@ def forward_chain_scan(
         sc = masked_mean_sq_diff(state, old_state, sample_mask)
         return state, (state, sc, ok, counted, e_idx)
 
-    xs = (jnp.arange(E), data_order.astype(jnp.int32),
+    n_steps = data_order.shape[0]
+    xs = (jnp.arange(n_steps), data_order.astype(jnp.int32),
           enc_order.astype(jnp.int32))
     final_state, (states_exec, sc_exec, ok_exec, counted_exec, e_idx_exec) = \
         jax.lax.scan(step, state0, xs)
@@ -186,7 +187,11 @@ def forward_chain_switch(
 
     def make_branch(j):
         enc = encoders[j]
-        width = data[j].shape[-1]
+        # Slice to the ENCODER's input width, not modality j's: under a
+        # permuted (data_idx, enc_idx) pairing encoder j can receive any
+        # modality (they must agree in width for the pairing to be valid,
+        # exactly as in the reference where the matmul would fail otherwise).
+        width = getattr(enc, "n_features", None) or data[j].shape[-1]
 
         def branch(operand):
             state, x_pad, step_rng = operand

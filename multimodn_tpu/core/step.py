@@ -29,7 +29,7 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
                        err_penalty: float, state_change_penalty: float,
                        order: Sequence[Tuple[int, int]], nan_skip: str,
                        chain: str = "unrolled", shuffle: bool = False,
-                       compute_dtype=None):
+                       compute_dtype=None, per_batch_seq: bool = False):
     """Pure (params, batch...) -> (loss, aux) for one padded batch.
 
     ``state_change_penalty`` arrives already scaled by the constructor's 0.01
@@ -40,16 +40,24 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
     modality order is drawn per batch INSIDE the program (the reference's
     shuffle_mode, ``multimodn.py:527-529``), which the unrolled chain cannot
     express without retracing.
+
+    ``per_batch_seq=True``: the returned loss_fn takes a traced ``seq``
+    argument — this batch's (L,) encoder order (the reference's per-batch
+    ``encoding_sequence``, ``multimodn.py:509-523``) — instead of the static
+    ``order``; requires a traced-order chain ('scan' or 'switch').
     """
     n_enc = len(encoders)
     n_dec = len(decoders)
+    if per_batch_seq and chain not in ("scan", "switch"):
+        raise ValueError("per_batch_seq requires chain='scan' or 'switch'")
     if chain in ("scan", "switch"):
         from multimodn_tpu.core.scan_chain import (forward_chain_scan,
                                                    forward_chain_switch)
         base_data = jnp.asarray([d for d, _e in order], jnp.int32)
         base_enc = jnp.asarray([e for _d, e in order], jnp.int32)
 
-    def loss_fn(params, data, targets, sample_mask, rng, init_offset, train: bool):
+    def loss_fn(params, data, targets, sample_mask, rng, init_offset,
+                train: bool, seq=None):
         if compute_dtype is not None:
             # Mixed precision: forward/backward in compute_dtype (bf16 on
             # TPU = MXU-native inputs with fp32 accumulation, see
@@ -63,27 +71,34 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
             data = tuple(cast(x) for x in data) \
                 if isinstance(data, tuple) else cast(data)
         if chain in ("scan", "switch"):
+            if per_batch_seq:
+                # Reference get_encoder_iterable: data_idx enumerates the
+                # sequence positions, enc_idx comes from the sequence
+                # (multimodn.py:516-525).
+                b_data = jnp.arange(seq.shape[0], dtype=jnp.int32)
+                b_enc = seq.astype(jnp.int32)
+            else:
+                b_data, b_enc = base_data, base_enc
             if shuffle and train:
                 # Shuffle the (data_idx, enc_idx) PAIRS, like the reference's
                 # random.shuffle of the iterable (multimodn.py:527-529).
                 perm_rng = jax.random.fold_in(rng, 982451653)
-                perm = jax.random.permutation(perm_rng, len(order))
+                perm = jax.random.permutation(perm_rng, b_data.shape[0])
             else:
-                perm = jnp.arange(len(order))
-            chain_fn = forward_chain_scan if chain == "scan" else None
+                perm = jnp.arange(b_data.shape[0])
             if chain == "scan":
                 states, state_change, row_ok, n_counted, final_state = \
                     forward_chain_scan(
                         encoders[0], n_enc, init_state, params, data,
                         sample_mask,
-                        data_order=base_data[perm], enc_order=base_enc[perm],
+                        data_order=b_data[perm], enc_order=b_enc[perm],
                         nan_skip=nan_skip, train=train, rng=rng,
                         init_offset=init_offset)
             else:
                 states, state_change, row_ok, n_counted, final_state = \
                     forward_chain_switch(
                         encoders, init_state, params, data, sample_mask,
-                        data_order=base_data[perm], enc_order=base_enc[perm],
+                        data_order=b_data[perm], enc_order=b_enc[perm],
                         nan_skip=nan_skip, train=train, rng=rng,
                         init_offset=init_offset)
         else:
@@ -193,23 +208,30 @@ def gated_update(tx, grads, opt_state, params, batch_mask,
 
 def make_train_epoch_fn(loss_fn, tx, *, donate: bool = True,
                         gate_empty_batches: bool = False,
-                        scan_unroll=None):
+                        scan_unroll=None, with_seq: bool = False):
     """Build the jitted whole-epoch training program.
 
-    Signature: (params, opt_state, data, targets, sample_mask, rng)
+    Signature: (params, opt_state, data, targets, sample_mask, rng[, seqs])
             -> (params, opt_state, epoch_sums, n_batches_traced)
+    ``with_seq``: thread an (n_batches, L) per-batch encoder-order array
+    through the batch scan (per-batch ``encoding_sequence`` support).
     """
 
-    def train_epoch(params, opt_state, data, targets, sample_mask, rng):
+    def train_epoch(params, opt_state, data, targets, sample_mask, rng,
+                    seqs=None):
         n_batches = targets.shape[0]
 
         def body(carry, xs):
             params, opt_state, offset = carry
-            batch_data, batch_targets, batch_mask, batch_idx = xs
+            if with_seq:
+                batch_data, batch_targets, batch_mask, batch_idx, seq = xs
+            else:
+                batch_data, batch_targets, batch_mask, batch_idx = xs
+                seq = None
             batch_rng = jax.random.fold_in(rng, batch_idx)
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch_data, batch_targets, batch_mask, batch_rng,
-                offset, True)
+                offset, True, seq)
             params, opt_state = gated_update(tx, grads, opt_state, params,
                                              batch_mask,
                                              gate_empty_batches)
@@ -222,6 +244,8 @@ def make_train_epoch_fn(loss_fn, tx, *, donate: bool = True,
             return (params, opt_state, offset), ys
 
         xs = (data, targets, sample_mask, jnp.arange(n_batches))
+        if with_seq:
+            xs = xs + (seqs,)
         (params, opt_state, _), ys = jax.lax.scan(
             body, (params, opt_state, jnp.zeros(())), xs,
             unroll=resolve_unroll(scan_unroll, n_batches))
@@ -233,7 +257,7 @@ def make_train_epoch_fn(loss_fn, tx, *, donate: bool = True,
     return jax.jit(train_epoch, donate_argnums=donate_argnums)
 
 
-def make_eval_epoch_fn(loss_fn, scan_unroll=None):
+def make_eval_epoch_fn(loss_fn, scan_unroll=None, with_seq: bool = False):
     """Build the jitted whole-epoch evaluation program.
 
     Returns per-epoch grid sums plus the concatenated final-row decoder
@@ -242,20 +266,26 @@ def make_eval_epoch_fn(loss_fn, scan_unroll=None):
     ``multimodn.py:354-357``).
     """
 
-    def eval_epoch(params, data, targets, sample_mask, rng):
+    def eval_epoch(params, data, targets, sample_mask, rng, seqs=None):
         n_batches = targets.shape[0]
 
         def body(offset, xs):
-            batch_data, batch_targets, batch_mask, batch_idx = xs
+            if with_seq:
+                batch_data, batch_targets, batch_mask, batch_idx, seq = xs
+            else:
+                batch_data, batch_targets, batch_mask, batch_idx = xs
+                seq = None
             batch_rng = jax.random.fold_in(rng, batch_idx)
             _, aux = loss_fn(params, batch_data, batch_targets, batch_mask,
-                             batch_rng, offset, False)
+                             batch_rng, offset, False, seq)
             offset = offset + jnp.sum(batch_mask)
             ys = {k: aux[k] for k in _GRID_KEYS}
             ys["final_outputs"] = aux["final_outputs"]
             return offset, ys
 
         xs = (data, targets, sample_mask, jnp.arange(n_batches))
+        if with_seq:
+            xs = xs + (seqs,)
         _, ys = jax.lax.scan(body, jnp.zeros(()), xs,
                              unroll=resolve_unroll(scan_unroll, n_batches))
         sums = {k: jnp.sum(ys[k], axis=0) for k in _GRID_KEYS}
@@ -266,9 +296,28 @@ def make_eval_epoch_fn(loss_fn, scan_unroll=None):
     return jax.jit(eval_epoch)
 
 
+def epoch_permute(data, targets, sample_mask, erng):
+    """In-program per-epoch sample reshuffle for the fused multi-epoch
+    programs: ONE shared permutation of the flattened (n_batches*B) sample
+    axis, applied identically to data/targets/mask so triples stay aligned
+    (padded rows travel with their mask=0 and land in arbitrary batches —
+    every loss/metric is mask-exact, so only batch composition changes,
+    which is exactly what torch's DataLoader(shuffle=True) changes)."""
+    n_batches, batch = targets.shape[0], targets.shape[1]
+    n = n_batches * batch
+    perm = jax.random.permutation(jax.random.fold_in(erng, 777), n)
+
+    def regroup(a):
+        flat = a.reshape((n,) + a.shape[2:])
+        return jnp.take(flat, perm, axis=0).reshape(a.shape)
+
+    return (jax.tree_util.tree_map(regroup, data), regroup(targets),
+            regroup(sample_mask))
+
+
 def make_fit_fn(loss_fn, tx, with_val: bool,
                 gate_empty_batches: bool = False,
-                scan_unroll=None):
+                scan_unroll=None, reshuffle: bool = False):
     """Build the jitted MULTI-epoch training program: N epochs (optionally
     each followed by a validation sweep) in ONE device dispatch.
 
@@ -322,14 +371,20 @@ def make_fit_fn(loss_fn, tx, with_val: bool,
                              unroll=resolve_unroll(scan_unroll, n_batches))
         return {k: jnp.sum(v, axis=0) for k, v in ys.items()}
 
+    def train_arrays(data, targets, mask, erng):
+        if reshuffle:
+            return epoch_permute(data, targets, mask, erng)
+        return data, targets, mask
+
     if with_val:
         def fit(params, opt_state, data, targets, mask,
                 val_data, val_targets, val_mask, epoch_ids, rng):
             def epoch_body(carry, eid):
                 params, opt_state = carry
                 erng = jax.random.fold_in(rng, eid)
+                d, t, m = train_arrays(data, targets, mask, erng)
                 params, opt_state, tsums = run_train_epoch(
-                    params, opt_state, data, targets, mask, erng)
+                    params, opt_state, d, t, m, erng)
                 vsums = run_eval_epoch(params, val_data, val_targets,
                                        val_mask, erng)
                 return (params, opt_state), (tsums, vsums)
@@ -342,8 +397,9 @@ def make_fit_fn(loss_fn, tx, with_val: bool,
             def epoch_body(carry, eid):
                 params, opt_state = carry
                 erng = jax.random.fold_in(rng, eid)
+                d, t, m = train_arrays(data, targets, mask, erng)
                 params, opt_state, tsums = run_train_epoch(
-                    params, opt_state, data, targets, mask, erng)
+                    params, opt_state, d, t, m, erng)
                 return (params, opt_state), tsums
 
             (params, opt_state), tsums = jax.lax.scan(
@@ -355,7 +411,7 @@ def make_fit_fn(loss_fn, tx, with_val: bool,
 
 def make_select_fit_fn(loss_fn, tx, binary_decoders,
                        gate_empty_batches: bool = False,
-                       scan_unroll=None):
+                       scan_unroll=None, reshuffle: bool = False):
     """Fused multi-epoch training WITH on-device best-checkpoint selection.
 
     Reproduces the reference MIMIC experiment loop's per-epoch rule
@@ -437,14 +493,21 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
 
     def fit(params, opt_state, data, targets, mask,
             val_data, val_targets, val_mask, epoch_ids, rng):
+        # best_score starts at -inf so epoch 0 always wins the strictly-
+        # greater comparison; a constant-zero score can no longer leave
+        # best_epoch at -1 and silently restore untrained parameters.
         best0 = (jax.tree_util.tree_map(lambda x: x, params),
-                 jnp.zeros(()), jnp.asarray(-1, jnp.int32))
+                 jnp.full((), -jnp.inf), jnp.asarray(-1, jnp.int32))
 
         def epoch_body(carry, eid):
             params, opt_state, best = carry
             erng = jax.random.fold_in(rng, eid)
+            if reshuffle:
+                d, t, m = epoch_permute(data, targets, mask, erng)
+            else:
+                d, t, m = data, targets, mask
             params, opt_state, tsums = run_train_epoch(
-                params, opt_state, data, targets, mask, erng)
+                params, opt_state, d, t, m, erng)
             vsums, outputs = run_eval_epoch(params, val_data, val_targets,
                                             val_mask, erng)
             score = selection_score(vsums, outputs, val_targets, val_mask)

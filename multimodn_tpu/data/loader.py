@@ -93,15 +93,13 @@ class ArrayLoader:
             y = y[:, None]
         self._xs = xs
         self._y = y.astype(np.int32)
+        # Per-sample encoding sequences are kept whole; uniformity is
+        # validated PER BATCH (after batching) in batch_sequences(), exactly
+        # the reference's requirement (multimodn.py:520-523, quirk #7) —
+        # batch_size=1 therefore supports fully per-sample sequences, and
+        # any batch-uniform grouping works at larger batch sizes.
         self._seq = seq.astype(np.int32) if seq is not None else None
-        if self._seq is not None:
-            if not (self._seq == self._seq[0]).all():
-                # Reference raises for non-uniform sequences across a batch
-                # (multimodn.py:520-523, quirk #7); we validate up front.
-                raise ValueError(
-                    "Encoder sequence has different values across the batch. "
-                    "Hint: set batch size to 1 to avoid this error."
-                )
+        self._batch_seq = None
         self.batch_size = batch_size if batch_size > 0 else self.n_samples
         self.shuffle = shuffle
         self._rng = np.random.default_rng(seed)
@@ -115,13 +113,43 @@ class ArrayLoader:
 
     @property
     def encoding_sequence(self) -> Optional[np.ndarray]:
-        """Batch-uniform encoder order from the dataset, if any."""
-        return self._seq[0] if self._seq is not None else None
+        """Globally uniform encoder order from the dataset, if any. Returns
+        None when sequences vary by sample/batch — use batch_sequences()."""
+        if self._seq is None or not (self._seq == self._seq[0]).all():
+            return None
+        return self._seq[0]
+
+    def batch_sequences(self) -> Optional[np.ndarray]:
+        """Per-batch encoder orders as an (n_batches, L) int32 array, or None
+        when the dataset supplies no sequences or one globally uniform
+        sequence (the fast static-order path covers that case).
+
+        Raises the reference's error (multimodn.py:520-523) if any batch
+        mixes different sequences — per-sample sequences need batch_size=1
+        or a sample order that groups equal sequences into batches.
+        """
+        if self._seq is None or self.encoding_sequence is not None:
+            return None
+        if self._batch_seq is None:
+            stacked = self._pad_stack(self._seq)          # (nb, B, L)
+            mask = self._pad_stack(np.ones(self.n_samples, np.float32)) > 0
+            rows = []
+            for b in range(self.n_batches):
+                real = stacked[b][mask[b]]
+                if not (real == real[0]).all():
+                    raise ValueError(
+                        "Encoder sequence has different values across the "
+                        "batch. Hint: set batch size to 1 to avoid this "
+                        "error.")
+                rows.append(real[0])
+            self._batch_seq = np.stack(rows).astype(np.int32)
+        return self._batch_seq
 
     def reshuffle(self):
         if self.shuffle:
             self._rng.shuffle(self._order)
             self._stacks = None
+            self._batch_seq = None
 
     def _pad_stack(self, arr: np.ndarray) -> np.ndarray:
         """(N, ...) -> (n_batches, B, ...) with zero-padded tail."""

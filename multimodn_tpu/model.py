@@ -157,33 +157,55 @@ class MultiModN:
             return "switch", True
         return "unrolled", False
 
-    def _loss_fn(self, criterion, order, nan_skip):
+    def _loss_fn(self, criterion, order, nan_skip, per_batch: bool = False):
         chain, shuffle = self._chain_plan()
-        key = ("loss", id(criterion), order, nan_skip, chain, shuffle,
+        if per_batch and chain == "unrolled":
+            # Per-batch encoding sequences need a traced-order chain:
+            # stacked-scan for homogeneous encoders, lax.switch otherwise.
+            from multimodn_tpu.core.scan_chain import encoders_homogeneous
+            chain = "scan" if encoders_homogeneous(self.encoders) \
+                else "switch"
+        # Cache keys hold the criterion/tx OBJECTS (not id()): a held key is a
+        # strong reference, so a GC'd criterion can never alias a stale
+        # compiled program through id reuse (tests/test_fit.py::
+        # test_fn_cache_survives_criterion_gc).
+        key = ("loss", criterion, order, nan_skip, chain, shuffle, per_batch,
                str(self.compute_dtype))
         if key not in self._fn_cache:
             self._fn_cache[key] = make_batch_loss_fn(
                 self.encoders, self.decoders, self.init_state, criterion,
                 self.err_penalty, self.state_change_penalty, order, nan_skip,
                 chain=chain, shuffle=shuffle,
-                compute_dtype=self.compute_dtype)
+                compute_dtype=self.compute_dtype, per_batch_seq=per_batch)
         return self._fn_cache[key]
 
-    def _train_fn(self, criterion, order, optimizer):
-        key = ("train", id(criterion), order, self.nan_skip, id(optimizer.tx))
+    def _train_fn(self, criterion, order, optimizer, per_batch: bool = False):
+        key = ("train", criterion, order, self.nan_skip, optimizer.tx,
+               per_batch)
         if key not in self._fn_cache:
-            loss_fn = self._loss_fn(criterion, order, self.nan_skip)
+            loss_fn = self._loss_fn(criterion, order, self.nan_skip,
+                                    per_batch)
             self._fn_cache[key] = make_train_epoch_fn(
-                loss_fn, optimizer.tx, scan_unroll=self.scan_unroll)
+                loss_fn, optimizer.tx, scan_unroll=self.scan_unroll,
+                with_seq=per_batch)
         return self._fn_cache[key]
 
-    def _eval_fn(self, criterion, order):
-        key = ("eval", id(criterion), order, self.nan_skip)
+    def _eval_fn(self, criterion, order, per_batch: bool = False):
+        key = ("eval", criterion, order, self.nan_skip, per_batch)
         if key not in self._fn_cache:
-            loss_fn = self._loss_fn(criterion, order, self.nan_skip)
+            loss_fn = self._loss_fn(criterion, order, self.nan_skip,
+                                    per_batch)
             self._fn_cache[key] = make_eval_epoch_fn(
-                loss_fn, scan_unroll=self.scan_unroll)
+                loss_fn, scan_unroll=self.scan_unroll, with_seq=per_batch)
         return self._fn_cache[key]
+
+    @staticmethod
+    def _batch_seqs(loader):
+        """Per-batch encoder orders from the loader (None on the uniform
+        fast path). Validates batch-uniformity like the reference
+        (multimodn.py:520-523)."""
+        fn = getattr(loader, "batch_sequences", None)
+        return fn() if fn is not None else None
 
     def _forward_fn(self, order, nan_skip):
         chain = self._chain_plan()[0]
@@ -250,13 +272,20 @@ class MultiModN:
 
         train_loader.reshuffle()
         data, targets, mask = self._place(train_loader)
+        seqs = self._batch_seqs(train_loader)
         order = self._resolve_order(train_loader, train=True)
-        fn = self._train_fn(criterion, order, optimizer)
+        fn = self._train_fn(criterion, order, optimizer,
+                            per_batch=seqs is not None)
 
         rng = jax.random.fold_in(jax.random.PRNGKey(0), self._epoch_counter)
         self._epoch_counter += 1
-        self.params, self.opt_state, sums, batch_log = fn(
-            self.params, self.opt_state, data, targets, mask, rng)
+        if seqs is not None:
+            self.params, self.opt_state, sums, batch_log = fn(
+                self.params, self.opt_state, data, targets, mask, rng,
+                jnp.asarray(seqs))
+        else:
+            self.params, self.opt_state, sums, batch_log = fn(
+                self.params, self.opt_state, data, targets, mask, rng)
 
         stats = jax.tree_util.tree_map(
             np.asarray,
@@ -310,17 +339,30 @@ class MultiModN:
             self._opt = optimizer
             self.opt_state = optimizer.init(self.params)
 
+        for ldr in (train_loader, val_loader):
+            if ldr is not None and self._batch_seqs(ldr) is not None:
+                raise NotImplementedError(
+                    "fused fit() does not support per-batch encoding "
+                    "sequences; loop train_epoch()/test() instead (the "
+                    "reference's own cadence for sequence-carrying "
+                    "datasets).")
+        # Shuffle-enabled loaders keep their per-epoch reshuffle semantics
+        # inside the fused program: an in-program sample permutation per
+        # epoch (see make_fit_fn), instead of silently training every fused
+        # epoch on one frozen order.
+        reshuffle = bool(getattr(train_loader, "shuffle", False))
         data, targets, mask = self._place(train_loader)
         order = self._resolve_order(train_loader, train=True)
         with_val = val_loader is not None
 
-        key = ("fit", id(criterion), order, self.nan_skip,
-               id(optimizer.tx), with_val)
+        key = ("fit", criterion, order, self.nan_skip,
+               optimizer.tx, with_val, reshuffle)
         if key not in self._fn_cache:
             loss_fn = self._loss_fn(criterion, order, self.nan_skip)
             self._fn_cache[key] = make_fit_fn(loss_fn, optimizer.tx,
                                               with_val,
-                                              scan_unroll=self.scan_unroll)
+                                              scan_unroll=self.scan_unroll,
+                                              reshuffle=reshuffle)
         fn = self._fn_cache[key]
 
         rng = jax.random.fold_in(jax.random.PRNGKey(0), self._epoch_counter)
@@ -380,22 +422,38 @@ class MultiModN:
         """
         if val_loader is None:
             raise ValueError("fit_best requires a val_loader")
+        binary = [d.n_classes == 2 for d in self.decoders]
+        if not any(binary):
+            # The selection rule is sum(AUROC + BAC) over BINARY decoders
+            # (mimic_single_task_pipeline.py:141-158); with none, the score
+            # would be constant and restore_best would silently hand back the
+            # untrained initial parameters.
+            raise ValueError(
+                "fit_best requires at least one binary (n_classes==2) "
+                "decoder: the AUROC+BAC selection score is undefined "
+                "otherwise. Use fit() for non-binary models.")
         criterion = resolve_criterion(criterion)
         if self._opt is not optimizer or self.opt_state is None:
             self._opt = optimizer
             self.opt_state = optimizer.init(self.params)
 
+        for ldr in (train_loader, val_loader):
+            if self._batch_seqs(ldr) is not None:
+                raise NotImplementedError(
+                    "fused fit_best() does not support per-batch encoding "
+                    "sequences; loop train_epoch()/test() instead.")
+        reshuffle = bool(getattr(train_loader, "shuffle", False))
         data, targets, mask = self._place(train_loader)
         vdata, vtargets, vmask = self._place(val_loader)
         order = self._resolve_order(train_loader, train=True)
 
-        key = ("fit_best", id(criterion), order, self.nan_skip,
-               id(optimizer.tx))
+        key = ("fit_best", criterion, order, self.nan_skip,
+               optimizer.tx, reshuffle)
         if key not in self._fn_cache:
             loss_fn = self._loss_fn(criterion, order, self.nan_skip)
-            binary = [d.n_classes == 2 for d in self.decoders]
             self._fn_cache[key] = make_select_fit_fn(
-                loss_fn, optimizer.tx, binary, scan_unroll=self.scan_unroll)
+                loss_fn, optimizer.tx, binary, scan_unroll=self.scan_unroll,
+                reshuffle=reshuffle)
         fn = self._fn_cache[key]
 
         rng = jax.random.fold_in(jax.random.PRNGKey(0), self._epoch_counter)
@@ -446,11 +504,16 @@ class MultiModN:
             logger = print
         criterion = resolve_criterion(criterion)
         data, targets, mask = self._place(test_loader)
+        seqs = self._batch_seqs(test_loader)
         order = self._resolve_order(test_loader, train=False)
-        fn = self._eval_fn(criterion, order)
+        fn = self._eval_fn(criterion, order, per_batch=seqs is not None)
 
-        sums, final_outputs = fn(self.params, data, targets, mask,
-                                 jax.random.PRNGKey(0))
+        if seqs is not None:
+            sums, final_outputs = fn(self.params, data, targets, mask,
+                                     jax.random.PRNGKey(0), jnp.asarray(seqs))
+        else:
+            sums, final_outputs = fn(self.params, data, targets, mask,
+                                     jax.random.PRNGKey(0))
         stats = jax.tree_util.tree_map(
             np.asarray,
             epoch_reduction(sums, test_loader.n_batches,
@@ -559,10 +622,17 @@ class MultiModN:
         """Final fusion state per sample (with NaN skip) — the
         interpretability hook (reference ``multimodn.py:460-492``)."""
         data, targets, mask = self._place(data_loader)
+        seqs = self._batch_seqs(data_loader)
         order = self._resolve_order(data_loader, train=False)
         fwd = self._forward_fn(order, self.nan_skip)
         collected = []
         for b in range(data_loader.n_batches):
+            if seqs is not None:
+                # Per-batch sequences: one cached trace per distinct order
+                # (E is small wherever datasets carry sequences).
+                border = tuple((int(k), int(e))
+                               for k, e in enumerate(seqs[b]))
+                fwd = self._forward_fn(border, self.nan_skip)
             batch = data[b] if not isinstance(data, tuple) \
                 else tuple(d[b] for d in data)
             _, _, _, final_state = fwd(self.params, batch, mask[b])

@@ -161,6 +161,11 @@ def export_model(model, directory: str):
     with open(os.path.join(directory, "config.json"), "w") as f:
         json.dump(config, f, indent=2)
     flat = dict(_flatten_with_paths(model.state_dict()))
+    if isinstance(model.init_state, StaticInitState):
+        # The state bank lives on the InitState object, not in params
+        # (StaticInitState.init() returns {}) — persist it alongside so
+        # load_model can rebuild the same provider.
+        flat["__static_init_state_bank__"] = np.asarray(model.init_state._bank)
     np.savez(os.path.join(directory, "params.npz"), **flat)
     return directory
 
@@ -191,14 +196,24 @@ def load_model(directory: str):
 
     encoders = [build(s, enc_mod) for s in config["encoders"]]
     decoders = [build(s, dec_mod) for s in config["decoders"]]
+    flat = dict(np.load(os.path.join(directory, "params.npz")))
+    init_state = None
+    if config.get("static_init_state", False):
+        from multimodn_tpu.core.state import StaticInitState
+        bank = flat.pop("__static_init_state_bank__", None)
+        if bank is None:
+            raise ValueError(
+                f"{directory}: config says static_init_state but params.npz "
+                "has no state bank (exported by an older version?)")
+        init_state = StaticInitState(list(bank))
     model = MultiModN(
         config["state_size"], encoders, decoders,
         config["err_penalty"], config["state_change_penalty"],
         shuffle_mode=config.get("shuffle_mode", False),
+        init_state=init_state,
         nan_skip=config.get("nan_skip", "sample"),
         ones_initialized_counts=config.get("ones_initialized_counts", True),
         chain_mode=config.get("chain_mode", "auto"),
     )
-    flat = dict(np.load(os.path.join(directory, "params.npz")))
     model.params = _unflatten_like(model.params, flat)
     return model

@@ -4,8 +4,6 @@
 from __future__ import annotations
 
 import argparse
-import logging
-from pathlib import Path
 
 
 def parse_args(extra=None, argv=None):
@@ -47,21 +45,3 @@ def extract_pipeline_name(filename: str) -> str:
 
 def get_display_name(name: str) -> str:
     return name.replace("_", " ").capitalize()
-
-
-def get_logger(name: str):
-    logger = logging.getLogger(name)
-    logger.setLevel(logging.DEBUG)
-    fname = Path("logs") / f"{name}.log"
-    fname.parent.mkdir(parents=True, exist_ok=True)
-    fh = logging.FileHandler(filename=fname)
-    fh.setLevel(logging.DEBUG)
-    ch = logging.StreamHandler()
-    ch.setLevel(logging.INFO)
-    fmt = logging.Formatter(
-        "%(asctime)s - %(name)s - %(levelname)s - %(message)s")
-    fh.setFormatter(fmt)
-    ch.setFormatter(fmt)
-    logger.addHandler(fh)
-    logger.addHandler(ch)
-    return logger

@@ -63,3 +63,119 @@ def test_fit_without_val():
     m.fit(tl, Adam(0.01), "cross_entropy", epochs=5, history=h)
     assert len(h.loss["train"]) == 5
     assert np.isfinite(h.loss["train"][-1]).all()
+
+
+def test_fit_best_requires_binary_decoder():
+    """fit_best's AUROC+BAC selection score is only defined for binary
+    decoders; a model with none must fail loudly instead of silently
+    restoring untrained initial parameters."""
+    import pytest
+    from multimodn_tpu.decoders import MLPDecoder
+    tl, vl = _setup(2)
+    model = MultiModN(2, [MLPEncoder(2, 3, (4,)), MLPEncoder(2, 3, (4,))],
+                      [MLPDecoder(2, (4,), n_classes=3)], 0.7, 0.3)
+    with pytest.raises(ValueError, match="binary"):
+        model.fit_best(tl, Adam(0.01), "cross_entropy", epochs=2,
+                       val_loader=vl)
+
+
+def test_fn_cache_survives_criterion_gc():
+    """Program caches must not alias a new criterion to a dead one's compiled
+    program (the old id()-keyed cache could, when CPython reused the id)."""
+    import gc
+
+    from multimodn_tpu.core.losses import cross_entropy_loss
+
+    def make_crit(scale):
+        def crit(outputs, targets, mask=None):
+            return scale * cross_entropy_loss(outputs, targets, mask)
+        return crit
+
+    from multimodn_tpu.optim import SGD
+
+    tl, _ = _setup(3)
+    # state_change_penalty=0 so the criterion is the ONLY gradient source;
+    # momentum-free SGD so zero grads imply exactly-zero updates.
+    model = MultiModN(2, [MLPEncoder(2, 3, (4,)), MLPEncoder(2, 3, (4,))],
+                      [LogisticDecoder(2)], 0.7, 0.0)
+    opt = SGD(0.05)
+    crit1 = make_crit(1.0)
+    model.train_epoch(tl, opt, crit1, None)
+    del crit1
+    gc.collect()
+    # A zero-scaled criterion yields zero grads -> Adam update is exactly 0.
+    crit2 = make_crit(0.0)
+    before = model.state_dict()
+    model.train_epoch(tl, opt, crit2, None)
+    after = model.state_dict()
+    np.testing.assert_array_equal(before["encoders"][0]["layers"][0]["w"],
+                                  after["encoders"][0]["layers"][0]["w"])
+    np.testing.assert_array_equal(before["init_state"]["value"],
+                                  after["init_state"]["value"])
+
+
+def _reshuffle_setup(n=48, batch=16, seed=7):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    return PartitionDataset(X, y, [3, 3])
+
+
+def test_fit_reshuffles_per_epoch_with_shuffle_loader():
+    """fit() on a shuffle=True loader must apply a fresh in-program sample
+    permutation per epoch — verified exactly: the fused run equals looped
+    train_epoch() calls on loaders whose host-side order replays the same
+    per-epoch permutations (rng derivation mirrored from make_fit_fn)."""
+    import jax
+
+    ds = _reshuffle_setup()
+    epochs = 3
+    n, batch = 48, 16
+
+    m1 = _model()
+    h1 = MultiModNHistory(["t"])
+    m1.fit(ArrayLoader(ds, batch, shuffle=True), Adam(0.01), "cross_entropy",
+           epochs=epochs, history=h1)
+
+    # Replay: same permutations applied host-side, one train_epoch per epoch.
+    m2 = _model()
+    h2 = MultiModNHistory(["t"])
+    opt2 = Adam(0.01)
+    base_rng = jax.random.fold_in(jax.random.PRNGKey(0), 0)  # _epoch_counter=0
+    for e in range(epochs):
+        erng = jax.random.fold_in(base_rng, e)
+        perm = np.asarray(
+            jax.random.permutation(jax.random.fold_in(erng, 777), n))
+        loader = ArrayLoader(ds, batch)
+        loader._order = perm          # no padding: flat perm == sample order
+        loader._stacks = None
+        m2.train_epoch(loader, opt2, "cross_entropy", h2)
+
+    for e in range(epochs):
+        np.testing.assert_allclose(h1.loss["train"][e], h2.loss["train"][e],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(h1.accuracy["train"][e],
+                                   h2.accuracy["train"][e],
+                                   rtol=1e-5, atol=1e-6)
+    p1, p2 = m1.state_dict(), m2.state_dict()
+    np.testing.assert_allclose(p1["encoders"][0]["layers"][0]["w"],
+                               p2["encoders"][0]["layers"][0]["w"],
+                               rtol=1e-5, atol=1e-6)
+    # And the epochs genuinely saw different orders: a no-shuffle fit differs.
+    m3 = _model()
+    h3 = MultiModNHistory(["t"])
+    m3.fit(ArrayLoader(ds, batch), Adam(0.01), "cross_entropy",
+           epochs=epochs, history=h3)
+    assert not np.allclose(h1.loss["train"][-1], h3.loss["train"][-1])
+
+
+def test_fit_best_reshuffle_smoke():
+    """fit_best with a shuffle loader runs and selects a real epoch."""
+    ds = _reshuffle_setup(seed=8)
+    tr, va, _ = ds.random_split((0.7, 0.3, 0), seed=0)
+    model = _model()
+    res = model.fit_best(ArrayLoader(tr, 16, shuffle=True), Adam(0.01),
+                         "cross_entropy", epochs=4,
+                         val_loader=ArrayLoader(va, 16))
+    assert 0 <= res["best_epoch"] < 4
+    assert np.isfinite(res["best_score"])

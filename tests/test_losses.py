@@ -85,3 +85,41 @@ def test_criterion_leading_dims():
                                [float(cross_entropy_loss(jnp.asarray(out),
                                                          jnp.asarray(tgt)))] * 5,
                                rtol=1e-6)
+
+
+def test_two_arg_scalar_criterion_applies_per_row():
+    """A reference-style 2-arg criterion that reduces to a SCALAR (like
+    torch.nn.CrossEntropyLoss on one batch) must produce per-row grid losses
+    identical to the built-in mask-aware CE — not one global mean broadcast
+    into every cell."""
+    import jax
+    import numpy as np
+
+    from multimodn_tpu import MultiModN, MultiModNHistory
+    from multimodn_tpu.data import ArrayLoader, PartitionDataset
+    from multimodn_tpu.decoders import LogisticDecoder
+    from multimodn_tpu.encoders import MLPEncoder
+
+    def scalar_ce(outputs, targets):
+        logz = jax.scipy.special.logsumexp(outputs, axis=-1)
+        picked = jnp.take_along_axis(
+            outputs, targets[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        return jnp.mean(logz - picked)   # scalar, torch-CE style
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(32, 6)).astype(np.float32)  # 32 % 16 == 0: no padding
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = PartitionDataset(X, y, [3, 3])
+    loader = ArrayLoader(ds, 16)
+
+    model = MultiModN(2, [MLPEncoder(2, 3, (4,)), MLPEncoder(2, 3, (4,))],
+                      [LogisticDecoder(2)], 0.7, 0.3)
+    h_builtin = MultiModNHistory(["t"])
+    model.test(loader, "cross_entropy", h_builtin, tag="val")
+    h_user = MultiModNHistory(["t"])
+    model.test(loader, scalar_ce, h_user, tag="val")
+    ours = np.asarray(h_user.loss["val"][0])
+    ref = np.asarray(h_builtin.loss["val"][0])
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+    # Rows must actually differ from each other (a broadcast mean would not).
+    assert np.ptp(ref) > 1e-6

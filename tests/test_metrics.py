@@ -102,3 +102,30 @@ def test_suite_sensitivity_specificity_zero_guard():
     suite = get_performance_metrics(y, (p >= 0.5).astype(int), p)
     assert suite[3] == 0
     assert suite[4] == 1.0
+
+
+def test_device_auroc_large_n_vs_sklearn():
+    """Rank-based AUROC property check vs sklearn at N up to 1e5, with ties
+    (quantized probs) and a validity mask."""
+    from sklearn.metrics import roc_auc_score
+
+    for n, q, seed in ((1_000, 50, 0), (20_000, 200, 1), (100_000, 1000, 2)):
+        rng = np.random.default_rng(seed)
+        y = (rng.random(n) < 0.3).astype(np.int32)
+        # Quantize to force heavy ties.
+        p = np.round(rng.random(n) * q) / q
+        m = (rng.random(n) < 0.9).astype(np.float32)
+        keep = m > 0
+        expected = roc_auc_score(y[keep], p[keep])
+        got = float(masked_binary_auroc(jnp.asarray(p.astype(np.float32)),
+                                        jnp.asarray(y), jnp.asarray(m)))
+        np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-6)
+
+
+def test_device_auroc_degenerate_classes():
+    """All-positive or all-negative (or fully masked) inputs return 0."""
+    p = jnp.asarray(np.random.default_rng(0).random(32).astype(np.float32))
+    ones, zeros = jnp.ones(32, jnp.int32), jnp.zeros(32, jnp.int32)
+    assert float(masked_binary_auroc(p, ones, jnp.ones(32))) == 0.0
+    assert float(masked_binary_auroc(p, zeros, jnp.ones(32))) == 0.0
+    assert float(masked_binary_auroc(p, ones, jnp.zeros(32))) == 0.0

@@ -344,3 +344,116 @@ def test_nan_skipped_last_encoder_corner(ref, ref_enc, ref_dec):
     results = model.test(loader, "cross_entropy", None)
     assert len(results) == 1 and len(results[0]) == 15
     assert np.isfinite(float(np.asarray(results[0][1])))  # auroc
+
+
+# ---------------------------------------------------------------------------
+# Per-sample / per-batch encoding sequences (reference multimodn.py:509-523:
+# sequences may differ across batches; within a batch they must be uniform —
+# "set batch size to 1 to avoid this error")
+# ---------------------------------------------------------------------------
+
+class _PerSampleSeqDataset(PartitionDataset):
+    """Each sample carries its own encoder order (alternating [0,1]/[1,0])."""
+
+    def __init__(self, X, y, partitions):
+        super().__init__(X, y, partitions)
+        n = len(self)
+        self._seqs = np.stack([np.asarray([0, 1]) if i % 2 == 0
+                               else np.asarray([1, 0])
+                               for i in range(n)]).astype(np.int64)
+
+    def __getitem__(self, i):
+        xs, y = super().__getitem__(i)[:2]
+        return xs, y, self._seqs[i]
+
+    def arrays(self):
+        xs, y = super().arrays()[:2]
+        return xs, y, self._seqs
+
+
+def _per_sample_ref_batches(loader):
+    """Reference-style batches including each batch's sequence rows."""
+    seqs = loader.batch_sequences()
+    out = []
+    for b, (data, targets, mask) in enumerate(loader.numpy_batches()):
+        keep = mask > 0
+        seq = np.tile(seqs[b][None, :], (int(keep.sum()), 1)).astype(np.int64)
+        out.append(([torch.from_numpy(np.ascontiguousarray(d[keep]))
+                     for d in data],
+                    torch.from_numpy(np.ascontiguousarray(targets[keep])),
+                    torch.from_numpy(seq)))
+    return out
+
+
+def test_per_sample_sequences_batch1_match_reference(ref, ref_enc, ref_dec):
+    """batch_size=1 with per-SAMPLE sequences — the reference's documented
+    escape hatch — must reproduce its trajectory exactly (exercises the
+    traced-order chain driven by a per-batch sequence array)."""
+    rng = np.random.default_rng(12)
+    X = rng.normal(size=(24, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=(6, 1)) > 0).astype(np.int64)
+    ds = _PerSampleSeqDataset(X, y, [3, 3])
+    loader = ArrayLoader(ds, batch_size=1)
+    assert loader.encoding_sequence is None          # not globally uniform
+    assert loader.batch_sequences().shape == (24, 2)
+
+    model = MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                      [LogisticDecoder(3)], 0.7, 0.3, nan_skip="batch")
+    ref_model = ref.MultiModN(
+        3, [ref_enc.MLPEncoder(3, 3, (4,)), ref_enc.MLPEncoder(3, 3, (4,))],
+        [ref_dec.LogisticDecoder(3)], 0.7, 0.3, device=torch.device("cpu"))
+    transplant_reference(ref_model, model.state_dict())
+    opt = Adam(0.01)
+    ref_opt = torch.optim.Adam(ref_model.parameters(), 0.01)
+    batches = _per_sample_ref_batches(loader)
+    hist, ref_hist = MultiModNHistory(["t0"]), ref.MultiModNHistory(["t0"])
+    for _ in range(2):
+        model.train_epoch(loader, opt, "cross_entropy", hist)
+        ref_model.train_epoch(batches, ref_opt,
+                              torch.nn.CrossEntropyLoss(), ref_hist)
+    assert_history_matches(hist, ref_hist)
+    # Eval path threads the same per-batch sequences.
+    h2, rh2 = MultiModNHistory(["t0"]), ref.MultiModNHistory(["t0"])
+    model.test(loader, "cross_entropy", h2, tag="val")
+    ref_model.test(batches, torch.nn.CrossEntropyLoss(), rh2, tag="val")
+    assert_history_matches(h2, rh2, tag="val")
+
+
+def test_mixed_sequence_batch_raises_like_reference(ref, ref_enc, ref_dec):
+    """A batch mixing different sequences raises the reference's error."""
+    rng = np.random.default_rng(13)
+    X = rng.normal(size=(8, 6)).astype(np.float32)
+    y = (X[:, :1] > 0).astype(np.int64)
+    ds = _PerSampleSeqDataset(X, y, [3, 3])
+    loader = ArrayLoader(ds, batch_size=4)   # alternating seqs -> mixed batch
+    with pytest.raises(ValueError, match="different values across the batch"):
+        loader.batch_sequences()
+
+
+def test_per_sample_sequences_heterogeneous_switch_chain(ref, ref_enc,
+                                                         ref_dec):
+    """Per-batch sequences with MIXED encoder classes (equal widths) take the
+    lax.switch chain; trajectory must still match the reference."""
+    rng = np.random.default_rng(14)
+    X = rng.normal(size=(16, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=(6, 1)) > 0).astype(np.int64)
+    ds = _PerSampleSeqDataset(X, y, [3, 3])
+    loader = ArrayLoader(ds, batch_size=1)
+
+    model = MultiModN(3, [MLPEncoder(3, 3, (4,)),
+                          MIMICMLPEncoder(3, 3, (4,), dropout=0.0)],
+                      [LogisticDecoder(3)], 0.7, 0.3, nan_skip="batch")
+    ref_model = ref.MultiModN(
+        3, [ref_enc.MLPEncoder(3, 3, (4,)),
+            ref_enc.MIMIC_MLPEncoder(3, 3, (4,), dropout=0.0)],
+        [ref_dec.LogisticDecoder(3)], 0.7, 0.3, device=torch.device("cpu"))
+    transplant_reference(ref_model, model.state_dict())
+    opt = Adam(0.01)
+    ref_opt = torch.optim.Adam(ref_model.parameters(), 0.01)
+    batches = _per_sample_ref_batches(loader)
+    hist, ref_hist = MultiModNHistory(["t0"]), ref.MultiModNHistory(["t0"])
+    for _ in range(2):
+        model.train_epoch(loader, opt, "cross_entropy", hist)
+        ref_model.train_epoch(batches, ref_opt,
+                              torch.nn.CrossEntropyLoss(), ref_hist)
+    assert_history_matches(hist, ref_hist)

@@ -73,3 +73,22 @@ def test_export_load_mimic_style(tmp_path):
     x = [np.zeros((3, 7), np.float32), np.zeros((3, 4), np.float32)]
     np.testing.assert_allclose(model.predict_proba(x)[0],
                                loaded.predict_proba(x)[0], atol=1e-6)
+
+
+def test_export_load_static_init_state(tmp_path):
+    """StaticInitState models roundtrip: the state bank is persisted in
+    params.npz and the provider rebuilt on load."""
+    from multimodn_tpu.core.state import StaticInitState
+
+    states = [np.full(3, 0.5, np.float32), np.full(3, -1.0, np.float32)]
+    model = MultiModN(3, [MLPEncoder(3, 4, (5,))], [LogisticDecoder(3)],
+                      0.7, 0.3, init_state=StaticInitState(states))
+    x = [np.random.default_rng(0).normal(size=(6, 4)).astype(np.float32)]
+    before = model.predict(x)
+
+    d = export_model(model, str(tmp_path / "static_model"))
+    loaded = load_model(d)
+    assert isinstance(loaded.init_state, StaticInitState)
+    np.testing.assert_array_equal(np.asarray(loaded.init_state._bank),
+                                  np.stack(states))
+    np.testing.assert_array_equal(loaded.predict(x), before)
