@@ -125,6 +125,14 @@ class MultiModN:
             "encoders": enc_params,
             "decoders": [d.init(k) for d, k in zip(self.decoders, dec_keys)],
         }
+        if mesh is not None:
+            # DP x TP from the constructor: replicate small leaves, shard
+            # dense weights column-wise over the mesh's 'model' axis when one
+            # exists (parallel/sharding.shard_params). Batch sharding attaches
+            # to loaders lazily in _place(); together the fused programs run
+            # real DP x TP with XLA-inserted collectives over ICI.
+            from multimodn_tpu.parallel.sharding import shard_params
+            self.params = shard_params(self.params, mesh)
 
         self._opt = None            # Optimizer wrapper currently in use
         self.opt_state = None
@@ -669,6 +677,9 @@ class MultiModN:
 
     def load_state_dict(self, state: dict):
         self.params = jax.tree_util.tree_map(jnp.asarray, state)
+        if self.mesh is not None:
+            from multimodn_tpu.parallel.sharding import shard_params
+            self.params = shard_params(self.params, self.mesh)
         # Optimizer state refers to old param tree; re-init lazily.
         self.opt_state = None
         self._opt = None

@@ -68,3 +68,87 @@ def test_dp_training_matches_single_device():
 def test_graft_dryrun_multichip():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def _wide_model(mesh=None, seed=0):
+    """Hidden width 8 divides the 2-way model axis, so TP actually shards."""
+    return MultiModN(4, [MLPEncoder(4, 3, (8,)), MLPEncoder(4, 3, (8,))],
+                     [LogisticDecoder(4)], 0.7, 0.3, mesh=mesh, seed=seed)
+
+
+def test_tp_params_sharded_through_model_api():
+    """MultiModN(mesh=DPxTP) applies shard_params to its live params."""
+    mesh = make_mesh((4, 2), ("data", "model"))
+    m = _wide_model(mesh)
+    w = m.params["encoders"][0]["layers"][0]["w"]    # (3, 8): 8 % 2 == 0
+    assert "model" in str(w.sharding.spec)
+    init = m.params["init_state"]["value"]           # (1, 4): replicated
+    assert len(init.sharding.device_set) == 8
+
+
+def test_dp_tp_fit_matches_single_device():
+    """Fused fit() on a DP4 x TP2 mesh == single-device, per-epoch grids and
+    final parameters."""
+    ds = _dataset(seed=3)
+    mesh = make_mesh((4, 2), ("data", "model"))
+    m1, m2 = _wide_model(), _wide_model(mesh)
+    h1, h2 = MultiModNHistory(["t"]), MultiModNHistory(["t"])
+    m1.fit(ArrayLoader(ds, 16), Adam(0.01), "cross_entropy", epochs=4,
+           history=h1)
+    m2.fit(ArrayLoader(ds, 16), Adam(0.01), "cross_entropy", epochs=4,
+           history=h2)
+    for e in range(4):
+        np.testing.assert_allclose(h1.loss["train"][e], h2.loss["train"][e],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(h1.accuracy["train"][e],
+                                   h2.accuracy["train"][e],
+                                   rtol=1e-5, atol=1e-6)
+    p1 = m1.state_dict()
+    p2 = m2.state_dict()
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_dp_tp_fit_best_matches_single_device():
+    """Fused fit_best() (train + val + on-device AUROC/BAC selection) on the
+    DP4 x TP2 mesh selects the same epoch with the same score."""
+    ds = _dataset(n=96, seed=4)
+    tr, va, _ = ds.random_split((0.7, 0.3, 0), seed=0)
+    mesh = make_mesh((4, 2), ("data", "model"))
+    m1, m2 = _wide_model(), _wide_model(mesh)
+    r1 = m1.fit_best(ArrayLoader(tr, 16), Adam(0.01), "cross_entropy",
+                     epochs=5, val_loader=ArrayLoader(va, 16))
+    r2 = m2.fit_best(ArrayLoader(tr, 16), Adam(0.01), "cross_entropy",
+                     epochs=5, val_loader=ArrayLoader(va, 16))
+    assert r1["best_epoch"] == r2["best_epoch"]
+    np.testing.assert_allclose(r1["best_score"], r2["best_score"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(r1["scores"], r2["scores"],
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(r1["best_params"]),
+                    jax.tree_util.tree_leaves(r2["best_params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_kfold_on_mesh_matches_plain():
+    """vmapped k-fold with mesh-constructed models == plain models."""
+    from multimodn_tpu.experiments import kfold_fit_best
+
+    ds = _dataset(n=96, seed=5)
+    folds = []
+    for k in range(2):
+        tr, va, _ = ds.random_split((0.7, 0.3, 0), seed=k)
+        folds.append((ArrayLoader(tr, 16), ArrayLoader(va, 16)))
+    mesh = make_mesh((4, 2), ("data", "model"))
+
+    res_plain = kfold_fit_best(lambda s: _wide_model(seed=s),
+                               folds, Adam(0.01), "cross_entropy", epochs=3)
+    res_mesh = kfold_fit_best(lambda s: _wide_model(mesh, seed=s),
+                              folds, Adam(0.01), "cross_entropy", epochs=3)
+    for rp, rm in zip(res_plain, res_mesh):
+        assert rp["best_epoch"] == rm["best_epoch"]
+        np.testing.assert_allclose(rp["best_score"], rm["best_score"],
+                                   rtol=1e-5, atol=1e-6)
