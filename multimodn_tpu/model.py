@@ -61,6 +61,7 @@ class MultiModN:
         chain_mode: str = "auto",
         compute_dtype=None,
         scan_unroll=None,
+        dp_engine: str = "auto",
     ):
         """``chain_mode``: 'unrolled' traces each encoder step inline (any
         encoder mix); 'scan' compiles the chain as one lax.scan step over
@@ -77,7 +78,15 @@ class MultiModN:
 
         ``scan_unroll``: unroll factor for the per-batch training/eval scans
         (None = 8 on accelerators, 1 on CPU; measured ~2x epoch speedup on
-        TPU at 8, up to ~2.3x at 32 with longer compiles)."""
+        TPU at 8, up to ~2.3x at 32 with longer compiles).
+
+        ``dp_engine``: 'auto' (default) lets XLA derive collectives from
+        sharding annotations; 'shard_map' runs train_epoch through the
+        explicit-collective epoch program (scan-over-batches inside one
+        shard_map region with hand-placed psums —
+        parallel/shard_map_step.make_shard_map_epoch_fn). Requires a
+        data-axis mesh and nan_skip='sample'; numerically equivalent
+        (tests/test_shard_map.py)."""
         self.state_size = state_size
         self.encoders = list(encoders)
         self.decoders = list(decoders)
@@ -108,6 +117,19 @@ class MultiModN:
         self.chain_mode = chain_mode
         self.compute_dtype = compute_dtype
         self.scan_unroll = scan_unroll
+        if dp_engine not in ("auto", "shard_map"):
+            raise ValueError(
+                f"dp_engine must be 'auto' or 'shard_map', got {dp_engine!r}")
+        if dp_engine == "shard_map":
+            if mesh is None:
+                raise ValueError("dp_engine='shard_map' requires a mesh")
+            if nan_skip != "sample":
+                raise ValueError(
+                    "dp_engine='shard_map' requires nan_skip='sample' "
+                    "(per-sample masks compose across shards; the "
+                    "batch-granular parity mode needs a global skip "
+                    "decision — use the auto engine for that).")
+        self.dp_engine = dp_engine
         self._shuffle_rng = _pyrandom.Random(seed)
 
         key = jax.random.PRNGKey(seed)
@@ -189,13 +211,22 @@ class MultiModN:
 
     def _train_fn(self, criterion, order, optimizer, per_batch: bool = False):
         key = ("train", criterion, order, self.nan_skip, optimizer.tx,
-               per_batch)
+               per_batch, self.dp_engine)
         if key not in self._fn_cache:
             loss_fn = self._loss_fn(criterion, order, self.nan_skip,
                                     per_batch)
-            self._fn_cache[key] = make_train_epoch_fn(
-                loss_fn, optimizer.tx, scan_unroll=self.scan_unroll,
-                with_seq=per_batch)
+            if self.dp_engine == "shard_map" and not per_batch:
+                from multimodn_tpu.parallel.shard_map_step import \
+                    make_shard_map_epoch_fn
+                n_mod = None if self._chain_plan()[0] == "scan" \
+                    else len(self.encoders)
+                self._fn_cache[key] = make_shard_map_epoch_fn(
+                    loss_fn, optimizer.tx, self.mesh, n_modalities=n_mod,
+                    scan_unroll=self.scan_unroll)
+            else:
+                self._fn_cache[key] = make_train_epoch_fn(
+                    loss_fn, optimizer.tx, scan_unroll=self.scan_unroll,
+                    with_seq=per_batch)
         return self._fn_cache[key]
 
     def _eval_fn(self, criterion, order, per_batch: bool = False):
