@@ -2,11 +2,21 @@
 
 The reference's model sizes (state<=50, hidden 32) leave the MXU idle — the
 north-star bench is overhead-bound. This script measures a scaled-up
-configuration (wide encoders, large state, big batch) in fp32 vs bf16 mixed
-precision to demonstrate the regime the framework is designed to grow into.
-Secondary benchmark: the driver's tracked metric stays bench.py.
+configuration (wide encoders, large state) in bf16 mixed precision across
+batch sizes, reporting model TFLOP/s against the measured matmul ceiling
+(bench_mfu.py). Secondary benchmark: the driver's tracked metric stays
+bench.py.
 
-Usage: python bench_scaling.py  (prints one JSON line per config)
+Measurement notes (see bench_mfu.json and RESULTS.md):
+- 25 epochs per dispatch: the axon tunnel costs ~30 ms per dispatch+fetch,
+  so short dispatches understate device throughput (round 1 reported
+  35 TFLOP/s at 5 epochs/dispatch; the same config measures ~60 at 25).
+- fp32 is opt-in (--fp32): at these widths the remote compile of the fused
+  multi-epoch fp32 program took 513 s in round 1 (vs ~25 s bf16) — an XLA
+  remote-compile cliff, not a runtime property; bf16 is the production
+  configuration this benchmark tracks.
+
+Usage: python bench_scaling.py [--fp32]  (prints one JSON line per config)
 """
 from __future__ import annotations
 
@@ -23,9 +33,8 @@ sys.path.insert(0, REPO)
 WIDTHS = [1024, 1024, 1024, 1024]
 STATE = 256
 HIDDEN = 1024
-BATCH = 512
 N = 4096
-EPOCHS = 5
+EPOCHS = 25
 
 
 def model_flops_per_sample() -> float:
@@ -38,8 +47,8 @@ def model_flops_per_sample() -> float:
     return 2 * macs * 3  # fwd+bwd ~3x fwd FLOPs
 
 
-def run(compute_dtype):
-    import jax
+def run(compute_dtype, batch):
+    import jax  # noqa: F401
 
     from multimodn_tpu import Adam, MultiModN
     from multimodn_tpu.data import ArrayLoader, PartitionDataset
@@ -49,7 +58,7 @@ def run(compute_dtype):
     rng = np.random.default_rng(0)
     X = rng.normal(size=(N, sum(WIDTHS))).astype(np.float32)
     y = rng.integers(0, 2, size=(N, 1))
-    loader = ArrayLoader(PartitionDataset(X, y, WIDTHS), BATCH)
+    loader = ArrayLoader(PartitionDataset(X, y, WIDTHS), batch)
     model = MultiModN(
         STATE,
         [MIMICMLPEncoder(STATE, w, (HIDDEN, HIDDEN), dropout=0.0)
@@ -77,19 +86,22 @@ def run(compute_dtype):
     tflops = sps * model_flops_per_sample() / 1e12
     return {
         "metric": f"scaling_train_samples_per_sec_"
-                  f"{compute_dtype or 'float32'}",
+                  f"{compute_dtype or 'float32'}_b{batch}",
         "value": round(sps, 1),
         "unit": "samples/s",
         "epoch_ms": round(per_epoch * 1e3, 2),
         "model_tflops_per_sec": round(tflops, 2),
         "compile_s": round(compile_s, 1),
         "config": {"widths": WIDTHS, "state": STATE, "hidden": HIDDEN,
-                   "batch": BATCH, "n": N},
+                   "batch": batch, "n": N, "epochs_per_dispatch": EPOCHS},
     }
 
 
 def main():
-    results = [run(None), run("bfloat16")]
+    results = [run("bfloat16", 512), run("bfloat16", 1024),
+               run("bfloat16", 2048)]
+    if "--fp32" in sys.argv:
+        results.append(run(None, 512))
     for r in results:
         print(json.dumps(r))
     with open(os.path.join(REPO, "bench_scaling.json"), "w") as f:
