@@ -262,3 +262,66 @@ def make_fused_chain_forward(encoders, decoders, state_size: int,
         return states, dec_outs
 
     return forward
+
+
+def make_xla_chain_forward(encoders, decoders, state_size: int):
+    """The kernel's exact math in plain XLA ops (same masking contract):
+    used as the rematerialized backward of the custom-VJP path and as the
+    comparison baseline in bench_pallas.py."""
+
+    def forward(params, data, valid, init_state_row):
+        B = data[0].shape[0]
+        state = jnp.broadcast_to(init_state_row.reshape(1, state_size),
+                                 (B, state_size))
+        states = [state]
+        for e, enc in enumerate(encoders):
+            new_state = enc.apply(params["encoders"][e], state, data[e])
+            v = valid[:, e:e + 1].astype(new_state.dtype)
+            state = jnp.where(v > 0, new_state, state)
+            states.append(state)
+        states = jnp.stack(states)                      # (E+1, B, S)
+        outs = [dec.apply(params["decoders"][d], states)
+                for d, dec in enumerate(decoders)]
+        return states, outs
+
+    return forward
+
+
+def make_fused_chain_vjp(encoders, decoders, state_size: int,
+                         batch_tile: int = 128, interpret: bool = False):
+    """Trainable fused chain: Pallas forward + rematerialized XLA backward.
+
+    The custom VJP (VERDICT r1 next #3) makes the kernel usable inside
+    value_and_grad / the training programs: the forward pass is the one-kernel
+    VMEM-resident chain; the backward recomputes the chain with plain XLA ops
+    (``jax.vjp`` of ``make_xla_chain_forward`` — the two are bit-exact, see
+    tests/test_pallas.py) and differentiates that. Residuals are just the
+    kernel INPUTS, so no extra activation traffic crosses the kernel boundary
+    (a remat-style tradeoff: backward re-does the forward FLOPs).
+
+    Measured verdict (bench_pallas.json, RESULTS.md): XLA's own fusion
+    already runs this chain at the matmul roofline at both shipped and
+    scaled widths, so the kernel path does not win for training — it is
+    kept as the explicit-kernel option (``MultiModN.fused_forward``) and as
+    reference material for chains XLA ever schedules badly.
+    """
+    pallas_fwd = make_fused_chain_forward(encoders, decoders, state_size,
+                                          batch_tile=batch_tile,
+                                          interpret=interpret)
+    xla_fwd = make_xla_chain_forward(encoders, decoders, state_size)
+
+    @jax.custom_vjp
+    def fused(params, data, valid, init_state_row):
+        return pallas_fwd(params, data, valid, init_state_row)
+
+    def fwd(params, data, valid, init_state_row):
+        out = pallas_fwd(params, data, valid, init_state_row)
+        return out, (params, data, valid, init_state_row)
+
+    def bwd(residuals, cotangents):
+        params, data, valid, init_state_row = residuals
+        _, vjp_fn = jax.vjp(xla_fwd, params, data, valid, init_state_row)
+        return vjp_fn(cotangents)
+
+    fused.defvjp(fwd, bwd)
+    return fused

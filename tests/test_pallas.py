@@ -70,3 +70,47 @@ def test_fused_chain_rejects_recurrent():
     with pytest.raises(TypeError):
         make_fused_chain_forward([RNNEncoder(4, 6, (5,))],
                                  [LogisticDecoder(4)], 4)
+
+
+def test_fused_chain_vjp_gradients_match_xla():
+    """The custom-VJP kernel path (Pallas forward + rematerialized XLA
+    backward) produces the same loss and parameter gradients as
+    differentiating the plain XLA chain."""
+    import jax
+
+    from multimodn_tpu import MultiModN
+    from multimodn_tpu.decoders import MLPDecoder
+    from multimodn_tpu.encoders import MIMICMLPEncoder
+    from multimodn_tpu.ops.fused_chain import (
+        make_fused_chain_vjp,
+        make_xla_chain_forward,
+    )
+
+    S = 6
+    widths = [5, 9]
+    model = MultiModN(S, [MIMICMLPEncoder(S, w, (8,), dropout=0.0)
+                          for w in widths],
+                      [MLPDecoder(S, (8,), 2)], 1.0, 0.0)
+    rng = np.random.default_rng(3)
+    data = tuple(jnp.asarray(rng.normal(size=(12, w)).astype(np.float32))
+                 for w in widths)
+    valid = jnp.asarray((rng.random((12, 2)) > 0.3).astype(np.float32))
+    init_row = model.init_state.apply(model.params["init_state"], 1, 0)[0]
+
+    vjp_fwd = make_fused_chain_vjp(model.encoders, model.decoders, S,
+                                   interpret=True)
+    xla_fwd = make_xla_chain_forward(model.encoders, model.decoders, S)
+
+    def loss(fwd):
+        def f(params):
+            states, outs = fwd(params, data, valid, init_row)
+            return jnp.mean(states ** 2) + sum(jnp.mean(o) for o in outs)
+        return f
+
+    l1, g1 = jax.value_and_grad(loss(vjp_fwd))(model.params)
+    l2, g2 = jax.value_and_grad(loss(xla_fwd))(model.params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
