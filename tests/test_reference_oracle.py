@@ -457,3 +457,150 @@ def test_per_sample_sequences_heterogeneous_switch_chain(ref, ref_enc,
         ref_model.train_epoch(batches, ref_opt,
                               torch.nn.CrossEntropyLoss(), ref_hist)
     assert_history_matches(hist, ref_hist)
+
+
+# ---------------------------------------------------------------------------
+# Recurrent encoders (quirk #8: 2-D inputs -> torch unbatched recurrence
+# ACROSS batch elements; unbatched_compat=True replicates it) vs the real
+# reference lstm_encoder.py / rnn_encoder.py
+# ---------------------------------------------------------------------------
+
+def test_lstm_encoder_matches_reference():
+    from multimodn_tpu.encoders import LSTMEncoder
+    ref = load_reference()
+    ref_lstm = ref_module("multimodn.encoders.lstm_encoder")
+    ref_dec_m = ref_module("multimodn.decoders.decoders")
+
+    ds = make_dataset(n=48, partitions=(6,), seed=20)
+    loader = ArrayLoader(ds, batch_size=16)
+    model = MultiModN(2, [LSTMEncoder(2, 6, (5, 5))], [LogisticDecoder(2)],
+                      0.7, 0.3, nan_skip="batch")
+    ref_model = ref.MultiModN(
+        2, [ref_lstm.LSTMEncoder(2, 6, (5, 5))],
+        [ref_dec_m.LogisticDecoder(2)], 0.7, 0.3,
+        device=torch.device("cpu"))
+    transplant_reference(ref_model, model.state_dict())
+    opt = Adam(0.01)
+    ref_opt = torch.optim.Adam(ref_model.parameters(), 0.01)
+    batches = reference_batches(loader)
+    hist, ref_hist = MultiModNHistory(["t0"]), ref.MultiModNHistory(["t0"])
+    for _ in range(3):
+        model.train_epoch(loader, opt, "cross_entropy", hist)
+        ref_model.train_epoch(batches, ref_opt,
+                              torch.nn.CrossEntropyLoss(), ref_hist)
+    assert_history_matches(hist, ref_hist)
+
+
+def test_rnn_encoder_matches_reference():
+    from multimodn_tpu.encoders import RNNEncoder
+    ref = load_reference()
+    ref_rnn = ref_module("multimodn.encoders.rnn_encoder")
+    ref_dec_m = ref_module("multimodn.decoders.decoders")
+
+    ds = make_dataset(n=48, partitions=(6,), seed=21)
+    loader = ArrayLoader(ds, batch_size=16)
+    model = MultiModN(2, [RNNEncoder(2, 6, (5,))], [LogisticDecoder(2)],
+                      0.7, 0.3, nan_skip="batch")
+    ref_model = ref.MultiModN(
+        2, [ref_rnn.RNNEncoder(2, 6, (5,))],
+        [ref_dec_m.LogisticDecoder(2)], 0.7, 0.3,
+        device=torch.device("cpu"))
+    transplant_reference(ref_model, model.state_dict())
+    opt = Adam(0.01)
+    ref_opt = torch.optim.Adam(ref_model.parameters(), 0.01)
+    batches = reference_batches(loader)
+    hist, ref_hist = MultiModNHistory(["t0"]), ref.MultiModNHistory(["t0"])
+    for _ in range(3):
+        model.train_epoch(loader, opt, "cross_entropy", hist)
+        ref_model.train_epoch(batches, ref_opt,
+                              torch.nn.CrossEntropyLoss(), ref_hist)
+    assert_history_matches(hist, ref_hist)
+
+
+# ---------------------------------------------------------------------------
+# StaticInitState (reference state.py:34-47: itertools.cycle advancing one
+# state per SAMPLE; mine is a modular (offset + arange) gather)
+# ---------------------------------------------------------------------------
+
+def test_static_init_state_matches_reference(ref, ref_enc, ref_dec):
+    """Training with a cycled static init-state bank matches the reference
+    when n_samples is a multiple of the bank size (the reference's shared
+    cycle object then returns to phase 0 each epoch; the modular-gather
+    reformulation restarts at 0 by construction — divergence outside that
+    is documented in core/state.py)."""
+    from multimodn_tpu.core.state import StaticInitState
+
+    ref_state_mod = ref_module("multimodn.state")
+    rng = np.random.default_rng(22)
+    bank = [rng.normal(size=3).astype(np.float32) for _ in range(4)]
+    ds = make_dataset(n=48, partitions=(6,), seed=22)   # 48 % 4 == 0
+    loader = ArrayLoader(ds, batch_size=16)             # 16 % 4 == 0 per batch
+
+    model = MultiModN(3, [MLPEncoder(3, 6, (5,))], [LogisticDecoder(3)],
+                      0.7, 0.3, nan_skip="batch",
+                      init_state=StaticInitState(bank))
+    ref_model = ref.MultiModN(
+        3, [ref_enc.MLPEncoder(3, 6, (5,))], [ref_dec.LogisticDecoder(3)],
+        0.7, 0.3,
+        init_state=ref_state_mod.StaticInitState(
+            [torch.from_numpy(b.copy()) for b in bank]),
+        device=torch.device("cpu"))
+    # StaticInitState has no trainable value; transplant encoder/decoders only.
+    sd = model.state_dict()
+    for enc, p in zip(ref_model.encoders, sd["encoders"]):
+        linears = [l for l in enc.layers if isinstance(l, torch.nn.Linear)]
+        for tl, jl in zip(linears, p["layers"]):
+            tl.weight.data = torch.from_numpy(np.asarray(jl["w"]).T.copy())
+            tl.bias.data = torch.from_numpy(np.asarray(jl["b"]).copy())
+    for dec, p in zip(ref_model.decoders, sd["decoders"]):
+        dec.fc.weight.data = torch.from_numpy(
+            np.asarray(p["layers"][0]["w"]).T.copy())
+        dec.fc.bias.data = torch.from_numpy(
+            np.asarray(p["layers"][0]["b"]).copy())
+
+    opt = Adam(0.01)
+    ref_opt = torch.optim.Adam(ref_model.parameters(), 0.01)
+    batches = reference_batches(loader)
+    hist, ref_hist = MultiModNHistory(["t0"]), ref.MultiModNHistory(["t0"])
+    for _ in range(3):
+        model.train_epoch(loader, opt, "cross_entropy", hist)
+        ref_model.train_epoch(batches, ref_opt,
+                              torch.nn.CrossEntropyLoss(), ref_hist)
+    assert_history_matches(hist, ref_hist)
+
+
+def test_history_artifacts_match_reference(ref, ref_enc, ref_dec, tmp_path):
+    """get_results() DataFrames and save_results() CSVs produced from paired
+    training match the real reference's history byte-for-byte in structure
+    (columns, index) and numerically in values (history.py:98-161)."""
+    import pandas as pd
+
+    ds = make_dataset(n=64, partitions=(3, 3), seed=23, n_targets=2)
+    model, ref_model, (hist, ref_hist), batches, loader = run_pair(
+        ref,
+        [MLPEncoder(4, 3, (5,)), MLPEncoder(4, 3, (5,))],
+        [LogisticDecoder(4), MLPDecoder(4, (6,), 2)],
+        [ref_enc.MLPEncoder(4, 3, (5,)), ref_enc.MLPEncoder(4, 3, (5,))],
+        [ref_dec.LogisticDecoder(4), ref_dec.MLPDecoder(4, (6,), 2)],
+        ds, epochs=3)
+    # Add a val tag on both so multi-tag columns are exercised.
+    model.test(loader, "cross_entropy", hist, tag="val")
+    ref_model.test(batches, torch.nn.CrossEntropyLoss(), ref_hist, tag="val")
+
+    df = hist.get_results()
+    ref_df = ref_hist.get_results()
+    assert list(df.columns) == list(ref_df.columns)
+    assert list(df.index) == list(ref_df.index)
+    np.testing.assert_allclose(df.to_numpy(), ref_df.to_numpy(),
+                               rtol=2e-4, atol=2e-5)
+
+    ours_csv = tmp_path / "ours.csv"
+    ref_csv = tmp_path / "ref.csv"
+    hist.save_results(str(ours_csv))
+    ref_hist.save_results(str(ref_csv))
+    a = pd.read_csv(ours_csv)
+    b = pd.read_csv(ref_csv)
+    assert list(a.columns) == list(b.columns)
+    np.testing.assert_allclose(a.iloc[:, 1:].to_numpy(),
+                               b.iloc[:, 1:].to_numpy(),
+                               rtol=2e-4, atol=2e-5)
