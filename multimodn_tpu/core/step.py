@@ -328,21 +328,31 @@ def make_fit_fn(loss_fn, tx, with_val: bool,
 
     Signature:
         (params, opt_state, data, targets, mask,
-         [val_data, val_targets, val_mask,] epoch_ids, rng)
+         [val_data, val_targets, val_mask,] epoch_ids, rng
+         [, seqs, val_seqs])
         -> (params, opt_state, train_sums_stacked[, val_sums_stacked])
     where every entry of the sums dicts has a leading (n_epochs,) axis.
+    Passing ``seqs``/``val_seqs`` (n_batches, L) threads per-batch encoder
+    orders through the corresponding batch scan (requires a loss_fn built
+    with ``per_batch_seq=True``; pass identity sequences for a loader
+    without its own).
     """
 
-    def run_train_epoch(params, opt_state, data, targets, sample_mask, rng):
+    def run_train_epoch(params, opt_state, data, targets, sample_mask, rng,
+                        seqs=None):
         n_batches = targets.shape[0]
 
         def body(carry, xs):
             params, opt_state, offset = carry
-            batch_data, batch_targets, batch_mask, batch_idx = xs
+            if seqs is not None:
+                batch_data, batch_targets, batch_mask, batch_idx, seq = xs
+            else:
+                batch_data, batch_targets, batch_mask, batch_idx = xs
+                seq = None
             batch_rng = jax.random.fold_in(rng, batch_idx)
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch_data, batch_targets, batch_mask, batch_rng,
-                offset, True)
+                offset, True, seq)
             params, opt_state = gated_update(tx, grads, opt_state, params,
                                              batch_mask,
                                              gate_empty_batches)
@@ -351,22 +361,30 @@ def make_fit_fn(loss_fn, tx, with_val: bool,
             return (params, opt_state, offset), ys
 
         xs = (data, targets, sample_mask, jnp.arange(n_batches))
+        if seqs is not None:
+            xs = xs + (seqs,)
         (params, opt_state, _), ys = jax.lax.scan(
             body, (params, opt_state, jnp.zeros(())), xs,
             unroll=resolve_unroll(scan_unroll, n_batches))
         return params, opt_state, {k: jnp.sum(v, axis=0) for k, v in ys.items()}
 
-    def run_eval_epoch(params, data, targets, sample_mask, rng):
+    def run_eval_epoch(params, data, targets, sample_mask, rng, seqs=None):
         n_batches = targets.shape[0]
 
         def body(offset, xs):
-            batch_data, batch_targets, batch_mask, batch_idx = xs
+            if seqs is not None:
+                batch_data, batch_targets, batch_mask, batch_idx, seq = xs
+            else:
+                batch_data, batch_targets, batch_mask, batch_idx = xs
+                seq = None
             batch_rng = jax.random.fold_in(rng, batch_idx)
             _, aux = loss_fn(params, batch_data, batch_targets, batch_mask,
-                             batch_rng, offset, False)
+                             batch_rng, offset, False, seq)
             return offset + jnp.sum(batch_mask), {k: aux[k] for k in _GRID_KEYS}
 
         xs = (data, targets, sample_mask, jnp.arange(n_batches))
+        if seqs is not None:
+            xs = xs + (seqs,)
         _, ys = jax.lax.scan(body, jnp.zeros(()), xs,
                              unroll=resolve_unroll(scan_unroll, n_batches))
         return {k: jnp.sum(v, axis=0) for k, v in ys.items()}
@@ -378,28 +396,30 @@ def make_fit_fn(loss_fn, tx, with_val: bool,
 
     if with_val:
         def fit(params, opt_state, data, targets, mask,
-                val_data, val_targets, val_mask, epoch_ids, rng):
+                val_data, val_targets, val_mask, epoch_ids, rng,
+                seqs=None, val_seqs=None):
             def epoch_body(carry, eid):
                 params, opt_state = carry
                 erng = jax.random.fold_in(rng, eid)
                 d, t, m = train_arrays(data, targets, mask, erng)
                 params, opt_state, tsums = run_train_epoch(
-                    params, opt_state, d, t, m, erng)
+                    params, opt_state, d, t, m, erng, seqs)
                 vsums = run_eval_epoch(params, val_data, val_targets,
-                                       val_mask, erng)
+                                       val_mask, erng, val_seqs)
                 return (params, opt_state), (tsums, vsums)
 
             (params, opt_state), (tsums, vsums) = jax.lax.scan(
                 epoch_body, (params, opt_state), epoch_ids)
             return params, opt_state, tsums, vsums
     else:
-        def fit(params, opt_state, data, targets, mask, epoch_ids, rng):
+        def fit(params, opt_state, data, targets, mask, epoch_ids, rng,
+                seqs=None):
             def epoch_body(carry, eid):
                 params, opt_state = carry
                 erng = jax.random.fold_in(rng, eid)
                 d, t, m = train_arrays(data, targets, mask, erng)
                 params, opt_state, tsums = run_train_epoch(
-                    params, opt_state, d, t, m, erng)
+                    params, opt_state, d, t, m, erng, seqs)
                 return (params, opt_state), tsums
 
             (params, opt_state), tsums = jax.lax.scan(
@@ -429,14 +449,19 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
     """
     from multimodn_tpu.core.metrics import masked_binary_auroc
 
-    def run_train_epoch(params, opt_state, data, targets, sample_mask, rng):
+    def run_train_epoch(params, opt_state, data, targets, sample_mask, rng,
+                        seqs=None):
         def body(carry, xs):
             params, opt_state, offset = carry
-            batch_data, batch_targets, batch_mask, batch_idx = xs
+            if seqs is not None:
+                batch_data, batch_targets, batch_mask, batch_idx, seq = xs
+            else:
+                batch_data, batch_targets, batch_mask, batch_idx = xs
+                seq = None
             batch_rng = jax.random.fold_in(rng, batch_idx)
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch_data, batch_targets, batch_mask, batch_rng,
-                offset, True)
+                offset, True, seq)
             params, opt_state = gated_update(tx, grads, opt_state, params,
                                              batch_mask,
                                              gate_empty_batches)
@@ -444,22 +469,30 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
             return (params, opt_state, offset), {k: aux[k] for k in _GRID_KEYS}
 
         xs = (data, targets, sample_mask, jnp.arange(targets.shape[0]))
+        if seqs is not None:
+            xs = xs + (seqs,)
         (params, opt_state, _), ys = jax.lax.scan(
             body, (params, opt_state, jnp.zeros(())), xs,
             unroll=resolve_unroll(scan_unroll, targets.shape[0]))
         return params, opt_state, {k: jnp.sum(v, axis=0) for k, v in ys.items()}
 
-    def run_eval_epoch(params, data, targets, sample_mask, rng):
+    def run_eval_epoch(params, data, targets, sample_mask, rng, seqs=None):
         def body(offset, xs):
-            batch_data, batch_targets, batch_mask, batch_idx = xs
+            if seqs is not None:
+                batch_data, batch_targets, batch_mask, batch_idx, seq = xs
+            else:
+                batch_data, batch_targets, batch_mask, batch_idx = xs
+                seq = None
             batch_rng = jax.random.fold_in(rng, batch_idx)
             _, aux = loss_fn(params, batch_data, batch_targets, batch_mask,
-                             batch_rng, offset, False)
+                             batch_rng, offset, False, seq)
             ys = {k: aux[k] for k in _GRID_KEYS}
             ys["final_outputs"] = aux["final_outputs"]
             return offset + jnp.sum(batch_mask), ys
 
         xs = (data, targets, sample_mask, jnp.arange(targets.shape[0]))
+        if seqs is not None:
+            xs = xs + (seqs,)
         _, ys = jax.lax.scan(body, jnp.zeros(()), xs,
                              unroll=resolve_unroll(scan_unroll, targets.shape[0]))
         sums = {k: jnp.sum(ys[k], axis=0) for k in _GRID_KEYS}
@@ -492,7 +525,8 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
         return score
 
     def fit(params, opt_state, data, targets, mask,
-            val_data, val_targets, val_mask, epoch_ids, rng):
+            val_data, val_targets, val_mask, epoch_ids, rng,
+            seqs=None, val_seqs=None):
         # best_score starts at -inf so epoch 0 always wins the strictly-
         # greater comparison; a constant-zero score can no longer leave
         # best_epoch at -1 and silently restore untrained parameters.
@@ -507,9 +541,9 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
             else:
                 d, t, m = data, targets, mask
             params, opt_state, tsums = run_train_epoch(
-                params, opt_state, d, t, m, erng)
+                params, opt_state, d, t, m, erng, seqs)
             vsums, outputs = run_eval_epoch(params, val_data, val_targets,
-                                            val_mask, erng)
+                                            val_mask, erng, val_seqs)
             score = selection_score(vsums, outputs, val_targets, val_mask)
             best_params, best_score, best_epoch = best
             improved = score > best_score

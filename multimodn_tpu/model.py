@@ -246,6 +246,34 @@ class MultiModN:
         fn = getattr(loader, "batch_sequences", None)
         return fn() if fn is not None else None
 
+    def _fused_seqs(self, train_loader, val_loader, reshuffle: bool):
+        """Resolve per-batch sequence arrays for the fused multi-epoch
+        programs. Returns (train_seqs, val_seqs, per_batch); when only one
+        loader carries sequences the other gets identity orders so a single
+        traced-order program serves both."""
+        seqs = self._batch_seqs(train_loader)
+        val_seqs = self._batch_seqs(val_loader) \
+            if val_loader is not None else None
+        per_batch = seqs is not None or val_seqs is not None
+        if not per_batch:
+            return None, None, False
+        if reshuffle:
+            raise ValueError(
+                "shuffle=True loaders cannot carry per-batch encoding "
+                "sequences through fused fit: the in-program sample "
+                "permutation would break the batch<->sequence association. "
+                "Loop train_epoch() instead.")
+        E = len(self.encoders)
+        identity = lambda ldr: np.tile(np.arange(E, dtype=np.int32),
+                                       (ldr.n_batches, 1))
+        if seqs is None:
+            seqs = identity(train_loader)
+        if val_loader is not None and val_seqs is None:
+            val_seqs = identity(val_loader)
+        seqs = jnp.asarray(seqs)
+        val_seqs = jnp.asarray(val_seqs) if val_seqs is not None else None
+        return seqs, val_seqs, True
+
     def _forward_fn(self, order, nan_skip):
         chain = self._chain_plan()[0]
         key = ("fwd", order, nan_skip, chain)
@@ -378,13 +406,6 @@ class MultiModN:
             self._opt = optimizer
             self.opt_state = optimizer.init(self.params)
 
-        for ldr in (train_loader, val_loader):
-            if ldr is not None and self._batch_seqs(ldr) is not None:
-                raise NotImplementedError(
-                    "fused fit() does not support per-batch encoding "
-                    "sequences; loop train_epoch()/test() instead (the "
-                    "reference's own cadence for sequence-carrying "
-                    "datasets).")
         # Shuffle-enabled loaders keep their per-epoch reshuffle semantics
         # inside the fused program: an in-program sample permutation per
         # epoch (see make_fit_fn), instead of silently training every fused
@@ -393,11 +414,14 @@ class MultiModN:
         data, targets, mask = self._place(train_loader)
         order = self._resolve_order(train_loader, train=True)
         with_val = val_loader is not None
+        seqs, val_seqs, per_batch = self._fused_seqs(
+            train_loader, val_loader if with_val else None, reshuffle)
 
         key = ("fit", criterion, order, self.nan_skip,
-               optimizer.tx, with_val, reshuffle)
+               optimizer.tx, with_val, reshuffle, per_batch)
         if key not in self._fn_cache:
-            loss_fn = self._loss_fn(criterion, order, self.nan_skip)
+            loss_fn = self._loss_fn(criterion, order, self.nan_skip,
+                                    per_batch)
             self._fn_cache[key] = make_fit_fn(loss_fn, optimizer.tx,
                                               with_val,
                                               scan_unroll=self.scan_unroll,
@@ -410,13 +434,23 @@ class MultiModN:
 
         if with_val:
             vdata, vtargets, vmask = self._place(val_loader)
-            self.params, self.opt_state, tsums, vsums = fn(
-                self.params, self.opt_state, data, targets, mask,
-                vdata, vtargets, vmask, epoch_ids, rng)
+            if per_batch:
+                self.params, self.opt_state, tsums, vsums = fn(
+                    self.params, self.opt_state, data, targets, mask,
+                    vdata, vtargets, vmask, epoch_ids, rng, seqs, val_seqs)
+            else:
+                self.params, self.opt_state, tsums, vsums = fn(
+                    self.params, self.opt_state, data, targets, mask,
+                    vdata, vtargets, vmask, epoch_ids, rng)
         else:
-            self.params, self.opt_state, tsums = fn(
-                self.params, self.opt_state, data, targets, mask,
-                epoch_ids, rng)
+            if per_batch:
+                self.params, self.opt_state, tsums = fn(
+                    self.params, self.opt_state, data, targets, mask,
+                    epoch_ids, rng, seqs)
+            else:
+                self.params, self.opt_state, tsums = fn(
+                    self.params, self.opt_state, data, targets, mask,
+                    epoch_ids, rng)
             vsums = None
 
         if history is not None:
@@ -476,20 +510,18 @@ class MultiModN:
             self._opt = optimizer
             self.opt_state = optimizer.init(self.params)
 
-        for ldr in (train_loader, val_loader):
-            if self._batch_seqs(ldr) is not None:
-                raise NotImplementedError(
-                    "fused fit_best() does not support per-batch encoding "
-                    "sequences; loop train_epoch()/test() instead.")
         reshuffle = bool(getattr(train_loader, "shuffle", False))
         data, targets, mask = self._place(train_loader)
         vdata, vtargets, vmask = self._place(val_loader)
         order = self._resolve_order(train_loader, train=True)
+        seqs, val_seqs, per_batch = self._fused_seqs(
+            train_loader, val_loader, reshuffle)
 
         key = ("fit_best", criterion, order, self.nan_skip,
-               optimizer.tx, reshuffle)
+               optimizer.tx, reshuffle, per_batch)
         if key not in self._fn_cache:
-            loss_fn = self._loss_fn(criterion, order, self.nan_skip)
+            loss_fn = self._loss_fn(criterion, order, self.nan_skip,
+                                    per_batch)
             self._fn_cache[key] = make_select_fit_fn(
                 loss_fn, optimizer.tx, binary, scan_unroll=self.scan_unroll,
                 reshuffle=reshuffle)
@@ -497,10 +529,11 @@ class MultiModN:
 
         rng = jax.random.fold_in(jax.random.PRNGKey(0), self._epoch_counter)
         self._epoch_counter += epochs
+        extra = (seqs, val_seqs) if per_batch else ()
         (self.params, self.opt_state, tsums, vsums, best_params, best_score,
          best_epoch, scores) = fn(self.params, self.opt_state, data, targets,
                                   mask, vdata, vtargets, vmask,
-                                  jnp.arange(epochs), rng)
+                                  jnp.arange(epochs), rng, *extra)
 
         if history is not None:
             tsums = jax.tree_util.tree_map(np.asarray, tsums)

@@ -179,3 +179,89 @@ def test_fit_best_reshuffle_smoke():
                          val_loader=ArrayLoader(va, 16))
     assert 0 <= res["best_epoch"] < 4
     assert np.isfinite(res["best_score"])
+
+
+def test_fit_with_per_batch_sequences_matches_looped():
+    """Fused fit() threads per-batch encoding sequences and reproduces the
+    looped train_epoch()/test() path exactly."""
+    from multimodn_tpu.data import PartitionDataset
+
+    class SeqDS(PartitionDataset):
+        def __init__(self, X, y, parts):
+            super().__init__(X, y, parts)
+            n = len(self)
+            self._seqs = np.stack(
+                [np.asarray([0, 1]) if i % 2 == 0 else np.asarray([1, 0])
+                 for i in range(n)]).astype(np.int64)
+
+        def __getitem__(self, i):
+            xs, y = super().__getitem__(i)[:2]
+            return xs, y, self._seqs[i]
+
+        def arrays(self):
+            xs, y = super().arrays()[:2]
+            return xs, y, self._seqs
+
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(24, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = SeqDS(X, y, [3, 3])
+    epochs = 3
+
+    def build():
+        return MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                         [LogisticDecoder(3)], 0.7, 0.3)
+
+    m1, h1 = build(), MultiModNHistory(["t"])
+    l1, v1 = ArrayLoader(ds, 1), ArrayLoader(ds, 1)
+    assert l1.batch_sequences() is not None
+    m1.fit(l1, Adam(0.01), "cross_entropy", epochs=epochs, history=h1,
+           val_loader=v1, val_tag="val")
+
+    m2, h2 = build(), MultiModNHistory(["t"])
+    l2, v2 = ArrayLoader(ds, 1), ArrayLoader(ds, 1)
+    opt2 = Adam(0.01)
+    for _ in range(epochs):
+        m2.train_epoch(l2, opt2, "cross_entropy", h2)
+        m2.test(v2, "cross_entropy", h2, tag="val")
+
+    for e in range(epochs):
+        np.testing.assert_allclose(h1.loss["train"][e], h2.loss["train"][e],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(h1.loss["val"][e], h2.loss["val"][e],
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(__import__("jax").tree_util.tree_leaves(m1.state_dict()),
+                    __import__("jax").tree_util.tree_leaves(m2.state_dict())):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_fit_best_with_per_batch_sequences_runs():
+    from multimodn_tpu.data import PartitionDataset
+
+    class SeqDS(PartitionDataset):
+        def __init__(self, X, y, parts):
+            super().__init__(X, y, parts)
+            self._seqs = np.stack(
+                [np.asarray([0, 1]) if i % 2 == 0 else np.asarray([1, 0])
+                 for i in range(len(self))]).astype(np.int64)
+
+        def __getitem__(self, i):
+            xs, y = super().__getitem__(i)[:2]
+            return xs, y, self._seqs[i]
+
+        def arrays(self):
+            xs, y = super().arrays()[:2]
+            return xs, y, self._seqs
+
+    rng = np.random.default_rng(10)
+    X = rng.normal(size=(32, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    tr = SeqDS(X[:24], y[:24], [3, 3])
+    va = SeqDS(X[24:], y[24:], [3, 3])
+    model = MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                      [LogisticDecoder(3)], 0.7, 0.3)
+    res = model.fit_best(ArrayLoader(tr, 1), Adam(0.01), "cross_entropy",
+                         epochs=3, val_loader=ArrayLoader(va, 1))
+    assert 0 <= res["best_epoch"] < 3
+    assert np.isfinite(res["best_score"])
