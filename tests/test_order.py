@@ -59,11 +59,10 @@ def test_encoding_sequence_reference_semantics():
     np.testing.assert_allclose(np.stack(states), np.asarray(s2), atol=1e-6)
 
 
-def test_nonuniform_sequence_rejected():
-    ds = _setup(seq=[1, 0])
-    ds_bad = _setup(seq=[1, 0])
-    # Break uniformity in the generic path.
-    arr = ds_bad.arrays()[2].copy() if hasattr(ds_bad, "arrays") else None
+def test_nonuniform_sequence_rejected_per_batch():
+    """Uniformity is validated PER BATCH (after batching), exactly like the
+    reference (multimodn.py:520-523): a batch mixing sequences raises, but
+    batch_size=1 makes per-sample sequences legal."""
 
     class NonUniform(SeqDataset):
         def arrays(self):
@@ -75,8 +74,16 @@ def test_nonuniform_sequence_rejected():
 
     bad = NonUniform(np.zeros((4, 6), np.float32), np.zeros((4, 1)), [3, 3],
                      [0, 1])
+    loader = ArrayLoader(bad, 2)        # constructing is fine...
     with pytest.raises(ValueError, match="different values across the batch"):
-        ArrayLoader(bad, 2)
+        loader.batch_sequences()        # ...using a mixed batch is not
+    # The reference's documented escape hatch: batch_size=1.
+    loader1 = ArrayLoader(NonUniform(np.zeros((4, 6), np.float32),
+                                     np.zeros((4, 1)), [3, 3], [0, 1]), 1)
+    seqs = loader1.batch_sequences()
+    assert seqs.shape == (4, 2)
+    np.testing.assert_array_equal(seqs[0], [0, 1])
+    np.testing.assert_array_equal(seqs[1], [1, 0])
 
 
 def test_shuffle_mode_draws_new_orders_and_trains():
