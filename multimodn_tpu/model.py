@@ -123,6 +123,11 @@ class MultiModN:
         if dp_engine == "shard_map":
             if mesh is None:
                 raise ValueError("dp_engine='shard_map' requires a mesh")
+            if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+                raise ValueError(
+                    "dp_engine='shard_map' is data-parallel only (its "
+                    "in_specs replicate parameters); use the auto engine "
+                    "for DP x TP meshes.")
             if nan_skip != "sample":
                 raise ValueError(
                     "dp_engine='shard_map' requires nan_skip='sample' "
