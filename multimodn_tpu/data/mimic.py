@@ -40,6 +40,25 @@ source_size = [MIMIC_SOURCE_DICT[s] for s in source_names]
 source_dict = dict(MIMIC_SOURCE_DICT)
 
 
+def _read_numeric_csv(path: str) -> pd.DataFrame:
+    """pd.read_csv with a native fast path for numeric CSVs (the cache
+    data.csv files are pure float matrices with a header — the dominant
+    dataset-construction cost at MIMIC scale). The native reader
+    (native/csv.cpp) returns None for anything it cannot represent exactly
+    (quoted fields, ragged rows, non-numeric cells), so results are always
+    pandas-identical in value; only dtypes widen to float32 column-wise,
+    which every consumer here converts anyway."""
+    try:
+        from multimodn_tpu.data import native
+        result = native.read_csv_f32(path)
+    except Exception:
+        result = None
+    if result is None:
+        return pd.read_csv(path)
+    mat, columns = result
+    return pd.DataFrame(mat, columns=columns)
+
+
 def _load_embeddings(targets, synthetic_kwargs=None) -> pd.DataFrame:
     path = os.environ.get("MULTIMODN_MIMIC_EMBED_PATH")
     if path:
@@ -108,7 +127,7 @@ def build_mimic_cache(
     nips_src = os.path.join(cache_root, "_".join(MIMIC_DEFAULT_TARGETS),
                             source_spec, "data.csv")
     if len(targets) == 1 and os.path.exists(nips_src):
-        df = pd.read_csv(nips_src)  # already deduped, filtered, one-hot
+        df = _read_numeric_csv(nips_src)  # already deduped/filtered/one-hot
         df = df.assign(Agg=df[targets[0]].astype(int))
     else:
         df = _load_embeddings(targets, synthetic_kwargs)
@@ -151,7 +170,7 @@ def load_mimic_data(
     """Return (data_df, labels_df, features, partitions) — the equivalent of
     the reference's mimic_get_*_data loaders (``mimic_dataset.py:27-148``)."""
     cache_dir = build_mimic_cache(targets, sources, cache_root, synthetic_kwargs)
-    data_full = pd.read_csv(os.path.join(cache_dir, "data.csv"))
+    data_full = _read_numeric_csv(os.path.join(cache_dir, "data.csv"))
     features, partitions = _source_features(data_full, sources)
     data = data_full[features].copy()
     labels = data_full[targets]
@@ -213,7 +232,7 @@ class MIMICDataset:
 
     def haim_ids(self) -> np.ndarray:
         """Per-row patient id, aligned with X/y rows."""
-        data_full = pd.read_csv(os.path.join(self.cache_dir, "data.csv"))
+        data_full = _read_numeric_csv(os.path.join(self.cache_dir, "data.csv"))
         return data_full["haim_id"].values
 
     def random_split(

@@ -15,7 +15,8 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 _REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "../.."))
-_SRC = os.path.join(_REPO, "native", "packer.cpp")
+_SRCS = [os.path.join(_REPO, "native", "packer.cpp"),
+         os.path.join(_REPO, "native", "csv.cpp")]
 _BUILD_DIR = os.path.join(_REPO, "native", "build")
 _SO = os.path.join(_BUILD_DIR, "libmmn_packer.so")
 
@@ -25,14 +26,15 @@ _tried = False
 
 
 def _compile() -> Optional[str]:
-    if not os.path.exists(_SRC):
+    srcs = [p for p in _SRCS if os.path.exists(p)]
+    if not srcs:
         return None
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    if os.path.exists(_SO) and \
-            os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+    if os.path.exists(_SO) and all(
+            os.path.getmtime(_SO) >= os.path.getmtime(p) for p in srcs):
         return _SO
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-o", _SO, _SRC]
+           "-o", _SO] + srcs
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return _SO
@@ -65,6 +67,13 @@ def get_lib():
         lib.pack_epoch.restype = None
         lib.standardize_columns.argtypes = [f32p, i64, i64]
         lib.standardize_columns.restype = None
+        if hasattr(lib, "csv_dims"):
+            lib.csv_dims.argtypes = [ctypes.c_char_p, ctypes.POINTER(i64),
+                                     ctypes.POINTER(i64), ctypes.POINTER(i64)]
+            lib.csv_dims.restype = i64
+            lib.csv_read_f32.argtypes = [ctypes.c_char_p, f32p, i64, i64,
+                                         ctypes.c_char_p, i64, i64]
+            lib.csv_read_f32.restype = i64
         _lib = lib
         return _lib
 
@@ -122,3 +131,36 @@ def standardize_columns(X: np.ndarray) -> Optional[np.ndarray]:
     X = np.ascontiguousarray(X, dtype=np.float32)
     lib.standardize_columns(_f32p(X), X.shape[0], X.shape[1])
     return X
+
+
+def read_csv_f32(path: str, strict: bool = True):
+    """Fast numeric-CSV reader (native/csv.cpp): one header row + float
+    fields; empty/NA/NaN/None cells become NaN. Returns (matrix (n, f)
+    float32, column-name list) or None whenever the file needs pandas
+    (quoted fields, ragged rows, non-numeric data with strict=True, or the
+    native library is unavailable) — callers always fall back, so this is a
+    pure fast path with identical results on the files it accepts."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "csv_dims"):
+        return None
+    i64 = ctypes.c_int64
+    n_rows, n_cols, hlen = i64(0), i64(0), i64(0)
+    rc = lib.csv_dims(path.encode(), ctypes.byref(n_rows),
+                      ctypes.byref(n_cols), ctypes.byref(hlen))
+    if rc != 0:
+        return None
+    out = np.empty((n_rows.value, n_cols.value), np.float32)
+    header = ctypes.create_string_buffer(hlen.value + 2)
+    rc = lib.csv_read_f32(path.encode(), _f32p(out), n_rows.value,
+                          n_cols.value, header, i64(hlen.value + 2),
+                          i64(1 if strict else 0))
+    if rc != 0:
+        return None
+    try:
+        columns = header.value.decode("utf-8").split(",")
+    except UnicodeDecodeError:
+        return None
+    columns = [c.strip() for c in columns]
+    if len(columns) != n_cols.value:
+        return None
+    return out, columns

@@ -1,0 +1,240 @@
+// Native numeric-CSV reader for MultiModN-TPU's data layer.
+//
+// The MIMIC workflow reads a ~1103-column float matrix CSV (the HAIM
+// embeddings export and the framework's own cache files, see
+// multimodn_tpu/data/mimic.py) — pandas' general-purpose parser is the
+// slowest step of dataset construction there. This reader handles exactly
+// the numeric-CSV shape those files have (one header row, comma-separated
+// float fields, empty/NA cells as NaN) in one pass with no intermediate
+// Python objects. Anything fancier (quoted fields, string columns) returns
+// an error code and the caller falls back to pandas, so behavior never
+// changes — only speed.
+//
+// Exposed via a plain C ABI for ctypes (no pybind11 in this image).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <cmath>
+#include <limits>
+#include <vector>
+
+namespace {
+
+struct FileBuf {
+    char* data = nullptr;
+    int64_t size = 0;
+    bool ok = false;
+
+    explicit FileBuf(const char* path) {
+        FILE* f = std::fopen(path, "rb");
+        if (!f) return;
+        std::fseek(f, 0, SEEK_END);
+        long sz = std::ftell(f);
+        std::fseek(f, 0, SEEK_SET);
+        if (sz < 0) { std::fclose(f); return; }
+        data = static_cast<char*>(std::malloc(static_cast<size_t>(sz) + 1));
+        if (!data) { std::fclose(f); return; }
+        size = static_cast<int64_t>(std::fread(data, 1, sz, f));
+        std::fclose(f);
+        data[size] = '\0';
+        ok = true;
+    }
+    ~FileBuf() { std::free(data); }
+};
+
+// Fast decimal float parse (sign, digits, '.', digits, exponent). Covers
+// every token numeric CSV exports produce; anything else falls back to
+// strtof. Double-precision accumulation keeps the error far below one
+// float32 ulp for <= 17 significant digits.
+inline bool parse_f32_fast(const char* s, const char* e, float* out) {
+    static double pow10_pos[39] = {0};
+    static double pow10_neg[61] = {0};
+    if (pow10_pos[0] == 0) {
+        double p = 1.0;
+        for (int i = 0; i < 39; ++i) { pow10_pos[i] = p; p *= 10.0; }
+        p = 1.0;
+        for (int i = 0; i < 61; ++i) { pow10_neg[i] = p; p /= 10.0; }
+    }
+    if (s == e) return false;
+    bool neg = false;
+    if (*s == '+' || *s == '-') { neg = (*s == '-'); ++s; }
+    uint64_t mant = 0;
+    int digits = 0, exp10 = 0;
+    bool any = false;
+    while (s < e && *s >= '0' && *s <= '9') {
+        if (digits < 17) { mant = mant * 10 + static_cast<uint64_t>(*s - '0'); ++digits; }
+        else ++exp10;
+        ++s; any = true;
+    }
+    if (s < e && *s == '.') {
+        ++s;
+        while (s < e && *s >= '0' && *s <= '9') {
+            if (digits < 17) {
+                mant = mant * 10 + static_cast<uint64_t>(*s - '0');
+                ++digits; --exp10;
+            }
+            ++s; any = true;
+        }
+    }
+    if (!any) return false;
+    if (s < e && (*s == 'e' || *s == 'E')) {
+        ++s;
+        bool eneg = false;
+        if (s < e && (*s == '+' || *s == '-')) { eneg = (*s == '-'); ++s; }
+        if (s >= e || *s < '0' || *s > '9') return false;
+        int ev = 0;
+        while (s < e && *s >= '0' && *s <= '9') {
+            ev = ev * 10 + (*s - '0');
+            if (ev > 400) ev = 400;          // saturate; clamps to 0/inf below
+            ++s;
+        }
+        exp10 += eneg ? -ev : ev;
+    }
+    if (s != e) return false;                // trailing junk -> slow path
+    double v = static_cast<double>(mant);
+    if (exp10 > 0) {
+        if (exp10 > 38) { *out = neg ? -HUGE_VALF : HUGE_VALF; return true; }
+        v *= pow10_pos[exp10];
+    } else if (exp10 < 0) {
+        if (exp10 < -60) { *out = neg ? -0.0f : 0.0f; return true; }
+        v *= pow10_neg[-exp10];
+    }
+    *out = static_cast<float>(neg ? -v : v);
+    return true;
+}
+
+inline bool is_na_token(const char* s, int64_t len) {
+    if (len == 0) return true;
+    if (len == 2 && (std::memcmp(s, "NA", 2) == 0 || std::memcmp(s, "na", 2) == 0)) return true;
+    if (len == 3 && (std::memcmp(s, "NaN", 3) == 0 || std::memcmp(s, "nan", 3) == 0)) return true;
+    if (len == 4 && (std::memcmp(s, "None", 4) == 0 || std::memcmp(s, "null", 4) == 0)) return true;
+    return false;
+}
+
+}  // namespace
+
+extern "C" {
+
+// First pass: dimensions of the data portion (rows AFTER the header) and
+// the header's byte length. Returns 0 on success, nonzero error codes:
+//   1 file unreadable, 2 quoted field seen (unsupported), 3 ragged rows.
+int64_t csv_dims(const char* path, int64_t* n_rows, int64_t* n_cols,
+                 int64_t* header_len) {
+    FileBuf fb(path);
+    if (!fb.ok) return 1;
+    const char* p = fb.data;
+    const char* end = fb.data + fb.size;
+
+    // Header: count columns, record its length.
+    int64_t cols = 1;
+    const char* h = p;
+    while (h < end && *h != '\n') {
+        if (*h == '"') return 2;
+        if (*h == ',') ++cols;
+        ++h;
+    }
+    *header_len = static_cast<int64_t>(h - p);
+    *n_cols = cols;
+
+    int64_t rows = 0;
+    const char* q = (h < end) ? h + 1 : end;
+    while (q < end) {
+        int64_t c = 1;
+        const char* line = q;
+        while (q < end && *q != '\n') {
+            if (*q == '"') return 2;
+            if (*q == ',') ++c;
+            ++q;
+        }
+        // Skip blank trailing line(s).
+        if (q != line || c > 1) {
+            int64_t len = static_cast<int64_t>(q - line);
+            if (len > 0 || c > 1) {
+                if (c != cols) return 3;
+                ++rows;
+            }
+        }
+        if (q < end) ++q;
+    }
+    *n_rows = rows;
+    return 0;
+}
+
+// Second pass: fill `out` (n_rows * n_cols float32, row-major) and copy the
+// raw header line into header_buf (NUL-terminated; caller sizes it from
+// csv_dims' header_len). Empty/NA/NaN/None/null cells and unparseable
+// fields become NaN unless strict != 0, in which case an unparseable
+// NON-empty field aborts with code 4 (caller falls back to pandas).
+// Returns 0 on success.
+int64_t csv_read_f32(const char* path, float* out,
+                     int64_t n_rows, int64_t n_cols,
+                     char* header_buf, int64_t header_cap,
+                     int64_t strict) {
+    FileBuf fb(path);
+    if (!fb.ok) return 1;
+    char* p = fb.data;
+    char* end = fb.data + fb.size;
+    const float nanf32 = std::numeric_limits<float>::quiet_NaN();
+
+    // Header.
+    char* h = p;
+    while (h < end && *h != '\n') ++h;
+    int64_t hlen = static_cast<int64_t>(h - p);
+    if (header_buf && header_cap > 0) {
+        int64_t n = hlen < header_cap - 1 ? hlen : header_cap - 1;
+        std::memcpy(header_buf, p, static_cast<size_t>(n));
+        header_buf[n] = '\0';
+    }
+
+    char* q = (h < end) ? h + 1 : end;
+    int64_t row = 0;
+    while (q < end && row < n_rows) {
+        char* line_end = q;
+        while (line_end < end && *line_end != '\n') ++line_end;
+        if (line_end == q) { q = line_end + 1; continue; }
+        *line_end = '\0';                    // in-buffer tokenization
+        float* dst = out + row * n_cols;
+        char* field = q;
+        int64_t col = 0;
+        while (col < n_cols) {
+            char* field_end = field;
+            while (*field_end != '\0' && *field_end != ',') ++field_end;
+            char saved = *field_end;
+            *field_end = '\0';
+            // Trim surrounding spaces/CR.
+            char* s = field;
+            char* e = field_end;
+            while (s < e && (*s == ' ' || *s == '\t')) ++s;
+            while (e > s && (e[-1] == ' ' || e[-1] == '\t' || e[-1] == '\r')) --e;
+            int64_t len = static_cast<int64_t>(e - s);
+            if (is_na_token(s, len)) {
+                dst[col] = nanf32;
+            } else if (parse_f32_fast(s, e, &dst[col])) {
+                // fast path handled it
+            } else {
+                char tmp = *e;
+                *e = '\0';
+                char* parse_end = nullptr;
+                float v = std::strtof(s, &parse_end);
+                if (parse_end != e) {
+                    if (strict) return 4;
+                    v = nanf32;
+                }
+                *e = tmp;
+                dst[col] = v;
+            }
+            *field_end = saved;
+            ++col;
+            if (saved == '\0') break;
+            field = field_end + 1;
+        }
+        for (; col < n_cols; ++col) dst[col] = nanf32;
+        ++row;
+        q = line_end + 1;
+    }
+    return 0;
+}
+
+}  // extern "C"

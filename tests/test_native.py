@@ -87,3 +87,66 @@ def test_training_identical_with_and_without_native():
         m.fit(loader, Adam(0.01), "cross_entropy", epochs=3, history=h)
         results.append(h.loss["train"][-1])
     np.testing.assert_array_equal(results[0], results[1])
+
+
+def test_native_csv_reader_matches_pandas(tmp_path):
+    """Numeric CSVs (the MIMIC cache shape) parse identically to pandas:
+    values, NaNs, and column names."""
+    import pandas as pd
+
+    from multimodn_tpu.data import native
+
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame(rng.normal(size=(64, 12)).astype(np.float32),
+                      columns=[f"c{i}" for i in range(12)])
+    df.iloc[3, 5] = np.nan
+    df.iloc[10, 0] = np.nan
+    path = tmp_path / "numeric.csv"
+    df.to_csv(path, index=False)
+
+    result = native.read_csv_f32(str(path))
+    if result is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    mat, cols = result
+    assert cols == list(df.columns)
+    ref = pd.read_csv(path).to_numpy(np.float32)
+    np.testing.assert_allclose(mat, ref, rtol=1e-6, equal_nan=True)
+
+
+def test_native_csv_reader_rejects_non_numeric(tmp_path):
+    """String cells / quoted fields make the reader bail (pandas fallback)."""
+    from multimodn_tpu.data import native
+
+    p1 = tmp_path / "strings.csv"
+    p1.write_text("a,b\n1.5,hello\n2.0,3.0\n")
+    p2 = tmp_path / "quoted.csv"
+    p2.write_text('a,b\n"1,5",2\n')
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    assert native.read_csv_f32(str(p1)) is None
+    assert native.read_csv_f32(str(p2)) is None
+
+
+def test_mimic_cache_reads_through_native_path(tmp_path):
+    """load_mimic_data round-trips through the native CSV fast path with
+    values identical to a pure-pandas read."""
+    import pandas as pd
+
+    from multimodn_tpu.data.mimic import _read_numeric_csv, load_mimic_data
+
+    data, labels, features, partitions = load_mimic_data(
+        ["Fracture"], ["de", "ts_ce"], cache_root=str(tmp_path / "cache"),
+        synthetic_kwargs={"n_patients": 12, "seed": 0})
+    cache_dir = None
+    for root, dirs, files in __import__("os").walk(str(tmp_path / "cache")):
+        if "data.csv" in files:
+            cache_dir = root
+    assert cache_dir is not None
+    fast = _read_numeric_csv(cache_dir + "/data.csv")
+    slow = pd.read_csv(cache_dir + "/data.csv")
+    assert list(fast.columns) == list(slow.columns)
+    np.testing.assert_allclose(fast.to_numpy(np.float32),
+                               slow.to_numpy(np.float32),
+                               rtol=1e-6, equal_nan=True)
