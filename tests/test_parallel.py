@@ -152,3 +152,23 @@ def test_kfold_on_mesh_matches_plain():
         assert rp["best_epoch"] == rm["best_epoch"]
         np.testing.assert_allclose(rp["best_score"], rm["best_score"],
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_dp_fit_reshuffle_matches_single_device():
+    """The in-program per-epoch sample permutation (shuffle=True fused fit)
+    crosses shard boundaries; it must not change the math under DP."""
+    ds = _dataset(n=64, seed=6)
+    mesh = make_mesh(axis_names=("data",))
+    m1, m2 = _wide_model(), _wide_model(mesh)
+    h1, h2 = MultiModNHistory(["t"]), MultiModNHistory(["t"])
+    m1.fit(ArrayLoader(ds, 16, shuffle=True), Adam(0.01), "cross_entropy",
+           epochs=3, history=h1)
+    m2.fit(ArrayLoader(ds, 16, shuffle=True), Adam(0.01), "cross_entropy",
+           epochs=3, history=h2)
+    for e in range(3):
+        np.testing.assert_allclose(h1.loss["train"][e], h2.loss["train"][e],
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(m1.state_dict()),
+                    jax.tree_util.tree_leaves(m2.state_dict())):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
