@@ -53,3 +53,79 @@ def test_resume_with_optimizer_state_matches_uninterrupted(tmp_path):
         np.asarray(m_full.params["encoders"][0]["layers"][0]["w"]),
         np.asarray(m_b.params["encoders"][0]["layers"][0]["w"]),
         rtol=1e-5, atol=1e-6)
+
+
+def test_fit_resumable_interrupted_equals_uninterrupted(tmp_path):
+    """Kill-and-resume: training interrupted at a chunk boundary and resumed
+    in a fresh process-equivalent (new model object, restored state) ends
+    with the same parameters and history as an uninterrupted run."""
+    from multimodn_tpu import Adam, MultiModN, MultiModNHistory
+    from multimodn_tpu.checkpoint import fit_resumable
+    from multimodn_tpu.data import ArrayLoader, PartitionDataset
+    from multimodn_tpu.decoders import LogisticDecoder
+    from multimodn_tpu.encoders import MLPEncoder
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(48, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = PartitionDataset(X, y, [3, 3])
+
+    def build():
+        return MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                         [LogisticDecoder(3)], 0.7, 0.3)
+
+    # Uninterrupted: 6 epochs in chunks of 2.
+    m_full = build()
+    h_full = MultiModNHistory(["t"])
+    h_full, ran = fit_resumable(
+        m_full, ArrayLoader(ds, 16), Adam(0.01), "cross_entropy",
+        epochs=6, checkpoint_dir=str(tmp_path / "full"), chunk_epochs=2,
+        history=h_full)
+    assert ran == 6
+
+    # Interrupted: run only the first 2 epochs ("preempted" at the boundary),
+    # then a FRESH model object resumes from the checkpoint dir.
+    ckpt = str(tmp_path / "interrupted")
+    m_a = build()
+    h_a = MultiModNHistory(["t"])
+    fit_resumable(m_a, ArrayLoader(ds, 16), Adam(0.01), "cross_entropy",
+                  epochs=2, checkpoint_dir=ckpt, chunk_epochs=2, history=h_a)
+    m_b = build()     # fresh object: params re-initialized, opt_state None
+    h_b = MultiModNHistory(["t"])
+    h_b, ran_b = fit_resumable(
+        m_b, ArrayLoader(ds, 16), Adam(0.01), "cross_entropy",
+        epochs=6, checkpoint_dir=ckpt, chunk_epochs=2, history=h_b)
+    assert ran_b == 4                      # resumed, not restarted
+
+    import jax
+    for a, b in zip(jax.tree_util.tree_leaves(m_full.state_dict()),
+                    jax.tree_util.tree_leaves(m_b.state_dict())):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    assert len(h_b.loss["train"]) == 6
+    np.testing.assert_allclose(np.asarray(h_b.loss["train"]),
+                               np.asarray(h_full.loss["train"]),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_fit_resumable_noop_when_complete(tmp_path):
+    """Re-invoking after completion runs zero epochs."""
+    from multimodn_tpu import Adam, MultiModN, MultiModNHistory
+    from multimodn_tpu.checkpoint import fit_resumable
+    from multimodn_tpu.data import ArrayLoader, PartitionDataset
+    from multimodn_tpu.decoders import LogisticDecoder
+    from multimodn_tpu.encoders import MLPEncoder
+
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(32, 6)).astype(np.float32)
+    y = (X[:, :1] > 0).astype(np.int64)
+    ds = PartitionDataset(X, y, [3, 3])
+    model = MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                      [LogisticDecoder(3)], 0.7, 0.3)
+    _, ran1 = fit_resumable(model, ArrayLoader(ds, 16), Adam(0.01),
+                            "cross_entropy", epochs=3,
+                            checkpoint_dir=str(tmp_path), chunk_epochs=3)
+    _, ran2 = fit_resumable(model, ArrayLoader(ds, 16), Adam(0.01),
+                            "cross_entropy", epochs=3,
+                            checkpoint_dir=str(tmp_path), chunk_epochs=3)
+    assert (ran1, ran2) == (3, 0)
