@@ -1,12 +1,13 @@
 """MFU investigation at the bench_scaling config (VERDICT r1 next #2).
 
 Measures, on the real TPU chip:
-  1. matmul ceiling — achievable TFLOP/s for the config's dominant matmul
-     shapes, in isolation (the roofline numerator).
-  2. forward-only chain throughput.
+  1. dispatch latency — the tunnel's per-dispatch+fetch round trip (the
+     reason every number here amortizes many iterations per dispatch).
+  2. matmul ceilings — achievable TFLOP/s for the config's dominant matmul
+     shapes, serial and independent (the roofline numerator).
   3. grad-only (SGD) training — isolates the Adam HBM-traffic cost.
-  4. full Adam training at batch 512 (the bench_scaling number).
-  5. full Adam training at batch 2048 (4x fewer optimizer updates/epoch).
+  4. full Adam training at batch 512 (the bench_scaling config) and 2048
+     (4x fewer optimizer updates/epoch).
 
 Writes bench_mfu.json. One process, sequential (the tunnel is single-client).
 """
@@ -135,29 +136,6 @@ def time_fit(model, loader, opt, epochs=EPOCHS, reps=3):
             "samples_per_sec": round(sps, 1),
             "tflops": round(sps * model_flops_per_sample() / 1e12, 2),
             "compile_s": round(compile_s, 1)}
-
-
-def forward_only(model, loader, reps=3):
-    data, targets, mask = model._place(loader)
-    order = model._resolve_order(loader, train=False)
-    fn = model._eval_fn(
-        __import__("multimodn_tpu.core.losses", fromlist=["x"])
-        .resolve_criterion("cross_entropy"), order)
-    rng = jax.random.PRNGKey(0)
-    sums, _ = fn(model.params, data, targets, mask, rng)
-    fetch(sums["err_loss"])
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        sums, _ = fn(model.params, data, targets, mask, rng)
-        fetch(sums["err_loss"])
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-    sps = N / dt
-    fwd_flops = model_flops_per_sample() / 3.0
-    return {"epoch_ms": round(dt * 1e3, 2),
-            "samples_per_sec": round(sps, 1),
-            "fwd_tflops": round(sps * fwd_flops / 1e12, 2)}
 
 
 def main():
