@@ -265,3 +265,52 @@ def test_fit_best_with_per_batch_sequences_runs():
                          epochs=3, val_loader=ArrayLoader(va, 1))
     assert 0 <= res["best_epoch"] < 3
     assert np.isfinite(res["best_score"])
+
+
+def test_fit_reshuffle_with_padded_tail_matches_manual_replay():
+    """Padded rows (mask=0) travel with the in-program permutation into
+    arbitrary batches; grids must equal a host-side replay of the same
+    permutation applied to the padded epoch stacks."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodn_tpu.core.losses import resolve_criterion
+    from multimodn_tpu.core.step import epoch_permute, make_train_epoch_fn
+
+    ds = _reshuffle_setup(n=50)           # 50 % 16 != 0 -> padded tail
+    batch, epochs = 16, 2
+    m1 = _model()
+    h1 = MultiModNHistory(["t"])
+    m1.fit(ArrayLoader(ds, batch, shuffle=True), Adam(0.01), "cross_entropy",
+           epochs=epochs, history=h1)
+
+    # Replay: identical permutations applied to the PADDED stacks, then the
+    # single-epoch train program on the permuted arrays.
+    m2 = _model()
+    loader = ArrayLoader(ds, batch)
+    data, targets, mask = loader.stacks()
+    criterion = resolve_criterion("cross_entropy")
+    order = tuple((i, i) for i in range(2))
+    loss_fn = m2._loss_fn(criterion, order, m2.nan_skip)
+    opt = Adam(0.01)
+    opt_state = opt.init(m2.params)
+    fn = make_train_epoch_fn(loss_fn, opt.tx, donate=False, scan_unroll=1)
+    from multimodn_tpu.core.step import epoch_reduction
+    params = m2.params
+    base_rng = jax.random.fold_in(jax.random.PRNGKey(0), 0)
+    h2 = []
+    for e in range(epochs):
+        erng = jax.random.fold_in(base_rng, e)
+        d, t, m = epoch_permute(data, targets, mask, erng)
+        params, opt_state, sums, _ = fn(params, opt_state, d, t, m, erng)
+        stats = jax.tree_util.tree_map(
+            np.asarray, epoch_reduction(sums, loader.n_batches, True))
+        h2.append(stats["loss"])
+
+    for e in range(epochs):
+        np.testing.assert_allclose(h1.loss["train"][e], h2[e],
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(m1.state_dict()),
+                    jax.tree_util.tree_leaves(
+                        jax.tree_util.tree_map(np.asarray, params))):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=1e-5, atol=1e-6)
