@@ -125,8 +125,13 @@ def fit_resumable(model, train_loader, optimizer, criterion=None, *,
             model._opt = optimizer        # keep the restored opt_state live
         model._epoch_counter = payload.get("epoch_counter", payload["epoch"])
         start = int(payload["epoch"])
-        if history is not None and payload.get("history") is not None:
-            history.__dict__.update(payload["history"].__dict__)
+        if payload.get("history") is not None:
+            if history is None:
+                # Adopt the checkpointed history so accumulated epochs are
+                # never silently dropped on a history=None resume.
+                history = payload["history"]
+            else:
+                history.__dict__.update(payload["history"].__dict__)
 
     ran = 0
     while start < epochs:

@@ -88,7 +88,13 @@ class CrossEntropyLoss:
 
 import weakref
 
-_WRAP_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+# id(criterion) -> wrapped, with WEAK values: the wrapped closure holds the
+# only strong reference to its base criterion, so an entry lives exactly as
+# long as some consumer (e.g. a model's program cache) holds the wrapped
+# function — and the id key can never alias a dead object while its entry
+# exists. (A WeakKeyDictionary would never evict here: the wrapped VALUE
+# strongly references the KEY through its _base default.)
+_WRAP_CACHE: "weakref.WeakValueDictionary" = weakref.WeakValueDictionary()
 
 
 def resolve_criterion(criterion):
@@ -113,20 +119,14 @@ def resolve_criterion(criterion):
         if n_params >= 3:
             criterion._accepts_mask = True
             return criterion
-        try:
-            cached = _WRAP_CACHE.get(criterion)
-        except TypeError:          # unhashable/unweakrefable callable
-            cached = None
-        if cached is not None:
+        cached = _WRAP_CACHE.get(id(criterion))
+        if cached is not None and cached.__defaults__[1] is criterion:
             return cached
 
         def wrapped(outputs, targets, mask=None, _base=criterion):
             return _base(outputs, targets)
         wrapped._accepts_mask = False
-        try:
-            _WRAP_CACHE[criterion] = wrapped
-        except TypeError:
-            pass
+        _WRAP_CACHE[id(criterion)] = wrapped
         return wrapped
     try:
         return LOSSES[criterion]

@@ -164,6 +164,20 @@ _GRID_KEYS = ("err_loss", "state_change", "n_correct", "tp", "tn", "fp", "fn",
               "n_counted")
 
 
+def _scan_inputs(data, targets, sample_mask, seqs=None):
+    """Batch-scan xs tuple; appends the per-batch sequence array if any."""
+    xs = (data, targets, sample_mask, jnp.arange(targets.shape[0]))
+    return xs + (seqs,) if seqs is not None else xs
+
+
+def _scan_batch(xs):
+    """Unpack one batch-scan step's xs, with seq=None when not threaded."""
+    if len(xs) == 5:
+        return xs
+    batch_data, batch_targets, batch_mask, batch_idx = xs
+    return batch_data, batch_targets, batch_mask, batch_idx, None
+
+
 def resolve_unroll(scan_unroll, n_batches: int) -> int:
     """Batch-scan unroll factor. On TPU, unrolling the tiny per-batch step
     bodies roughly halves epoch time (measured: 3.3 -> 1.6 ms/epoch on the
@@ -223,11 +237,8 @@ def make_train_epoch_fn(loss_fn, tx, *, donate: bool = True,
 
         def body(carry, xs):
             params, opt_state, offset = carry
-            if with_seq:
-                batch_data, batch_targets, batch_mask, batch_idx, seq = xs
-            else:
-                batch_data, batch_targets, batch_mask, batch_idx = xs
-                seq = None
+            batch_data, batch_targets, batch_mask, batch_idx, seq = \
+                _scan_batch(xs)
             batch_rng = jax.random.fold_in(rng, batch_idx)
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch_data, batch_targets, batch_mask, batch_rng,
@@ -243,9 +254,8 @@ def make_train_epoch_fn(loss_fn, tx, *, donate: bool = True,
                 [aux["loss"], aux["global_err"], aux["global_sc"]])
             return (params, opt_state, offset), ys
 
-        xs = (data, targets, sample_mask, jnp.arange(n_batches))
-        if with_seq:
-            xs = xs + (seqs,)
+        xs = _scan_inputs(data, targets, sample_mask,
+                          seqs if with_seq else None)
         (params, opt_state, _), ys = jax.lax.scan(
             body, (params, opt_state, jnp.zeros(())), xs,
             unroll=resolve_unroll(scan_unroll, n_batches))
@@ -270,11 +280,8 @@ def make_eval_epoch_fn(loss_fn, scan_unroll=None, with_seq: bool = False):
         n_batches = targets.shape[0]
 
         def body(offset, xs):
-            if with_seq:
-                batch_data, batch_targets, batch_mask, batch_idx, seq = xs
-            else:
-                batch_data, batch_targets, batch_mask, batch_idx = xs
-                seq = None
+            batch_data, batch_targets, batch_mask, batch_idx, seq = \
+                _scan_batch(xs)
             batch_rng = jax.random.fold_in(rng, batch_idx)
             _, aux = loss_fn(params, batch_data, batch_targets, batch_mask,
                              batch_rng, offset, False, seq)
@@ -283,9 +290,8 @@ def make_eval_epoch_fn(loss_fn, scan_unroll=None, with_seq: bool = False):
             ys["final_outputs"] = aux["final_outputs"]
             return offset, ys
 
-        xs = (data, targets, sample_mask, jnp.arange(n_batches))
-        if with_seq:
-            xs = xs + (seqs,)
+        xs = _scan_inputs(data, targets, sample_mask,
+                          seqs if with_seq else None)
         _, ys = jax.lax.scan(body, jnp.zeros(()), xs,
                              unroll=resolve_unroll(scan_unroll, n_batches))
         sums = {k: jnp.sum(ys[k], axis=0) for k in _GRID_KEYS}
@@ -344,11 +350,8 @@ def make_fit_fn(loss_fn, tx, with_val: bool,
 
         def body(carry, xs):
             params, opt_state, offset = carry
-            if seqs is not None:
-                batch_data, batch_targets, batch_mask, batch_idx, seq = xs
-            else:
-                batch_data, batch_targets, batch_mask, batch_idx = xs
-                seq = None
+            batch_data, batch_targets, batch_mask, batch_idx, seq = \
+                _scan_batch(xs)
             batch_rng = jax.random.fold_in(rng, batch_idx)
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch_data, batch_targets, batch_mask, batch_rng,
@@ -360,9 +363,7 @@ def make_fit_fn(loss_fn, tx, with_val: bool,
             ys = {k: aux[k] for k in _GRID_KEYS}
             return (params, opt_state, offset), ys
 
-        xs = (data, targets, sample_mask, jnp.arange(n_batches))
-        if seqs is not None:
-            xs = xs + (seqs,)
+        xs = _scan_inputs(data, targets, sample_mask, seqs)
         (params, opt_state, _), ys = jax.lax.scan(
             body, (params, opt_state, jnp.zeros(())), xs,
             unroll=resolve_unroll(scan_unroll, n_batches))
@@ -372,19 +373,14 @@ def make_fit_fn(loss_fn, tx, with_val: bool,
         n_batches = targets.shape[0]
 
         def body(offset, xs):
-            if seqs is not None:
-                batch_data, batch_targets, batch_mask, batch_idx, seq = xs
-            else:
-                batch_data, batch_targets, batch_mask, batch_idx = xs
-                seq = None
+            batch_data, batch_targets, batch_mask, batch_idx, seq = \
+                _scan_batch(xs)
             batch_rng = jax.random.fold_in(rng, batch_idx)
             _, aux = loss_fn(params, batch_data, batch_targets, batch_mask,
                              batch_rng, offset, False, seq)
             return offset + jnp.sum(batch_mask), {k: aux[k] for k in _GRID_KEYS}
 
-        xs = (data, targets, sample_mask, jnp.arange(n_batches))
-        if seqs is not None:
-            xs = xs + (seqs,)
+        xs = _scan_inputs(data, targets, sample_mask, seqs)
         _, ys = jax.lax.scan(body, jnp.zeros(()), xs,
                              unroll=resolve_unroll(scan_unroll, n_batches))
         return {k: jnp.sum(v, axis=0) for k, v in ys.items()}
@@ -453,11 +449,8 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
                         seqs=None):
         def body(carry, xs):
             params, opt_state, offset = carry
-            if seqs is not None:
-                batch_data, batch_targets, batch_mask, batch_idx, seq = xs
-            else:
-                batch_data, batch_targets, batch_mask, batch_idx = xs
-                seq = None
+            batch_data, batch_targets, batch_mask, batch_idx, seq = \
+                _scan_batch(xs)
             batch_rng = jax.random.fold_in(rng, batch_idx)
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch_data, batch_targets, batch_mask, batch_rng,
@@ -468,9 +461,7 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
             offset = offset + jnp.sum(batch_mask)
             return (params, opt_state, offset), {k: aux[k] for k in _GRID_KEYS}
 
-        xs = (data, targets, sample_mask, jnp.arange(targets.shape[0]))
-        if seqs is not None:
-            xs = xs + (seqs,)
+        xs = _scan_inputs(data, targets, sample_mask, seqs)
         (params, opt_state, _), ys = jax.lax.scan(
             body, (params, opt_state, jnp.zeros(())), xs,
             unroll=resolve_unroll(scan_unroll, targets.shape[0]))
@@ -478,11 +469,8 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
 
     def run_eval_epoch(params, data, targets, sample_mask, rng, seqs=None):
         def body(offset, xs):
-            if seqs is not None:
-                batch_data, batch_targets, batch_mask, batch_idx, seq = xs
-            else:
-                batch_data, batch_targets, batch_mask, batch_idx = xs
-                seq = None
+            batch_data, batch_targets, batch_mask, batch_idx, seq = \
+                _scan_batch(xs)
             batch_rng = jax.random.fold_in(rng, batch_idx)
             _, aux = loss_fn(params, batch_data, batch_targets, batch_mask,
                              batch_rng, offset, False, seq)
@@ -490,9 +478,7 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
             ys["final_outputs"] = aux["final_outputs"]
             return offset + jnp.sum(batch_mask), ys
 
-        xs = (data, targets, sample_mask, jnp.arange(targets.shape[0]))
-        if seqs is not None:
-            xs = xs + (seqs,)
+        xs = _scan_inputs(data, targets, sample_mask, seqs)
         _, ys = jax.lax.scan(body, jnp.zeros(()), xs,
                              unroll=resolve_unroll(scan_unroll, targets.shape[0]))
         sums = {k: jnp.sum(ys[k], axis=0) for k in _GRID_KEYS}

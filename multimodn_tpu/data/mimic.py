@@ -45,12 +45,13 @@ def _read_numeric_csv(path: str) -> pd.DataFrame:
     data.csv files are pure float matrices with a header — the dominant
     dataset-construction cost at MIMIC scale). The native reader
     (native/csv.cpp) returns None for anything it cannot represent exactly
-    (quoted fields, ragged rows, non-numeric cells), so results are always
-    pandas-identical in value; only dtypes widen to float32 column-wise,
-    which every consumer here converts anyway."""
+    (quoted fields, ragged rows, non-numeric cells). Columns parse to
+    float64 (large integer IDs like haim_id survive exactly); values are
+    within 1 ulp of pandas (bit-identical for <= 15-significant-digit
+    tokens, correctly-rounded strtod beyond)."""
     try:
         from multimodn_tpu.data import native
-        result = native.read_csv_f32(path)
+        result = native.read_csv_f64(path)
     except Exception:
         result = None
     if result is None:

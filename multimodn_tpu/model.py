@@ -44,6 +44,33 @@ from multimodn_tpu.encoders.base import MultiModEncoder
 from multimodn_tpu.optim import Optimizer
 
 
+class _IdKey:
+    """Identity-hashed cache-key wrapper for unhashable callables. Holds a
+    STRONG reference, so the wrapped object's id stays valid for as long as
+    the key lives in a cache (no GC'd-id aliasing)."""
+
+    __slots__ = ("obj",)
+
+    def __init__(self, obj):
+        self.obj = obj
+
+    def __hash__(self):
+        return id(self.obj)
+
+    def __eq__(self, other):
+        return isinstance(other, _IdKey) and other.obj is self.obj
+
+
+def _cache_key(obj):
+    """Use the object itself when hashable (strong ref via the key tuple),
+    else an identity-keyed strong-ref wrapper."""
+    try:
+        hash(obj)
+    except TypeError:
+        return _IdKey(obj)
+    return obj
+
+
 class MultiModN:
     def __init__(
         self,
@@ -204,8 +231,8 @@ class MultiModN:
         # strong reference, so a GC'd criterion can never alias a stale
         # compiled program through id reuse (tests/test_fit.py::
         # test_fn_cache_survives_criterion_gc).
-        key = ("loss", criterion, order, nan_skip, chain, shuffle, per_batch,
-               str(self.compute_dtype))
+        key = ("loss", _cache_key(criterion), order, nan_skip, chain, shuffle,
+               per_batch, str(self.compute_dtype))
         if key not in self._fn_cache:
             self._fn_cache[key] = make_batch_loss_fn(
                 self.encoders, self.decoders, self.init_state, criterion,
@@ -215,8 +242,8 @@ class MultiModN:
         return self._fn_cache[key]
 
     def _train_fn(self, criterion, order, optimizer, per_batch: bool = False):
-        key = ("train", criterion, order, self.nan_skip, optimizer.tx,
-               per_batch, self.dp_engine)
+        key = ("train", _cache_key(criterion), order, self.nan_skip,
+               _cache_key(optimizer.tx), per_batch, self.dp_engine)
         if key not in self._fn_cache:
             loss_fn = self._loss_fn(criterion, order, self.nan_skip,
                                     per_batch)
@@ -235,7 +262,7 @@ class MultiModN:
         return self._fn_cache[key]
 
     def _eval_fn(self, criterion, order, per_batch: bool = False):
-        key = ("eval", criterion, order, self.nan_skip, per_batch)
+        key = ("eval", _cache_key(criterion), order, self.nan_skip, per_batch)
         if key not in self._fn_cache:
             loss_fn = self._loss_fn(criterion, order, self.nan_skip,
                                     per_batch)
@@ -254,27 +281,38 @@ class MultiModN:
     def _fused_seqs(self, train_loader, val_loader, reshuffle: bool):
         """Resolve per-batch sequence arrays for the fused multi-epoch
         programs. Returns (train_seqs, val_seqs, per_batch); when only one
-        loader carries sequences the other gets identity orders so a single
-        traced-order program serves both."""
+        loader carries PER-BATCH sequences, the other still gets its OWN
+        order tiled per batch — a globally-uniform dataset sequence (e.g.
+        [1, 0] on every sample) or, absent any, the identity — so a single
+        traced-order program serves both without changing either loader's
+        encoder order."""
         seqs = self._batch_seqs(train_loader)
         val_seqs = self._batch_seqs(val_loader) \
             if val_loader is not None else None
         per_batch = seqs is not None or val_seqs is not None
         if not per_batch:
             return None, None, False
-        if reshuffle:
+        if reshuffle and seqs is not None:
+            # Only TRAIN-side per-batch sequences conflict with the
+            # in-program sample permutation (epoch_permute touches train
+            # arrays only; a batch-constant tiled order is permutation-safe).
             raise ValueError(
-                "shuffle=True loaders cannot carry per-batch encoding "
+                "shuffle=True train loaders cannot carry per-batch encoding "
                 "sequences through fused fit: the in-program sample "
                 "permutation would break the batch<->sequence association. "
                 "Loop train_epoch() instead.")
         E = len(self.encoders)
-        identity = lambda ldr: np.tile(np.arange(E, dtype=np.int32),
-                                       (ldr.n_batches, 1))
+
+        def tiled_order(ldr):
+            es = getattr(ldr, "encoding_sequence", None)
+            row = np.asarray(es, np.int32) if es is not None \
+                else np.arange(E, dtype=np.int32)
+            return np.tile(row, (ldr.n_batches, 1))
+
         if seqs is None:
-            seqs = identity(train_loader)
+            seqs = tiled_order(train_loader)
         if val_loader is not None and val_seqs is None:
-            val_seqs = identity(val_loader)
+            val_seqs = tiled_order(val_loader)
         seqs = jnp.asarray(seqs)
         val_seqs = jnp.asarray(val_seqs) if val_seqs is not None else None
         return seqs, val_seqs, True
@@ -346,6 +384,14 @@ class MultiModN:
         data, targets, mask = self._place(train_loader)
         seqs = self._batch_seqs(train_loader)
         order = self._resolve_order(train_loader, train=True)
+        if self.dp_engine == "shard_map" and seqs is None:
+            n_dev = self.mesh.shape.get("data", 1)
+            if targets.shape[1] % n_dev != 0:
+                raise ValueError(
+                    f"dp_engine='shard_map' needs the batch size "
+                    f"({targets.shape[1]}) to divide the data mesh axis "
+                    f"({n_dev}); pick a divisible batch_size or use the "
+                    f"auto engine.")
         fn = self._train_fn(criterion, order, optimizer,
                             per_batch=seqs is not None)
 
@@ -422,8 +468,8 @@ class MultiModN:
         seqs, val_seqs, per_batch = self._fused_seqs(
             train_loader, val_loader if with_val else None, reshuffle)
 
-        key = ("fit", criterion, order, self.nan_skip,
-               optimizer.tx, with_val, reshuffle, per_batch)
+        key = ("fit", _cache_key(criterion), order, self.nan_skip,
+               _cache_key(optimizer.tx), with_val, reshuffle, per_batch)
         if key not in self._fn_cache:
             loss_fn = self._loss_fn(criterion, order, self.nan_skip,
                                     per_batch)
@@ -522,8 +568,8 @@ class MultiModN:
         seqs, val_seqs, per_batch = self._fused_seqs(
             train_loader, val_loader, reshuffle)
 
-        key = ("fit_best", criterion, order, self.nan_skip,
-               optimizer.tx, reshuffle, per_batch)
+        key = ("fit_best", _cache_key(criterion), order, self.nan_skip,
+               _cache_key(optimizer.tx), reshuffle, per_batch)
         if key not in self._fn_cache:
             loss_fn = self._loss_fn(criterion, order, self.nan_skip,
                                     per_batch)

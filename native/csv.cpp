@@ -44,18 +44,17 @@ struct FileBuf {
     ~FileBuf() { std::free(data); }
 };
 
-// Fast decimal float parse (sign, digits, '.', digits, exponent). Covers
-// every token numeric CSV exports produce; anything else falls back to
-// strtof. Double-precision accumulation keeps the error far below one
-// float32 ulp for <= 17 significant digits.
-inline bool parse_f32_fast(const char* s, const char* e, float* out) {
-    static double pow10_pos[39] = {0};
-    static double pow10_neg[61] = {0};
+// Fast decimal float parse (sign, digits, '.', digits, exponent),
+// restricted to the PROVABLY-EXACT regime: <= 15 significant digits and
+// |decimal exponent| <= 22, where the mantissa and the power of ten are
+// both exactly representable doubles, so one multiply (or divide, for
+// negative exponents) is correctly rounded — bit-identical to strtod and
+// hence to pandas. Everything else falls back to strtod.
+inline bool parse_f64_fast(const char* s, const char* e, double* out) {
+    static double pow10_pos[23] = {0};
     if (pow10_pos[0] == 0) {
         double p = 1.0;
-        for (int i = 0; i < 39; ++i) { pow10_pos[i] = p; p *= 10.0; }
-        p = 1.0;
-        for (int i = 0; i < 61; ++i) { pow10_neg[i] = p; p /= 10.0; }
+        for (int i = 0; i < 23; ++i) { pow10_pos[i] = p; p *= 10.0; }
     }
     if (s == e) return false;
     bool neg = false;
@@ -64,16 +63,18 @@ inline bool parse_f32_fast(const char* s, const char* e, float* out) {
     int digits = 0, exp10 = 0;
     bool any = false;
     while (s < e && *s >= '0' && *s <= '9') {
-        if (digits < 17) { mant = mant * 10 + static_cast<uint64_t>(*s - '0'); ++digits; }
-        else ++exp10;
+        if (digits < 16) { mant = mant * 10 + static_cast<uint64_t>(*s - '0'); ++digits; }
+        else return false;                   // too many digits: strtod
         ++s; any = true;
     }
     if (s < e && *s == '.') {
         ++s;
         while (s < e && *s >= '0' && *s <= '9') {
-            if (digits < 17) {
+            if (digits < 16) {
                 mant = mant * 10 + static_cast<uint64_t>(*s - '0');
                 ++digits; --exp10;
+            } else {
+                return false;                // too many digits: strtod
             }
             ++s; any = true;
         }
@@ -93,15 +94,14 @@ inline bool parse_f32_fast(const char* s, const char* e, float* out) {
         exp10 += eneg ? -ev : ev;
     }
     if (s != e) return false;                // trailing junk -> slow path
-    double v = static_cast<double>(mant);
+    if (digits > 15 || exp10 > 22 || exp10 < -22) return false;  // strtod
+    double v = static_cast<double>(mant);    // exact: mant < 10^16 <= 2^53+
     if (exp10 > 0) {
-        if (exp10 > 38) { *out = neg ? -HUGE_VALF : HUGE_VALF; return true; }
-        v *= pow10_pos[exp10];
+        v *= pow10_pos[exp10];               // exact power -> one rounding
     } else if (exp10 < 0) {
-        if (exp10 < -60) { *out = neg ? -0.0f : 0.0f; return true; }
-        v *= pow10_neg[-exp10];
+        v /= pow10_pos[-exp10];              // exact divisor -> one rounding
     }
-    *out = static_cast<float>(neg ? -v : v);
+    *out = neg ? -v : v;
     return true;
 }
 
@@ -162,13 +162,14 @@ int64_t csv_dims(const char* path, int64_t* n_rows, int64_t* n_cols,
     return 0;
 }
 
-// Second pass: fill `out` (n_rows * n_cols float32, row-major) and copy the
+// Second pass: fill `out` (n_rows * n_cols float64, row-major — doubles so
+// integer ID columns up to 2^53 survive exactly, matching pandas) and copy the
 // raw header line into header_buf (NUL-terminated; caller sizes it from
 // csv_dims' header_len). Empty/NA/NaN/None/null cells and unparseable
 // fields become NaN unless strict != 0, in which case an unparseable
 // NON-empty field aborts with code 4 (caller falls back to pandas).
 // Returns 0 on success.
-int64_t csv_read_f32(const char* path, float* out,
+int64_t csv_read_f64(const char* path, double* out,
                      int64_t n_rows, int64_t n_cols,
                      char* header_buf, int64_t header_cap,
                      int64_t strict) {
@@ -176,7 +177,7 @@ int64_t csv_read_f32(const char* path, float* out,
     if (!fb.ok) return 1;
     char* p = fb.data;
     char* end = fb.data + fb.size;
-    const float nanf32 = std::numeric_limits<float>::quiet_NaN();
+    const double nan64 = std::numeric_limits<double>::quiet_NaN();
 
     // Header.
     char* h = p;
@@ -195,7 +196,7 @@ int64_t csv_read_f32(const char* path, float* out,
         while (line_end < end && *line_end != '\n') ++line_end;
         if (line_end == q) { q = line_end + 1; continue; }
         *line_end = '\0';                    // in-buffer tokenization
-        float* dst = out + row * n_cols;
+        double* dst = out + row * n_cols;
         char* field = q;
         int64_t col = 0;
         while (col < n_cols) {
@@ -210,17 +211,17 @@ int64_t csv_read_f32(const char* path, float* out,
             while (e > s && (e[-1] == ' ' || e[-1] == '\t' || e[-1] == '\r')) --e;
             int64_t len = static_cast<int64_t>(e - s);
             if (is_na_token(s, len)) {
-                dst[col] = nanf32;
-            } else if (parse_f32_fast(s, e, &dst[col])) {
+                dst[col] = nan64;
+            } else if (parse_f64_fast(s, e, &dst[col])) {
                 // fast path handled it
             } else {
                 char tmp = *e;
                 *e = '\0';
                 char* parse_end = nullptr;
-                float v = std::strtof(s, &parse_end);
+                double v = std::strtod(s, &parse_end);
                 if (parse_end != e) {
                     if (strict) return 4;
-                    v = nanf32;
+                    v = nan64;
                 }
                 *e = tmp;
                 dst[col] = v;
@@ -230,7 +231,7 @@ int64_t csv_read_f32(const char* path, float* out,
             if (saved == '\0') break;
             field = field_end + 1;
         }
-        for (; col < n_cols; ++col) dst[col] = nanf32;
+        for (; col < n_cols; ++col) dst[col] = nan64;
         ++row;
         q = line_end + 1;
     }

@@ -314,3 +314,133 @@ def test_fit_reshuffle_with_padded_tail_matches_manual_replay():
                     jax.tree_util.tree_leaves(
                         jax.tree_util.tree_map(np.asarray, params))):
         np.testing.assert_allclose(np.asarray(a), b, rtol=1e-5, atol=1e-6)
+
+
+class _UniformSeqDS(PartitionDataset):
+    """Every sample carries the same NON-identity sequence [1, 0]."""
+
+    def __init__(self, X, y, parts):
+        super().__init__(X, y, parts)
+        self._seq = np.asarray([1, 0], np.int64)
+
+    def __getitem__(self, i):
+        xs, y = super().__getitem__(i)[:2]
+        return xs, y, self._seq
+
+    def arrays(self):
+        xs, y = super().arrays()[:2]
+        return xs, y, np.tile(self._seq[None, :], (len(self), 1))
+
+
+def test_fused_fit_best_respects_uniform_val_sequence():
+    """A val loader with a globally-uniform NON-identity sequence must drive
+    that order in per-batch mode (regression: it was silently replaced by
+    identity when the train loader carried per-batch sequences)."""
+    from tests.test_fit import _UniformSeqDS  # self-import for clarity
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(32, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+
+    class PerSampleDS(PartitionDataset):
+        def __init__(self, X, y, parts):
+            super().__init__(X, y, parts)
+            self._seqs = np.stack(
+                [np.asarray([0, 1]) if i % 2 == 0 else np.asarray([1, 0])
+                 for i in range(len(self))]).astype(np.int64)
+
+        def __getitem__(self, i):
+            xs, y = super().__getitem__(i)[:2]
+            return xs, y, self._seqs[i]
+
+        def arrays(self):
+            xs, y = super().arrays()[:2]
+            return xs, y, self._seqs
+
+    tr = PerSampleDS(X[:24], y[:24], [3, 3])
+    va = _UniformSeqDS(X[24:], y[24:], [3, 3])
+
+    def build():
+        return MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                         [LogisticDecoder(3)], 0.7, 0.3)
+
+    # Fused: per-batch train sequences + uniform [1,0] val sequence.
+    m1, h1 = build(), MultiModNHistory(["t"])
+    m1.fit(ArrayLoader(tr, 1), Adam(0.01), "cross_entropy", epochs=2,
+           history=h1, val_loader=ArrayLoader(va, 8), val_tag="val")
+    # Looped ground truth: train_epoch / test with the same loaders.
+    m2, h2 = build(), MultiModNHistory(["t"])
+    opt = Adam(0.01)
+    l_tr, l_va = ArrayLoader(tr, 1), ArrayLoader(va, 8)
+    for _ in range(2):
+        m2.train_epoch(l_tr, opt, "cross_entropy", h2)
+        m2.test(l_va, "cross_entropy", h2, tag="val")
+    for e in range(2):
+        np.testing.assert_allclose(h1.loss["val"][e], h2.loss["val"][e],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(h1.loss["train"][e], h2.loss["train"][e],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_fit_shuffle_with_val_only_sequences_allowed():
+    """shuffle=True + per-batch sequences on the VAL side only is legal
+    (epoch_permute touches train arrays only)."""
+    rng = np.random.default_rng(12)
+    X = rng.normal(size=(48, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    tr = PartitionDataset(X[:32], y[:32], [3, 3])
+
+    class PerSampleDS(PartitionDataset):
+        def __init__(self, X, y, parts):
+            super().__init__(X, y, parts)
+            self._seqs = np.stack(
+                [np.asarray([0, 1]) if i % 2 == 0 else np.asarray([1, 0])
+                 for i in range(len(self))]).astype(np.int64)
+
+        def __getitem__(self, i):
+            xs, y = super().__getitem__(i)[:2]
+            return xs, y, self._seqs[i]
+
+        def arrays(self):
+            xs, y = super().arrays()[:2]
+            return xs, y, self._seqs
+
+    va = PerSampleDS(X[32:], y[32:], [3, 3])
+    model = _model()
+    h = MultiModNHistory(["t"])
+    model.fit(ArrayLoader(tr, 16, shuffle=True), Adam(0.01), "cross_entropy",
+              epochs=2, history=h, val_loader=ArrayLoader(va, 1))
+    assert np.isfinite(h.loss["val"][-1]).all()
+    # Train-side per-batch sequences + shuffle still raise.
+    import pytest
+    tr_seq = PerSampleDS(X[:32], y[:32], [3, 3])
+    with pytest.raises(ValueError, match="shuffle=True"):
+        model.fit(ArrayLoader(tr_seq, 1, shuffle=True), Adam(0.01),
+                  "cross_entropy", epochs=2)
+
+
+def test_unhashable_criterion_accepted():
+    """Criteria defining __eq__ without __hash__ (unhashable) must still
+    work through every cached entry point (regression for object-keyed
+    program caches)."""
+    from multimodn_tpu.core.losses import cross_entropy_loss
+
+    class WeirdLoss:
+        _accepts_mask = True
+
+        def __call__(self, outputs, targets, mask=None):
+            return cross_entropy_loss(outputs, targets, mask)
+
+        def __eq__(self, other):
+            return isinstance(other, WeirdLoss)
+
+        __hash__ = None  # explicitly unhashable
+
+    tl, vl = _setup(4)
+    model = _model()
+    crit = WeirdLoss()
+    h = MultiModNHistory(["t"])
+    model.train_epoch(tl, Adam(0.01), crit, h)
+    model.test(vl, crit, h, tag="val")
+    model.fit(tl, Adam(0.01), crit, epochs=2, history=h)
+    assert np.isfinite(h.loss["train"][-1]).all()

@@ -104,14 +104,15 @@ def test_native_csv_reader_matches_pandas(tmp_path):
     path = tmp_path / "numeric.csv"
     df.to_csv(path, index=False)
 
-    result = native.read_csv_f32(str(path))
+    result = native.read_csv_f64(str(path))
     if result is None:
         import pytest
         pytest.skip("native library unavailable")
     mat, cols = result
+    assert mat.dtype == np.float64
     assert cols == list(df.columns)
-    ref = pd.read_csv(path).to_numpy(np.float32)
-    np.testing.assert_allclose(mat, ref, rtol=1e-6, equal_nan=True)
+    ref = pd.read_csv(path).to_numpy(np.float64)
+    np.testing.assert_allclose(mat, ref, rtol=1e-12, equal_nan=True)
 
 
 def test_native_csv_reader_rejects_non_numeric(tmp_path):
@@ -125,8 +126,8 @@ def test_native_csv_reader_rejects_non_numeric(tmp_path):
     if native.get_lib() is None:
         import pytest
         pytest.skip("native library unavailable")
-    assert native.read_csv_f32(str(p1)) is None
-    assert native.read_csv_f32(str(p2)) is None
+    assert native.read_csv_f64(str(p1)) is None
+    assert native.read_csv_f64(str(p2)) is None
 
 
 def test_mimic_cache_reads_through_native_path(tmp_path):

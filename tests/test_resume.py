@@ -129,3 +129,31 @@ def test_fit_resumable_noop_when_complete(tmp_path):
                             "cross_entropy", epochs=3,
                             checkpoint_dir=str(tmp_path), chunk_epochs=3)
     assert (ran1, ran2) == (3, 0)
+
+
+def test_fit_resumable_history_none_adopts_checkpoint_history(tmp_path):
+    """Resuming with history=None must return the checkpointed history, not
+    silently discard it."""
+    from multimodn_tpu import Adam, MultiModN, MultiModNHistory
+    from multimodn_tpu.checkpoint import fit_resumable
+    from multimodn_tpu.data import ArrayLoader, PartitionDataset
+    from multimodn_tpu.decoders import LogisticDecoder
+    from multimodn_tpu.encoders import MLPEncoder
+
+    rng = np.random.default_rng(2)
+    X = rng.normal(size=(32, 6)).astype(np.float32)
+    y = (X[:, :1] > 0).astype(np.int64)
+    ds = PartitionDataset(X, y, [3, 3])
+    model = MultiModN(3, [MLPEncoder(3, 3, (4,))], [LogisticDecoder(3)],
+                      0.7, 0.3)
+    h = MultiModNHistory(["t"])
+    fit_resumable(model, ArrayLoader(ds, 16), Adam(0.01), "cross_entropy",
+                  epochs=2, checkpoint_dir=str(tmp_path), chunk_epochs=2,
+                  history=h)
+    fresh = MultiModN(3, [MLPEncoder(3, 3, (4,))], [LogisticDecoder(3)],
+                      0.7, 0.3)
+    h2, ran = fit_resumable(fresh, ArrayLoader(ds, 16), Adam(0.01),
+                            "cross_entropy", epochs=4,
+                            checkpoint_dir=str(tmp_path), chunk_epochs=2)
+    assert ran == 2
+    assert h2 is not None and len(h2.loss["train"]) == 4
