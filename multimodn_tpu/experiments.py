@@ -70,9 +70,15 @@ def kfold_fit_best(
     seeds = list(seeds) if seeds is not None else list(range(n_folds))
     models = [model_factory(s) for s in seeds]
     template = models[0]
-    if template.shuffle_mode:
+    if template.shuffle_mode and not template._chain_plan()[1]:
+        # Host-side (unrolled-chain) shuffle draws one order per call — that
+        # cannot vary per fold inside one vmapped program. Scan/switch chains
+        # shuffle IN-PROGRAM per batch, which vmaps fine (distinct per-fold
+        # rngs), so only the unrolled fallback is rejected.
         raise NotImplementedError(
-            "kfold_fit_best currently assumes identity encoder order")
+            "kfold_fit_best supports shuffle_mode only for chains that "
+            "shuffle in-program (homogeneous 'scan' or 'switch' chains); "
+            "the unrolled chain's host-side shuffle cannot vary per fold.")
 
     order = default_order(len(template.encoders))
     loss_fn = template._loss_fn(criterion, order, template.nan_skip)

@@ -77,3 +77,52 @@ def test_fold_history_reconstruction():
         np.testing.assert_allclose(h_seq.accuracy["val"][e],
                                    h1.accuracy["val"][e],
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_kfold_supports_in_program_shuffle():
+    """shuffle_mode with a homogeneous (scan) chain shuffles in-program and
+    vmaps across folds; results match per-fold fit_best exactly."""
+    from multimodn_tpu.encoders import MLPFeatureEncoder
+
+    def factory(seed):
+        return MultiModN(3, [MLPFeatureEncoder(3, 4) for _ in range(4)],
+                         [LogisticDecoder(3)], 1.0, 0.0, seed=seed,
+                         shuffle_mode=True)
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(64, 4)).astype(np.float32)
+    y = (X @ rng.normal(size=4) > 0).astype(np.int64)[:, None]
+    from multimodn_tpu.data import FeatureWiseDataset
+    ds = FeatureWiseDataset(X, y)
+
+    def folds():
+        return [
+            (ArrayLoader(Subset(ds, list(range(0, 32))), 16),
+             ArrayLoader(Subset(ds, list(range(32, 48))), 16)),
+            (ArrayLoader(Subset(ds, list(range(48, 64))), 16),
+             ArrayLoader(Subset(ds, list(range(0, 16))), 16)),
+        ]
+
+    results = kfold_fit_best(factory, folds(), Adam(0.01), "cross_entropy",
+                             epochs=3)
+    for f, (tr, va) in enumerate(folds()):
+        solo = factory(f)
+        ref = solo.fit_best(tr, Adam(0.01), "cross_entropy", epochs=3,
+                            val_loader=va)
+        assert results[f]["best_epoch"] == ref["best_epoch"]
+        np.testing.assert_allclose(results[f]["best_score"],
+                                   ref["best_score"], rtol=1e-5, atol=1e-6)
+
+
+def test_kfold_rejects_host_side_shuffle():
+    import pytest
+
+    def factory(seed):
+        # Heterogeneous widths + shuffle off in-program path? force unrolled:
+        return MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                         [LogisticDecoder(3)], 1.0, 0.0, seed=seed,
+                         shuffle_mode=True, chain_mode="unrolled")
+
+    with pytest.raises(NotImplementedError, match="in-program"):
+        kfold_fit_best(factory, _folds(), Adam(0.01), "cross_entropy",
+                       epochs=2)
