@@ -11,10 +11,11 @@ Measurement notes (see bench_mfu.json and RESULTS.md):
 - 25 epochs per dispatch: the axon tunnel costs ~30 ms per dispatch+fetch,
   so short dispatches understate device throughput (round 1 reported
   35 TFLOP/s at 5 epochs/dispatch; the same config measures ~60 at 25).
-- fp32 is opt-in (--fp32): at these widths the remote compile of the fused
-  multi-epoch fp32 program took 513 s in round 1 (vs ~25 s bf16) — an XLA
-  remote-compile cliff, not a runtime property; bf16 is the production
-  configuration this benchmark tracks.
+- fp32 is opt-in (--fp32): it measures the same throughput as bf16 at
+  batch 512 (62.5 vs 60.6 TFLOP/s — both Adam/pipeline-bound there). The
+  round-1 "fp32 compile cliff" was remote-compile-service variance (same
+  program: 21.5 s one session, 108 s another, 513 s in round 1); bf16 stays
+  the tracked configuration.
 
 Usage: python bench_scaling.py [--fp32]  (prints one JSON line per config)
 """
