@@ -13,6 +13,7 @@ from multimodn_tpu.encoders.recurrent import (
     RNNFeatureEncoder,
 )
 from multimodn_tpu.encoders.resnet import ResNet
+from multimodn_tpu.encoders.attention import TransformerEncoder
 
 __all__ = [
     "MultiModEncoder",
@@ -28,4 +29,5 @@ __all__ = [
     "RNNEncoder",
     "RNNFeatureEncoder",
     "ResNet",
+    "TransformerEncoder",
 ]
