@@ -61,6 +61,7 @@ class TransformerEncoder(MultiModEncoder):
         self.embed_dim = embed_dim
         self.n_heads = n_heads
         self.n_layers = n_layers
+        self.mlp_ratio = mlp_ratio
         self.mlp_dim = embed_dim * mlp_ratio
         self.chunk = chunk
         self.dropout_rate = dropout_rate

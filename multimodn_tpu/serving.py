@@ -132,7 +132,9 @@ def export_model(model, directory: str):
     def module_spec(m):
         spec = {"class": type(m).__name__}
         for attr in ("state_size", "n_features", "hidden_layers",
-                     "dropout_rate", "n_classes", "unbatched_compat"):
+                     "dropout_rate", "n_classes", "unbatched_compat",
+                     "embed_dim", "n_heads", "n_layers", "mlp_ratio",
+                     "chunk"):
             if hasattr(m, attr):
                 v = getattr(m, attr)
                 spec[attr] = list(v) if isinstance(v, tuple) else v

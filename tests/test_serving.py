@@ -92,3 +92,20 @@ def test_export_load_static_init_state(tmp_path):
     np.testing.assert_array_equal(np.asarray(loaded.init_state._bank),
                                   np.stack(states))
     np.testing.assert_array_equal(loaded.predict(x), before)
+
+
+def test_export_load_transformer_encoder(tmp_path):
+    from multimodn_tpu.encoders import TransformerEncoder
+
+    model = MultiModN(4, [TransformerEncoder(4, 50, embed_dim=16, n_heads=2,
+                                             n_layers=1, chunk=10)],
+                      [LogisticDecoder(4)], 1.0, 0.0)
+    x = [np.random.default_rng(0).normal(size=(5, 50)).astype(np.float32)]
+    before = model.predict_proba(x)
+    d = export_model(model, str(tmp_path / "tf_model"))
+    loaded = load_model(d)
+    enc = loaded.encoders[0]
+    assert (enc.embed_dim, enc.n_heads, enc.n_layers, enc.chunk) == (16, 2, 1, 10)
+    after = loaded.predict_proba(x)
+    for a, b in zip(before, after):
+        np.testing.assert_array_equal(a, b)
