@@ -57,6 +57,13 @@ class MimicConfig:
     # Train all folds of a target simultaneously via jax.vmap (one device
     # dispatch for the whole cross-validation; bit-identical results).
     vmap_folds: bool = True
+    # 'mimic_mlp' (reference parity) or 'transformer' (the beyond-reference
+    # attention encoder for wide modalities, encoders/attention.py).
+    encoder_type: str = "mimic_mlp"
+    transformer_embed: int = 128
+    transformer_heads: int = 4
+    transformer_layers: int = 2
+    transformer_chunk: int = 64
 
 
 def _metric_scalars(metrics_tuple):
@@ -103,10 +110,21 @@ def patient_kfold_splits(dataset: MIMICDataset, nfold: int, seed: int):
 
 def build_modn(cfg: MimicConfig, partitions: List[int], targets: List[str],
                seed: int) -> MultiModN:
-    encoders = [MIMICMLPEncoder(cfg.state_size, p,
-                                (cfg.encoder_hidd_units, cfg.encoder_hidd_units),
-                                dropout=cfg.dropout)
-                for p in partitions]
+    if cfg.encoder_type == "transformer":
+        from multimodn_tpu.encoders import TransformerEncoder
+        encoders = [TransformerEncoder(cfg.state_size, p,
+                                       embed_dim=cfg.transformer_embed,
+                                       n_heads=cfg.transformer_heads,
+                                       n_layers=cfg.transformer_layers,
+                                       chunk=min(cfg.transformer_chunk, p),
+                                       dropout_rate=cfg.dropout)
+                    for p in partitions]
+    else:
+        encoders = [MIMICMLPEncoder(cfg.state_size, p,
+                                    (cfg.encoder_hidd_units,
+                                     cfg.encoder_hidd_units),
+                                    dropout=cfg.dropout)
+                    for p in partitions]
     decoders = [MLPDecoder(cfg.state_size,
                            (cfg.decoder_hidd_units, cfg.decoder_hidd_units), 2)
                 for _ in targets]

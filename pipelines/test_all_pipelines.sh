@@ -10,7 +10,8 @@ for pipeline in pipelines/titanic/*_pipeline.py; do
     python "$pipeline" -e 5 -m false -y false -p false -r false
 done
 for pipeline in pipelines/mimic/mimic_single_task_pipeline.py \
-                pipelines/mimic/mimic_multi_task_pipeline.py; do
+                pipelines/mimic/mimic_multi_task_pipeline.py \
+                pipelines/mimic/mimic_transformer_pipeline.py; do
     echo "=== $pipeline ==="
     python "$pipeline" -e 5 -m false
 done

@@ -71,3 +71,14 @@ def test_mimic_mnar_small():
     res = main(["-p", "50", "-e", "2"], cfg)
     # 2 folds x (modn + haim) x (both=True/False)
     assert len(res) == 8
+
+
+def test_mimic_transformer_pipeline_smoke(tmp_path, monkeypatch):
+    """Beyond-reference transformer-encoder MIMIC config: the full k-fold
+    experiment protocol is encoder-agnostic."""
+    import os
+
+    from pipelines.mimic import mimic_transformer_pipeline
+
+    monkeypatch.setenv("MULTIMODN_MIMIC_CACHE", str(tmp_path))
+    mimic_transformer_pipeline.main(argv=["-e", "2", "-m", "false"])

@@ -604,3 +604,21 @@ def test_history_artifacts_match_reference(ref, ref_enc, ref_dec, tmp_path):
     np.testing.assert_allclose(a.iloc[:, 1:].to_numpy(),
                                b.iloc[:, 1:].to_numpy(),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_predict_with_sequence_matches_reference(ref, ref_enc, ref_dec):
+    """predict(x, encoder_sequence) drives the same non-identity traversal
+    as the reference (multimodn.py:422-458 with get_encoder_iterable)."""
+    ds = make_dataset(n=20, partitions=(3, 3), seed=30)
+    model = MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                      [LogisticDecoder(3)], 0.7, 0.3)
+    ref_model = ref.MultiModN(
+        3, [ref_enc.MLPEncoder(3, 3, (4,)), ref_enc.MLPEncoder(3, 3, (4,))],
+        [ref_dec.LogisticDecoder(3)], 0.7, 0.3, device=torch.device("cpu"))
+    transplant_reference(ref_model, model.state_dict())
+    xs, _, _ = ds.arrays()
+    seq = np.asarray([[1, 0]] * 20, np.int64)
+    ours = model.predict([x[:20] for x in xs], encoder_sequence=seq[0])
+    theirs = ref_model.predict([torch.from_numpy(x[:20]) for x in xs],
+                               encoder_sequence=torch.from_numpy(seq))
+    np.testing.assert_array_equal(ours, theirs)
