@@ -62,7 +62,10 @@ class HAIM:
         return loss_fn
 
     def _fit_fn(self, criterion, tx):
-        key = (id(criterion), id(tx))
+        from multimodn_tpu.model import _cache_key
+        # Object-keyed (strong refs): GC'd criteria cannot alias a stale
+        # compiled program through id reuse (same fix as MultiModN).
+        key = (_cache_key(criterion), _cache_key(tx))
         if key not in self._fn_cache:
             loss_fn = self._loss_fn(criterion)
 
@@ -99,7 +102,8 @@ class HAIM:
         (``mimic_single_task_pipeline.py:210-228``) in one dispatch."""
         from multimodn_tpu.core.metrics import masked_binary_auroc, safe_div
 
-        key = ("select", id(criterion), id(tx))
+        from multimodn_tpu.model import _cache_key
+        key = ("select", _cache_key(criterion), _cache_key(tx))
         if key in self._fn_cache:
             return self._fn_cache[key]
         loss_fn = self._loss_fn(criterion)

@@ -80,7 +80,28 @@ def kfold_fit_best(
             "shuffle in-program (homogeneous 'scan' or 'switch' chains); "
             "the unrolled chain's host-side shuffle cannot vary per fold.")
 
-    order = default_order(len(template.encoders))
+    for f, (tr, va) in enumerate(folds):
+        for ldr in (tr, va):
+            seq_fn = getattr(ldr, "batch_sequences", None)
+            if seq_fn is not None and seq_fn() is not None:
+                raise NotImplementedError(
+                    f"fold {f}: per-batch encoding sequences are not "
+                    "supported by the vmapped k-fold program; loop "
+                    "fit_best per fold instead.")
+    # A globally-uniform dataset-supplied sequence IS honored: every fold's
+    # train AND val loaders must agree on it (they share one dataset in the
+    # reference protocol).
+    seqs = [getattr(ldr, "encoding_sequence", None)
+            for f in folds for ldr in f]
+    if any(s is not None for s in seqs):
+        first = seqs[0]
+        if first is None or any(
+                s is None or not np.array_equal(s, first) for s in seqs):
+            raise ValueError(
+                "all fold loaders must share one uniform encoding_sequence")
+        order = tuple((int(k), int(e)) for k, e in enumerate(first))
+    else:
+        order = default_order(len(template.encoders))
     loss_fn = template._loss_fn(criterion, order, template.nan_skip)
     binary = [d.n_classes == 2 for d in template.decoders]
     # Folds get padded to a common batch count -> empty batches exist, so the

@@ -126,3 +126,49 @@ def test_kfold_rejects_host_side_shuffle():
     with pytest.raises(NotImplementedError, match="in-program"):
         kfold_fit_best(factory, _folds(), Adam(0.01), "cross_entropy",
                        epochs=2)
+
+
+def test_kfold_honors_uniform_encoding_sequence():
+    """A dataset-supplied uniform non-identity sequence drives the vmapped
+    k-fold program (regression: it was silently ignored before)."""
+    class SeqDS(PartitionDataset):
+        def __init__(self, X, y, parts):
+            super().__init__(X, y, parts)
+            self._seq = np.asarray([1, 0], np.int64)
+
+        def __getitem__(self, i):
+            xs, y = super().__getitem__(i)[:2]
+            return xs, y, self._seq
+
+        def arrays(self):
+            xs, y = super().arrays()[:2]
+            return xs, y, np.tile(self._seq[None, :], (len(self), 1))
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(64, 5)).astype(np.float32)
+    y = (X @ rng.normal(size=5) > 0).astype(np.int64)[:, None]
+    ds = SeqDS(X, y, [3, 2])
+
+    def factory(seed):
+        # Asymmetric widths: slot 0 (3 features) feeds encoder 1, slot 1
+        # (2 features) feeds encoder 0 under sequence [1, 0].
+        return MultiModN(3, [MLPEncoder(3, 2, (4,)), MLPEncoder(3, 3, (4,))],
+                         [LogisticDecoder(3)], 1.0, 0.0, seed=seed)
+
+    def folds():
+        return [
+            (ArrayLoader(Subset(ds, list(range(0, 32))), 16),
+             ArrayLoader(Subset(ds, list(range(32, 48))), 16)),
+            (ArrayLoader(Subset(ds, list(range(48, 64))), 16),
+             ArrayLoader(Subset(ds, list(range(0, 16))), 16)),
+        ]
+
+    results = kfold_fit_best(factory, folds(), Adam(0.01), "cross_entropy",
+                             epochs=3)
+    for f, (tr, va) in enumerate(folds()):
+        solo = factory(f)
+        ref = solo.fit_best(tr, Adam(0.01), "cross_entropy", epochs=3,
+                            val_loader=va)
+        assert results[f]["best_epoch"] == ref["best_epoch"]
+        np.testing.assert_allclose(results[f]["best_score"],
+                                   ref["best_score"], rtol=1e-5, atol=1e-6)
