@@ -104,7 +104,11 @@ class MultiModNHistory:
         plt.close(fig)
 
     def get_results(self) -> pd.DataFrame:
-        stores = self._metric_stores
+        stores = {
+            name: {k: v for k, v in store.items() if len(v) > 0}
+            for name, store in self._metric_stores.items()
+        }  # skip never-populated tags (e.g. the pre-created empty 'train'
+        #    when only eval epochs were recorded) instead of IndexError
         n_metrics = sum(len(s) for s in stores.values()) + 1
         results = np.zeros((len(self.decoder_names), n_metrics))
         columns = ["State change loss"]

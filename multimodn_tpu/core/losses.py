@@ -117,8 +117,22 @@ def resolve_criterion(criterion):
         except (ValueError, TypeError):
             n_params = 3
         if n_params >= 3:
-            criterion._accepts_mask = True
-            return criterion
+            try:
+                criterion._accepts_mask = True
+                return criterion
+            except (AttributeError, TypeError):
+                # Extension-type callables reject attribute writes; wrap in
+                # a mask-forwarding shim instead of crashing.
+                cached = _WRAP_CACHE.get(id(criterion))
+                if cached is not None and \
+                        cached.__defaults__[1] is criterion:
+                    return cached
+
+                def wrapped3(outputs, targets, mask=None, _base=criterion):
+                    return _base(outputs, targets, mask)
+                wrapped3._accepts_mask = True
+                _WRAP_CACHE[id(criterion)] = wrapped3
+                return wrapped3
         cached = _WRAP_CACHE.get(id(criterion))
         if cached is not None and cached.__defaults__[1] is criterion:
             return cached

@@ -89,6 +89,9 @@ def masked_binary_auroc(probs: jnp.ndarray, labels: jnp.ndarray,
 def _roc_curve(y_true: np.ndarray, y_prob: np.ndarray):
     """ROC curve at thresholds = descending unique probabilities, prefixed by a
     (0,0) point at threshold 1.0 — matching torchmetrics.ROC(task='binary')."""
+    if y_true.size == 0:
+        z = np.zeros(1)
+        return z, z, np.ones(1)
     order = np.argsort(-y_prob, kind="stable")
     y_true = y_true[order]
     y_prob = y_prob[order]
@@ -109,6 +112,8 @@ def _roc_curve(y_true: np.ndarray, y_prob: np.ndarray):
 def _pr_curve(y_true: np.ndarray, y_prob: np.ndarray):
     """Precision-recall curve matching torchmetrics.PrecisionRecallCurve
     (binary): points at descending unique thresholds, final (p=1, r=0) anchor."""
+    if y_true.size == 0:
+        return np.ones(1), np.zeros(1), np.zeros(0)
     order = np.argsort(-y_prob, kind="stable")
     y_true = y_true[order]
     y_prob = y_prob[order]

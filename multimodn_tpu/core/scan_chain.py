@@ -38,7 +38,13 @@ def encoders_homogeneous(encoders: Sequence) -> bool:
         if type(enc) is not type(first):
             return False
         for attr in ("_layer_dims", "_dims", "hidden_layers", "n_features",
-                     "state_size", "dropout_rate", "unbatched_compat"):
+                     "state_size", "dropout_rate", "unbatched_compat",
+                     # Config attrs whose values do NOT change parameter
+                     # SHAPES (so stacking would succeed) but DO change the
+                     # computation — they must match or the scan chain would
+                     # silently run every step with encoders[0]'s config.
+                     "n_heads", "embed_dim", "n_layers", "mlp_ratio",
+                     "chunk", "freeze"):
             if getattr(enc, attr, None) != getattr(first, attr, None):
                 return False
         if getattr(enc, "activation", None) is not \
@@ -136,19 +142,27 @@ def forward_chain_scan(
 
 def _scatter_rows(E, state0, states_exec, sc_exec, ok_exec, counted_exec,
                   e_idx_exec, n_real, final_state):
+    """Map execution-order results into metric-row order (row enc_idx + 1).
 
-    # Scatter execution-order results into metric-row order (row enc_idx+1).
-    states_by_row = jnp.concatenate(
-        [state0[None], jnp.zeros_like(states_exec)], axis=0)
-    states_by_row = states_by_row.at[e_idx_exec + 1].set(states_exec)
-    state_change = jnp.zeros((E,)).at[e_idx_exec].set(sc_exec)
-    row_ok = jnp.ones((E + 1,)).at[e_idx_exec + 1].set(ok_exec) \
-        .at[0].set(1.0)
-    # Rows never executed (shorter sequences) stay 0:
-    executed = jnp.zeros((E + 1,)).at[e_idx_exec + 1].set(1.0).at[0].set(1.0)
-    row_ok = row_ok * executed
-    n_counted = jnp.zeros((E + 1,)).at[0].set(n_real) \
-        .at[e_idx_exec + 1].set(counted_exec)
+    Deterministic LAST-execution-wins for sequences that repeat an encoder
+    index (``.at[dups].set`` has unspecified winner order in XLA): for each
+    row, gather from the latest step that wrote it — matching the unrolled
+    chain, where later loop iterations overwrite the row."""
+    n_steps = e_idx_exec.shape[0]
+    last_k = jnp.full((E,), -1, jnp.int32).at[e_idx_exec].max(
+        jnp.arange(n_steps, dtype=jnp.int32))
+    executed = last_k >= 0                                  # (E,)
+    idx = jnp.maximum(last_k, 0)
+    # Never-executed rows carry the initial state, like the unrolled chain's
+    # placeholders (fusion.forward_chain:81); row_ok masks them either way.
+    rows = jnp.where(executed[:, None, None], states_exec[idx],
+                     state0[None].astype(states_exec.dtype))
+    states_by_row = jnp.concatenate([state0[None], rows], axis=0)
+    state_change = jnp.where(executed, sc_exec[idx], 0.0)
+    row_ok = jnp.concatenate(
+        [jnp.ones((1,)), jnp.where(executed, ok_exec[idx], 0.0)])
+    n_counted = jnp.concatenate(
+        [n_real[None], jnp.where(executed, counted_exec[idx], 0.0)])
     return states_by_row, state_change, row_ok, n_counted, final_state
 
 

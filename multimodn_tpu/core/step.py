@@ -220,6 +220,53 @@ def gated_update(tx, grads, opt_state, params, batch_mask,
                         (grads, opt_state, params))
 
 
+def _train_scan_body(loss_fn, tx, gate_empty_batches, rng,
+                     with_batch_log: bool = False):
+    """The ONE training batch-step body shared by every epoch program
+    (looped train_epoch, fused fit, fused select-fit): grad + gated update +
+    offset accumulation + grid sums. ``with_batch_log`` adds the per-batch
+    loss/err/state-change scalars for log_interval parity
+    (multimodn.py:214-220)."""
+
+    def body(carry, xs):
+        params, opt_state, offset = carry
+        batch_data, batch_targets, batch_mask, batch_idx, seq = \
+            _scan_batch(xs)
+        batch_rng = jax.random.fold_in(rng, batch_idx)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_data, batch_targets, batch_mask, batch_rng,
+            offset, True, seq)
+        params, opt_state = gated_update(tx, grads, opt_state, params,
+                                         batch_mask, gate_empty_batches)
+        offset = offset + jnp.sum(batch_mask)
+        ys = {k: aux[k] for k in _GRID_KEYS}
+        if with_batch_log:
+            ys["batch_log"] = jnp.stack(
+                [aux["loss"], aux["global_err"], aux["global_sc"]])
+        return (params, opt_state, offset), ys
+
+    return body
+
+
+def _eval_scan_body(loss_fn, rng, params, with_final_outputs: bool = False):
+    """The ONE evaluation batch-step body shared by every epoch program.
+    ``with_final_outputs`` collects the last-encoder-row decoder outputs the
+    performance suite consumes (multimodn.py:354-357)."""
+
+    def body(offset, xs):
+        batch_data, batch_targets, batch_mask, batch_idx, seq = \
+            _scan_batch(xs)
+        batch_rng = jax.random.fold_in(rng, batch_idx)
+        _, aux = loss_fn(params, batch_data, batch_targets, batch_mask,
+                         batch_rng, offset, False, seq)
+        ys = {k: aux[k] for k in _GRID_KEYS}
+        if with_final_outputs:
+            ys["final_outputs"] = aux["final_outputs"]
+        return offset + jnp.sum(batch_mask), ys
+
+    return body
+
+
 def make_train_epoch_fn(loss_fn, tx, *, donate: bool = True,
                         gate_empty_batches: bool = False,
                         scan_unroll=None, with_seq: bool = False):
@@ -234,26 +281,8 @@ def make_train_epoch_fn(loss_fn, tx, *, donate: bool = True,
     def train_epoch(params, opt_state, data, targets, sample_mask, rng,
                     seqs=None):
         n_batches = targets.shape[0]
-
-        def body(carry, xs):
-            params, opt_state, offset = carry
-            batch_data, batch_targets, batch_mask, batch_idx, seq = \
-                _scan_batch(xs)
-            batch_rng = jax.random.fold_in(rng, batch_idx)
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch_data, batch_targets, batch_mask, batch_rng,
-                offset, True, seq)
-            params, opt_state = gated_update(tx, grads, opt_state, params,
-                                             batch_mask,
-                                             gate_empty_batches)
-            offset = offset + jnp.sum(batch_mask)
-            ys = {k: aux[k] for k in _GRID_KEYS}
-            # Per-batch scalars for log_interval parity (reference logs
-            # loss/err/state-change every k batches — multimodn.py:214-220).
-            ys["batch_log"] = jnp.stack(
-                [aux["loss"], aux["global_err"], aux["global_sc"]])
-            return (params, opt_state, offset), ys
-
+        body = _train_scan_body(loss_fn, tx, gate_empty_batches, rng,
+                                with_batch_log=True)
         xs = _scan_inputs(data, targets, sample_mask,
                           seqs if with_seq else None)
         (params, opt_state, _), ys = jax.lax.scan(
@@ -278,18 +307,7 @@ def make_eval_epoch_fn(loss_fn, scan_unroll=None, with_seq: bool = False):
 
     def eval_epoch(params, data, targets, sample_mask, rng, seqs=None):
         n_batches = targets.shape[0]
-
-        def body(offset, xs):
-            batch_data, batch_targets, batch_mask, batch_idx, seq = \
-                _scan_batch(xs)
-            batch_rng = jax.random.fold_in(rng, batch_idx)
-            _, aux = loss_fn(params, batch_data, batch_targets, batch_mask,
-                             batch_rng, offset, False, seq)
-            offset = offset + jnp.sum(batch_mask)
-            ys = {k: aux[k] for k in _GRID_KEYS}
-            ys["final_outputs"] = aux["final_outputs"]
-            return offset, ys
-
+        body = _eval_scan_body(loss_fn, rng, params, with_final_outputs=True)
         xs = _scan_inputs(data, targets, sample_mask,
                           seqs if with_seq else None)
         _, ys = jax.lax.scan(body, jnp.zeros(()), xs,
@@ -347,22 +365,7 @@ def make_fit_fn(loss_fn, tx, with_val: bool,
     def run_train_epoch(params, opt_state, data, targets, sample_mask, rng,
                         seqs=None):
         n_batches = targets.shape[0]
-
-        def body(carry, xs):
-            params, opt_state, offset = carry
-            batch_data, batch_targets, batch_mask, batch_idx, seq = \
-                _scan_batch(xs)
-            batch_rng = jax.random.fold_in(rng, batch_idx)
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch_data, batch_targets, batch_mask, batch_rng,
-                offset, True, seq)
-            params, opt_state = gated_update(tx, grads, opt_state, params,
-                                             batch_mask,
-                                             gate_empty_batches)
-            offset = offset + jnp.sum(batch_mask)
-            ys = {k: aux[k] for k in _GRID_KEYS}
-            return (params, opt_state, offset), ys
-
+        body = _train_scan_body(loss_fn, tx, gate_empty_batches, rng)
         xs = _scan_inputs(data, targets, sample_mask, seqs)
         (params, opt_state, _), ys = jax.lax.scan(
             body, (params, opt_state, jnp.zeros(())), xs,
@@ -371,15 +374,7 @@ def make_fit_fn(loss_fn, tx, with_val: bool,
 
     def run_eval_epoch(params, data, targets, sample_mask, rng, seqs=None):
         n_batches = targets.shape[0]
-
-        def body(offset, xs):
-            batch_data, batch_targets, batch_mask, batch_idx, seq = \
-                _scan_batch(xs)
-            batch_rng = jax.random.fold_in(rng, batch_idx)
-            _, aux = loss_fn(params, batch_data, batch_targets, batch_mask,
-                             batch_rng, offset, False, seq)
-            return offset + jnp.sum(batch_mask), {k: aux[k] for k in _GRID_KEYS}
-
+        body = _eval_scan_body(loss_fn, rng, params)
         xs = _scan_inputs(data, targets, sample_mask, seqs)
         _, ys = jax.lax.scan(body, jnp.zeros(()), xs,
                              unroll=resolve_unroll(scan_unroll, n_batches))
@@ -447,20 +442,7 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
 
     def run_train_epoch(params, opt_state, data, targets, sample_mask, rng,
                         seqs=None):
-        def body(carry, xs):
-            params, opt_state, offset = carry
-            batch_data, batch_targets, batch_mask, batch_idx, seq = \
-                _scan_batch(xs)
-            batch_rng = jax.random.fold_in(rng, batch_idx)
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch_data, batch_targets, batch_mask, batch_rng,
-                offset, True, seq)
-            params, opt_state = gated_update(tx, grads, opt_state, params,
-                                             batch_mask,
-                                             gate_empty_batches)
-            offset = offset + jnp.sum(batch_mask)
-            return (params, opt_state, offset), {k: aux[k] for k in _GRID_KEYS}
-
+        body = _train_scan_body(loss_fn, tx, gate_empty_batches, rng)
         xs = _scan_inputs(data, targets, sample_mask, seqs)
         (params, opt_state, _), ys = jax.lax.scan(
             body, (params, opt_state, jnp.zeros(())), xs,
@@ -468,16 +450,7 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
         return params, opt_state, {k: jnp.sum(v, axis=0) for k, v in ys.items()}
 
     def run_eval_epoch(params, data, targets, sample_mask, rng, seqs=None):
-        def body(offset, xs):
-            batch_data, batch_targets, batch_mask, batch_idx, seq = \
-                _scan_batch(xs)
-            batch_rng = jax.random.fold_in(rng, batch_idx)
-            _, aux = loss_fn(params, batch_data, batch_targets, batch_mask,
-                             batch_rng, offset, False, seq)
-            ys = {k: aux[k] for k in _GRID_KEYS}
-            ys["final_outputs"] = aux["final_outputs"]
-            return offset + jnp.sum(batch_mask), ys
-
+        body = _eval_scan_body(loss_fn, rng, params, with_final_outputs=True)
         xs = _scan_inputs(data, targets, sample_mask, seqs)
         _, ys = jax.lax.scan(body, jnp.zeros(()), xs,
                              unroll=resolve_unroll(scan_unroll, targets.shape[0]))

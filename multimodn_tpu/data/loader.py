@@ -89,6 +89,10 @@ class ArrayLoader:
                 self._row_indices = idx if idx is not None else \
                     np.arange(len(base), dtype=np.int64)
         self.n_samples = y.shape[0]
+        if self.n_samples == 0:
+            raise ValueError(
+                "ArrayLoader got an empty dataset (0 samples) — check your "
+                "split probabilities / subset indices.")
         if y.ndim == 1:
             y = y[:, None]
         self._xs = xs

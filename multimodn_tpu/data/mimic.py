@@ -177,8 +177,16 @@ def load_mimic_data(
     labels = data_full[targets]
     if put_none:
         cols = features_to_nan
-        if isinstance(cols, str) and cols == "demo":
-            cols = [c for c in features if c.startswith("de_")]
+        if isinstance(cols, str):
+            # 'demo' expands to the one-hot demographics block (reference
+            # mimic_dataset.py:83-88); any other string names ONE feature —
+            # without this, list('vd_0') would become per-character column
+            # lookups and KeyError.
+            cols = [c for c in features if c.startswith("de_")]                 if cols == "demo" else [cols]
+        missing = [c for c in cols if c not in data.columns]
+        if missing:
+            raise KeyError(
+                f"features_to_nan names unknown feature columns: {missing}")
         data.loc[list(indices_to_nan), list(cols)] = np.nan
     return data, labels, features, partitions
 
@@ -220,6 +228,12 @@ class MIMICDataset:
         self.features = features
         self.cache_dir = build_mimic_cache(targets, sources, cache_root,
                                            synthetic_kwargs)
+        # Per-row patient ids captured THROUGH the same row filtering as
+        # X/y (data.index survives dropna): haim_ids() stays row-aligned —
+        # re-reading the cache would return ids for ALL rows and silently
+        # leak patients across folds under dropna.
+        full = _read_numeric_csv(os.path.join(self.cache_dir, "data.csv"))
+        self._row_haim_ids = full["haim_id"].values[data.index.values]
 
     def __len__(self):
         return len(self.y)
@@ -232,9 +246,9 @@ class MIMICDataset:
         return pd.read_csv(os.path.join(self.cache_dir, "how_to_split.csv"))
 
     def haim_ids(self) -> np.ndarray:
-        """Per-row patient id, aligned with X/y rows."""
-        data_full = _read_numeric_csv(os.path.join(self.cache_dir, "data.csv"))
-        return data_full["haim_id"].values
+        """Per-row patient id, aligned with X/y rows (including any rows
+        removed by dropna — captured at construction)."""
+        return self._row_haim_ids
 
     def random_split(
         self,

@@ -25,7 +25,8 @@ from typing import Callable, Union
 import jax
 import jax.numpy as jnp
 
-from multimodn_tpu.core.nn import dense_apply, dense_init, dropout
+from multimodn_tpu.core.nn import (dense_apply, dense_init, dropout,
+                                   resolve_activation)
 from multimodn_tpu.encoders.base import MultiModEncoder
 
 
@@ -65,6 +66,7 @@ class TransformerEncoder(MultiModEncoder):
         self.mlp_dim = embed_dim * mlp_ratio
         self.chunk = chunk
         self.dropout_rate = dropout_rate
+        self.activation = resolve_activation(activation)
         self.n_tokens = -(-n_features // chunk)          # cdiv
         self.pad = self.n_tokens * chunk - n_features
 
@@ -121,7 +123,7 @@ class TransformerEncoder(MultiModEncoder):
             a = self._attend(block, _layernorm(block["ln1"], h))
             a = dropout(a, self.dropout_rate, step_rng, train)
             h = h + a
-            m = dense_apply(block["mlp2"], jax.nn.gelu(
+            m = dense_apply(block["mlp2"], self.activation(
                 dense_apply(block["mlp1"], _layernorm(block["ln2"], h))))
             h = h + m
         h = _layernorm(params["ln_f"], h).mean(axis=1)       # (B, D)

@@ -99,3 +99,20 @@ def test_dp_tp_fit_matches_single_device():
                     jax.tree_util.tree_leaves(m2.state_dict())):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_activation_argument_is_honored():
+    """activation='relu' must actually change the MLP (regression: the
+    argument was accepted and ignored)."""
+    import jax.numpy as jnp
+
+    a = TransformerEncoder(4, 32, embed_dim=16, n_heads=2, n_layers=1,
+                           chunk=16, activation="gelu")
+    b = TransformerEncoder(4, 32, embed_dim=16, n_heads=2, n_layers=1,
+                           chunk=16, activation="relu")
+    params = a.init(jax.random.PRNGKey(0))
+    x = np.random.default_rng(0).normal(size=(4, 32)).astype(np.float32)
+    state = np.zeros((4, 4), np.float32)
+    out_gelu = np.asarray(a.apply(params, state, x))
+    out_relu = np.asarray(b.apply(params, state, x))
+    assert not np.allclose(out_gelu, out_relu)

@@ -189,3 +189,53 @@ def test_loader_shuffle_reshuffles_per_epoch():
     a = np.asarray(stable.stacks()[0][0]).copy()
     stable.reshuffle()
     np.testing.assert_array_equal(a, np.asarray(stable.stacks()[0][0]))
+
+
+def test_empty_loader_raises_clearly():
+    import pytest
+
+    from multimodn_tpu.data import ArrayLoader, PartitionDataset
+    from multimodn_tpu.data.dataset import Subset
+
+    ds = PartitionDataset(np.zeros((4, 4), np.float32),
+                          np.zeros((4, 1), np.int64), [2, 2])
+    with pytest.raises(ValueError, match="empty dataset"):
+        ArrayLoader(Subset(ds, []))
+
+
+def test_mimic_haim_ids_aligned_under_dropna(tmp_path):
+    """haim_ids() must stay row-aligned with X/y after dropna removes
+    NaN-injected rows (regression: it returned ids for ALL cache rows,
+    leaking patients across folds)."""
+    from multimodn_tpu.data import MIMICDataset
+
+    full = MIMICDataset(["de", "ts_ce"], ["Fracture"],
+                        cache_root=str(tmp_path),
+                        synthetic_kwargs={"n_patients": 10, "seed": 0})
+    n_full = len(full)
+    dropped = MIMICDataset(["de", "ts_ce"], ["Fracture"], dropna=True,
+                           put_none=True,
+                           indices_to_nan=list(range(0, n_full, 3)),
+                           features_to_nan="demo",
+                           cache_root=str(tmp_path),
+                           synthetic_kwargs={"n_patients": 10, "seed": 0})
+    assert len(dropped) < n_full
+    assert len(dropped.haim_ids()) == len(dropped)
+    # The kept rows' ids are a subsequence of the full table's ids.
+    assert set(dropped.haim_ids()) <= set(full.haim_ids())
+
+
+def test_mimic_features_to_nan_single_string(tmp_path):
+    from multimodn_tpu.data.mimic import load_mimic_data
+
+    data, labels, features, partitions = load_mimic_data(
+        ["Fracture"], ["de", "ts_ce"], put_none=True,
+        indices_to_nan=[0, 1], features_to_nan=features_to_nan_name(),
+        cache_root=str(tmp_path),
+        synthetic_kwargs={"n_patients": 8, "seed": 0})
+    col = features_to_nan_name()
+    assert data[col].iloc[0] != data[col].iloc[0] or np.isnan(data[col].iloc[0])
+
+
+def features_to_nan_name():
+    return "ts_ce_0"

@@ -85,3 +85,18 @@ def test_train_epoch_last_epoch_returns_test_on_train():
     res = model.train_epoch(loader, Adam(0.01), "cross_entropy",
                             last_epoch=True)
     assert res is not None and len(res) == 1 and len(res[0]) == 15
+
+
+def test_history_get_results_eval_only():
+    """get_results() with ONLY eval epochs recorded (the pre-created 'train'
+    store empty) must not crash."""
+    from multimodn_tpu import MultiModNHistory
+
+    h = MultiModNHistory(["t0"])
+    stats = {"loss": np.ones((2, 1)), "accuracy": np.ones((2, 1)),
+             "sensitivity": np.ones((2, 1)), "specificity": np.ones((2, 1)),
+             "balanced_accuracy": np.ones((2, 1))}
+    h.append_epoch("val", stats)
+    df = h.get_results()
+    assert "Val loss" in df.columns
+    assert not any("Train" in c for c in df.columns)

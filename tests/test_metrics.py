@@ -129,3 +129,11 @@ def test_device_auroc_degenerate_classes():
     assert float(masked_binary_auroc(p, ones, jnp.ones(32))) == 0.0
     assert float(masked_binary_auroc(p, zeros, jnp.ones(32))) == 0.0
     assert float(masked_binary_auroc(p, ones, jnp.zeros(32))) == 0.0
+
+
+def test_performance_metrics_empty_input_degenerate():
+    """Zero-sample evaluation returns the degenerate tuple instead of
+    IndexError (empty fold/class-filtered sets)."""
+    t = get_performance_metrics(np.zeros(0), np.zeros(0), np.zeros(0))
+    assert len(t) == 15
+    assert t[0] == 0.0 and t[1] == 0.0 and t[2] == 0.0

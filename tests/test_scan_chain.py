@@ -331,3 +331,52 @@ def test_switch_training_trajectory_matches_unrolled_fixed_permutation():
                         np.asarray(h.state_change_loss)))
     for a, b in zip(results[0], results[1]):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_homogeneity_rejects_same_shape_different_config():
+    """Configs that change computation without changing parameter SHAPES
+    (n_heads) must break homogeneity — stacking would silently run every
+    step with encoders[0]'s config."""
+    from multimodn_tpu.encoders import TransformerEncoder
+
+    a = [TransformerEncoder(4, 32, embed_dim=16, n_heads=2, n_layers=1,
+                            chunk=16) for _ in range(2)]
+    assert encoders_homogeneous(a)
+    b = [TransformerEncoder(4, 32, embed_dim=16, n_heads=2, n_layers=1,
+                            chunk=16),
+         TransformerEncoder(4, 32, embed_dim=16, n_heads=4, n_layers=1,
+                            chunk=16)]
+    assert not encoders_homogeneous(b)
+
+
+@pytest.mark.parametrize("chain", ["scan", "switch"])
+def test_duplicate_encoder_in_sequence_matches_unrolled(chain):
+    """A sequence that repeats an encoder (e.g. [1, 0, 0], legal in the
+    reference) must deterministically keep the LAST execution's row, like
+    the unrolled chain (the old .at[dups].set scatter was nondeterministic)."""
+    from multimodn_tpu.core.scan_chain import forward_chain_switch
+
+    if chain == "scan":
+        model, encoders, data, mask = _homog_setup(E=3, seed=14)
+        order = ((0, 1), (1, 0), (2, 0))     # encoder 0 runs twice
+        u = forward_chain(encoders, model.init_state, model.params, data,
+                          mask, order=order, nan_skip="sample")
+        s = forward_chain_scan(encoders[0], 3, model.init_state, model.params,
+                               data, mask,
+                               data_order=jnp.asarray([0, 1, 2]),
+                               enc_order=jnp.asarray([1, 0, 0]),
+                               nan_skip="sample")
+    else:
+        model, encoders, data, mask = _equal_width_hetero(seed=15)
+        order = ((0, 1), (1, 0), (2, 0))
+        u = forward_chain(encoders, model.init_state, model.params, data,
+                          mask, order=order, nan_skip="sample")
+        s = forward_chain_switch(encoders, model.init_state, model.params,
+                                 data, mask,
+                                 data_order=jnp.asarray([0, 1, 2]),
+                                 enc_order=jnp.asarray([1, 0, 0]),
+                                 nan_skip="sample")
+    for a, b, name in zip(u, s, ["states", "sc", "row_ok", "n_counted",
+                                 "final"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
+                                   err_msg=name)
