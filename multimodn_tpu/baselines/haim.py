@@ -152,7 +152,11 @@ class HAIM:
                                   best_epoch))
                 return (params, opt_state, best), s
 
-            best0 = (params, jnp.zeros(()), jnp.asarray(-1, jnp.int32))
+            # -inf so epoch 0 always wins the strictly-greater comparison
+            # (constant-zero scores could otherwise silently restore the
+            # untrained initial parameters — same fix as make_select_fit_fn).
+            best0 = (params, jnp.full((), -jnp.inf),
+                     jnp.asarray(-1, jnp.int32))
             (params, opt_state, best), scores = jax.lax.scan(
                 epoch_body, (params, opt_state, best0), epoch_ids)
             return params, opt_state, best[0], best[1], best[2], scores
@@ -213,11 +217,13 @@ class HAIM:
 
     def _epoch_outputs(self, loader):
         x, targets, mask = self._single_modality(loader)
-
-        @jax.jit
-        def forward(params, x):
-            return self.decoder.apply(params, x)
-
+        forward = self._fn_cache.get("forward")
+        if forward is None:
+            # Cache the jitted forward: a fresh closure per call would force
+            # a full XLA recompile per test()/predict() invocation (~10 s
+            # each through the remote-compile tunnel).
+            forward = jax.jit(lambda params, x: self.decoder.apply(params, x))
+            self._fn_cache["forward"] = forward
         out = np.asarray(forward(self.params, x))
         out = out.reshape(-1, out.shape[-1])
         t = np.asarray(targets).reshape(-1, targets.shape[-1])

@@ -63,6 +63,7 @@ class CheckpointManager:
         self.keep = keep
         self.sign = 1.0 if mode == "max" else -1.0
         self._tracked = []  # list of (signed_score, epoch, path)
+        self._n_saves = 0   # disambiguates repeated saves at one epoch
         os.makedirs(directory, exist_ok=True)
 
     def save(self, model, epoch: int, score: float, **extra) -> bool:
@@ -71,7 +72,12 @@ class CheckpointManager:
         if len(self._tracked) >= self.keep and \
                 signed <= min(s for s, _, _ in self._tracked):
             return False
-        path = os.path.join(self.directory, f"{self.prefix}_epoch{epoch}.pkl")
+        # A per-manager save counter keeps paths unique even when the same
+        # epoch is saved twice (two tracked entries sharing one file would
+        # let an eviction delete the survivor's file).
+        self._n_saves += 1
+        path = os.path.join(
+            self.directory, f"{self.prefix}_epoch{epoch}_{self._n_saves}.pkl")
         save_checkpoint(path, model, epoch, score, extra=extra or None)
         self._tracked.append((signed, epoch, path))
         self._tracked.sort(reverse=True)

@@ -70,11 +70,25 @@ def kfold_fit_best(
     seeds = list(seeds) if seeds is not None else list(range(n_folds))
     models = [model_factory(s) for s in seeds]
     template = models[0]
+    binary = [d.n_classes == 2 for d in template.decoders]
+    if not any(binary):
+        raise ValueError(
+            "kfold_fit_best requires at least one binary (n_classes==2) "
+            "decoder: the AUROC+BAC selection score is undefined otherwise "
+            "(same contract as MultiModN.fit_best).")
+    if any(bool(getattr(f[0], "shuffle", False)) for f in folds):
+        raise NotImplementedError(
+            "kfold_fit_best does not reshuffle: the per-epoch in-program "
+            "permutation would act on fold-PADDED stacks and diverge from "
+            "per-fold fit_best. Build fold loaders with shuffle=False (the "
+            "reference protocol's cadence) or loop fit_best per fold.")
     if template.shuffle_mode and not template._chain_plan()[1]:
         # Host-side (unrolled-chain) shuffle draws one order per call — that
         # cannot vary per fold inside one vmapped program. Scan/switch chains
-        # shuffle IN-PROGRAM per batch, which vmaps fine (distinct per-fold
-        # rngs), so only the unrolled fallback is rejected.
+        # shuffle IN-PROGRAM per batch (every fold gets the same rng stream,
+        # matching per-fold fit_best which derives the identical stream from
+        # a fresh model's epoch counter), so only the unrolled fallback is
+        # rejected.
         raise NotImplementedError(
             "kfold_fit_best supports shuffle_mode only for chains that "
             "shuffle in-program (homogeneous 'scan' or 'switch' chains); "
@@ -103,11 +117,11 @@ def kfold_fit_best(
     else:
         order = default_order(len(template.encoders))
     loss_fn = template._loss_fn(criterion, order, template.nan_skip)
-    binary = [d.n_classes == 2 for d in template.decoders]
     # Folds get padded to a common batch count -> empty batches exist, so the
     # exact-skip gating must be on here.
     fit = make_select_fit_fn(loss_fn, optimizer.tx, binary,
-                             gate_empty_batches=True)
+                             gate_empty_batches=True,
+                             scan_unroll=template.scan_unroll)
 
     # In scan-chain mode the loss fn expects ONE stacked modality array
     # (see MultiModN._place) — _place also attaches any mesh sharding.

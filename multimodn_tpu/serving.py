@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,13 +51,18 @@ class InferenceSession:
         return jax.tree_util.tree_map(lambda s: s[idx], enc)
 
     def step(self, state, encoder_idx: int, x,
-             nan_skip: bool = True) -> Tuple[jnp.ndarray, List[np.ndarray]]:
+             nan_skip: Optional[bool] = None
+             ) -> Tuple[jnp.ndarray, List[np.ndarray]]:
         """Advance the state with one modality; return (state, per-decoder
         probabilities for the updated state).
 
-        NaN rows leave their state unchanged (per-sample missingness), like
-        the training-time skip.
+        ``nan_skip`` defaults to the MODEL's configured missingness mode
+        (True unless the model was built with nan_skip='none'), so serving
+        semantics track training semantics; pass an explicit bool to
+        override. NaN rows leave their state unchanged when skipping.
         """
+        if nan_skip is None:
+            nan_skip = self.model.nan_skip != "none"
         key = (encoder_idx, nan_skip)
         if key not in self._step_fns:
             encoder = self.model.encoders[encoder_idx]
@@ -144,7 +149,13 @@ def export_model(model, directory: str):
             fn = getattr(m, attr, None)
             if fn is not None:
                 names = [k for k, f in ACTIVATIONS.items() if f is fn]
-                spec[attr] = names[0] if names else "relu"
+                if not names:
+                    raise ValueError(
+                        f"{type(m).__name__}.{attr} is a custom callable "
+                        f"({fn!r}) that cannot be persisted by name; "
+                        "register it in core.nn.ACTIVATIONS or use a "
+                        "registry activation for exportable models.")
+                spec[attr] = names[0]
         return spec
 
     config = {
@@ -189,8 +200,15 @@ def load_model(directory: str):
         for name in sig.parameters:
             if name in ("self",):
                 continue
-            key = {"hidden_size": "hidden_layers",
-                   "dropout": "dropout_rate"}.get(name, name)
+            if name == "hidden_size":
+                # Feature-encoder ctors take a scalar hidden width; the
+                # persisted attr is the expanded hidden_layers tuple.
+                v = spec.get("hidden_layers")
+                if v:
+                    kwargs[name] = int(v[0]) if isinstance(v, (list, tuple)) \
+                        else int(v)
+                continue
+            key = {"dropout": "dropout_rate"}.get(name, name)
             if key in spec:
                 v = spec[key]
                 kwargs[name] = tuple(v) if isinstance(v, list) else v

@@ -123,14 +123,9 @@ def main(argv=None, cfg: MimicConfig = None):
 
         seed = args.seed
         for fold, (tr, va, te) in enumerate(fold_indices):
+            # NaN injection already happened when fold_datasets were built
+            # above; no recomputation here.
             dataset_modn, dataset_haim = fold_datasets[fold]
-            if put_none:
-                idx = (_mnar_indices(base, tr, target, class_label,
-                                     cfg.miss_perc)
-                       + _mnar_indices(base, va, target, class_label,
-                                       cfg.miss_perc))
-            else:
-                idx = []
 
             if fold_runs is not None:
                 model = fold_runs[fold]["model"]

@@ -157,3 +157,20 @@ def test_fit_resumable_history_none_adopts_checkpoint_history(tmp_path):
                             checkpoint_dir=str(tmp_path), chunk_epochs=2)
     assert ran == 2
     assert h2 is not None and len(h2.loss["train"]) == 4
+
+
+def test_checkpoint_manager_same_epoch_twice(tmp_path):
+    """Two saves at the same epoch must not share a file (an eviction could
+    delete the survivor's checkpoint)."""
+    from multimodn_tpu import MultiModN
+    from multimodn_tpu.checkpoint import CheckpointManager
+    from multimodn_tpu.decoders import LogisticDecoder
+    from multimodn_tpu.encoders import MLPEncoder
+
+    model = MultiModN(3, [MLPEncoder(3, 3, (4,))], [LogisticDecoder(3)],
+                      0.7, 0.3)
+    mgr = CheckpointManager(str(tmp_path), keep=1)
+    assert mgr.save(model, epoch=3, score=0.5)
+    assert mgr.save(model, epoch=3, score=0.7)
+    restored = mgr.restore_best(model)
+    assert restored["auc_bac_val_cum"] == 0.7

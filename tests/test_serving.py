@@ -109,3 +109,55 @@ def test_export_load_transformer_encoder(tmp_path):
     after = loaded.predict_proba(x)
     for a, b in zip(before, after):
         np.testing.assert_array_equal(a, b)
+
+
+def test_export_load_feature_encoder(tmp_path):
+    """MLPFeatureEncoder roundtrips (regression: hidden_layers tuple was
+    passed as the scalar hidden_size ctor arg and load crashed)."""
+    from multimodn_tpu.encoders import MLPFeatureEncoder
+
+    model = MultiModN(5, [MLPFeatureEncoder(5, 7) for _ in range(3)],
+                      [LogisticDecoder(5)], 0.7, 0.3, chain_mode="unrolled")
+    x = [np.random.default_rng(0).normal(size=(6, 1)).astype(np.float32)
+         for _ in range(3)]
+    before = model.predict(x)
+    d = export_model(model, str(tmp_path / "fw_model"))
+    loaded = load_model(d)
+    assert loaded.encoders[0].hidden_layers == (7,)
+    np.testing.assert_array_equal(loaded.predict(x), before)
+
+
+def test_export_custom_activation_raises(tmp_path):
+    """Custom activation callables cannot be persisted by name: export must
+    raise instead of silently swapping in relu."""
+    import pytest
+
+    def my_act(x):
+        return x * 2
+
+    model = MultiModN(3, [MLPEncoder(3, 4, (5,), activation=my_act)],
+                      [LogisticDecoder(3)], 0.7, 0.3)
+    with pytest.raises(ValueError, match="cannot be persisted"):
+        export_model(model, str(tmp_path / "custom"))
+
+
+def test_session_nan_skip_tracks_model_mode():
+    """InferenceSession.step defaults to the MODEL's missingness mode: a
+    nan_skip='none' model advances NaN rows (through nan_to_num), matching
+    its predict()."""
+    model = MultiModN(3, [MLPEncoder(3, 4, (5,))], [LogisticDecoder(3)],
+                      0.7, 0.3, nan_skip="none")
+    session = InferenceSession(model)
+    x = np.random.default_rng(0).normal(size=(4, 4)).astype(np.float32)
+    x[1, 2] = np.nan
+    state0 = session.init(4)
+    state, _ = session.step(state0, 0, x)
+    # Row 1 must have ADVANCED (not frozen at the initial state).
+    assert not np.allclose(np.asarray(state)[1], np.asarray(state0)[1])
+    # A nan_skip='sample' model freezes that row by default.
+    model2 = MultiModN(3, [MLPEncoder(3, 4, (5,))], [LogisticDecoder(3)],
+                       0.7, 0.3)
+    s2 = InferenceSession(model2)
+    st0 = s2.init(4)
+    st, _ = s2.step(st0, 0, x)
+    np.testing.assert_array_equal(np.asarray(st)[1], np.asarray(st0)[1])
