@@ -8,6 +8,7 @@ from multimodn_tpu.data.dataset import (
 from multimodn_tpu.data.loader import ArrayLoader, DataLoader
 from multimodn_tpu.data.titanic import TitanicDataset, titanic_preprocessing
 from multimodn_tpu.data.mimic import MIMICDataset, load_mimic_data
+from multimodn_tpu.data.streaming import StreamingLoader, train_epoch_streaming
 
 __all__ = [
     "MultiModDataset",
@@ -21,4 +22,6 @@ __all__ = [
     "titanic_preprocessing",
     "MIMICDataset",
     "load_mimic_data",
+    "StreamingLoader",
+    "train_epoch_streaming",
 ]
