@@ -622,3 +622,44 @@ def test_predict_with_sequence_matches_reference(ref, ref_enc, ref_dec):
     theirs = ref_model.predict([torch.from_numpy(x[:20]) for x in xs],
                                encoder_sequence=torch.from_numpy(seq))
     np.testing.assert_array_equal(ours, theirs)
+
+
+def test_featurewise_config_matches_reference(ref, ref_enc, ref_dec):
+    """Featurewise fusion (titanic_featurewise_pipeline.py: one
+    MLPFeatureEncoder per feature, E = n_features)."""
+    from multimodn_tpu.encoders import MLPFeatureEncoder
+
+    ds = make_dataset(n=64, partitions=(1, 1, 1, 1, 1), seed=31)
+    _, _, (hist, ref_hist), _, _ = run_pair(
+        ref,
+        [MLPFeatureEncoder(5, 5) for _ in range(5)],
+        [LogisticDecoder(5)],
+        [ref_enc.MLPFeatureEncoder(5, 5) for _ in range(5)],
+        [ref_dec.LogisticDecoder(5)],
+        ds, epochs=3, batch_size=16)
+    assert_history_matches(hist, ref_hist)
+
+
+def test_slp_encoders_match_reference(ref, ref_dec):
+    """SLP family (slp_encoders.py): empty hidden tuple means the activation
+    argument is INERT (last-layer-concat topology applies no activation to
+    the only layer, quirk preserved) — all three classes must match."""
+    from multimodn_tpu.encoders import (
+        LinearEncoder,
+        LogisticEncoder,
+        SLPEncoder,
+    )
+
+    ref_slp = ref_module("multimodn.encoders.slp_encoders")
+    configs = [
+        (SLPEncoder(3, 4), ref_slp.SLPEncoder(3, 4)),
+        (LinearEncoder(3, 4), ref_slp.LinearEncoder(3, 4)),
+        (LogisticEncoder(3, 4), ref_slp.LogisticEncoder(3, 4)),
+    ]
+    for ours, theirs in configs:
+        ds = make_dataset(n=48, partitions=(4,), seed=32)
+        _, _, (hist, ref_hist), _, _ = run_pair(
+            ref, [ours], [LogisticDecoder(3)],
+            [theirs], [ref_dec.LogisticDecoder(3)],
+            ds, epochs=2, batch_size=16)
+        assert_history_matches(hist, ref_hist)
