@@ -253,3 +253,33 @@ def reference_batches(loader, encoder_sequence=None):
             item.append(torch.from_numpy(seq))
         out.append(tuple(item))
     return out
+
+
+def load_reference_haim():
+    """Load the reference's HAIM baseline (pipelines/mimic/haim_api.py) —
+    it imports the reference multimodn package, so the reference namespace
+    is swapped in during exec. The module's own sys.path.append of the
+    reference root is trimmed afterwards."""
+    load_reference()
+    import importlib.util
+    saved = {}
+    for name in list(sys.modules):
+        if name == "multimodn" or name.startswith("multimodn."):
+            saved[name] = sys.modules.pop(name)
+    sys.modules.update(_REF_MODULES)
+    path_before = list(sys.path)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "_ref_haim_api", f"{_REF_PATH}/pipelines/mimic/haim_api.py")
+        mod = importlib.util.module_from_spec(spec)
+        # haim_api.py reads sys.modules[__name__] at import (line 4), so the
+        # module must be registered before exec.
+        sys.modules["_ref_haim_api"] = mod
+        spec.loader.exec_module(mod)
+    finally:
+        for name in list(sys.modules):
+            if name == "multimodn" or name.startswith("multimodn."):
+                _REF_MODULES[name] = sys.modules.pop(name)
+        sys.modules.update(saved)
+        sys.path[:] = path_before
+    return mod

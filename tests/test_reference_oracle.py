@@ -663,3 +663,50 @@ def test_slp_encoders_match_reference(ref, ref_dec):
             [theirs], [ref_dec.LogisticDecoder(3)],
             ds, epochs=2, batch_size=16)
         assert_history_matches(hist, ref_hist)
+
+
+def test_haim_baseline_matches_reference():
+    """The HAIM parallel-fusion baseline vs the reference's actual
+    haim_api.py: transplanted weights, identical batches, matching training
+    trajectory (via per-epoch test tuples) and final 15-tuple."""
+    from multimodn_tpu import Adam
+    from multimodn_tpu.baselines.haim import HAIM, HAIMDecoder
+    from multimodn_tpu.data import ArrayLoader
+    from tests.ref_oracle import load_reference_haim
+
+    ref_haim = load_reference_haim()
+    rng = np.random.default_rng(40)
+    n, f = 64, 12
+    X = rng.normal(size=(n, f)).astype(np.float32)
+    y = (X @ rng.normal(size=(f, 1)) > 0).astype(np.int64)
+    ds = PartitionDataset(X, y, [f])
+    loader = ArrayLoader(ds, 16)
+
+    model = HAIM(HAIMDecoder(f, (8, 8)))
+    ref_model = ref_haim.HAIM(
+        ref_haim.HAIMDecoder(f, (8, 8)), device=torch.device("cpu"))
+    # Transplant decoder weights.
+    for tl, jl in zip(ref_model.decoder.layers,
+                      model.params["layers"]):
+        tl.weight.data = torch.from_numpy(np.asarray(jl["w"]).T.copy())
+        tl.bias.data = torch.from_numpy(np.asarray(jl["b"]).copy())
+
+    # Reference batches: (data (B, F) tensor, target (B, 1)).
+    batches = []
+    for data, targets, mask in loader.numpy_batches():
+        keep = mask > 0
+        batches.append((torch.from_numpy(np.ascontiguousarray(data[0][keep])),
+                        torch.from_numpy(np.ascontiguousarray(targets[keep]))))
+
+    opt = Adam(0.01)
+    ref_opt = torch.optim.Adam(ref_model.parameters(), 0.01)
+    crit = torch.nn.CrossEntropyLoss()
+    for e in range(3):
+        model.train_epoch(loader, opt, "cross_entropy")
+        ref_model.train_epoch(batches, ref_opt, crit)
+        ours = model.test(loader, "cross_entropy")
+        theirs = ref_model.test(batches, crit)
+        for i in (0, 1, 2, 3, 4, 9, 10, 11, 12):
+            np.testing.assert_allclose(
+                float(np.asarray(ours[i])), float(np.asarray(theirs[i])),
+                rtol=2e-4, atol=2e-5, err_msg=f"epoch {e} tuple index {i}")
