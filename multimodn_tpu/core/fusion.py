@@ -90,11 +90,15 @@ def forward_chain(
         step_rng = None
         if rng is not None:
             step_rng = jax.random.fold_in(rng, k)
+        # Mask-aware encoders (e.g. ResNet BatchNorm) receive the per-sample
+        # validity so padded rows never contaminate batch statistics.
+        extra = {"sample_mask": sample_mask} \
+            if getattr(enc, "_accepts_sample_mask", False) else {}
 
         if nan_skip == "none":
             # predict() parity: NaNs flow straight into the encoder (quirk #9).
             state = enc.apply(params["encoders"][enc_idx], state, x,
-                              train=train, rng=step_rng)
+                              train=train, rng=step_rng, **extra)
             ok = jnp.ones(())
             counted = n_real
         else:
@@ -105,7 +109,7 @@ def forward_chain(
                 sample_has_nan = nan_here
             xz = jnp.nan_to_num(x)
             new_state = enc.apply(params["encoders"][enc_idx], state, xz,
-                                  train=train, rng=step_rng)
+                                  train=train, rng=step_rng, **extra)
             if nan_skip == "batch":
                 # Reference semantics: ONE NaN anywhere in the (real) batch
                 # skips this encoder for the whole batch (multimodn.py:167-169).

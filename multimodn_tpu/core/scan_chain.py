@@ -92,6 +92,8 @@ def forward_chain_scan(
     enc_params = params["encoders"]
     stacked = stack_encoder_params(enc_params) \
         if isinstance(enc_params, (list, tuple)) else enc_params
+    mask_kw = {"sample_mask": sample_mask} \
+        if getattr(encoder, "_accepts_sample_mask", False) else {}
     if isinstance(data, (tuple, list)):
         data_stack = jnp.stack(data)                  # (E, B, F)
     else:
@@ -108,7 +110,8 @@ def forward_chain_scan(
 
         old_state = state
         if nan_skip == "none":
-            state = encoder.apply(p_k, state, x, train=train, rng=step_rng)
+            state = encoder.apply(p_k, state, x, train=train, rng=step_rng,
+                                  **mask_kw)
             ok = jnp.ones(())
             counted = n_real
         else:
@@ -116,7 +119,7 @@ def forward_chain_scan(
                                      axis=tuple(range(1, x.ndim)))
             xz = jnp.nan_to_num(x)
             new_state = encoder.apply(p_k, state, xz, train=train,
-                                      rng=step_rng)
+                                      rng=step_rng, **mask_kw)
             if nan_skip == "batch":
                 any_nan = jnp.any(sample_has_nan & (sample_mask > 0))
                 ok = jnp.where(any_nan, 0.0, 1.0)
@@ -204,13 +207,16 @@ def forward_chain_switch(
         # Slice to the ENCODER's input width, not modality j's: under a
         # permuted (data_idx, enc_idx) pairing encoder j can receive any
         # modality (they must agree in width for the pairing to be valid,
-        # exactly as in the reference where the matmul would fail otherwise).
+        # exactly as in the reference where the matmul would fail otherwise;
+        # the model validates width compatibility host-side).
         width = getattr(enc, "n_features", None) or data[j].shape[-1]
+        mask_kw = {"sample_mask": sample_mask} \
+            if getattr(enc, "_accepts_sample_mask", False) else {}
 
         def branch(operand):
             state, x_pad, step_rng = operand
             return enc.apply(params["encoders"][j], state, x_pad[:, :width],
-                             train=train, rng=step_rng)
+                             train=train, rng=step_rng, **mask_kw)
         return branch
 
     branches = [make_branch(j) for j in range(E)]

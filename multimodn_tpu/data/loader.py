@@ -116,6 +116,11 @@ class ArrayLoader:
         return self.n_batches
 
     @property
+    def modality_widths(self):
+        """Per-modality feature widths (for host-side pairing checks)."""
+        return [int(x.shape[1]) if x.ndim > 1 else 1 for x in self._xs]
+
+    @property
     def encoding_sequence(self) -> Optional[np.ndarray]:
         """Globally uniform encoder order from the dataset, if any. Returns
         None when sequences vary by sample/batch — use batch_sequences()."""

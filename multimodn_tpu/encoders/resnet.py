@@ -52,10 +52,20 @@ def _conv(x, w, stride):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-def _bn(x, p, train):
+def _bn(x, p, train, mask=None):
+    """BatchNorm. In train mode with a per-sample ``mask`` (B,), statistics
+    are computed over VALID rows only — padded zero-image rows in a tail
+    batch must not shift the normalization of real samples (the loader's
+    padded-batch exactness invariant)."""
     if train:
-        mean = jnp.mean(x, axis=(0, 1, 2))
-        var = jnp.var(x, axis=(0, 1, 2))
+        if mask is not None:
+            w = mask.reshape(-1, 1, 1, 1).astype(x.dtype)
+            denom = jnp.maximum(jnp.sum(w) * x.shape[1] * x.shape[2], 1.0)
+            mean = jnp.sum(x * w, axis=(0, 1, 2)) / denom
+            var = jnp.sum(w * (x - mean) ** 2, axis=(0, 1, 2)) / denom
+        else:
+            mean = jnp.mean(x, axis=(0, 1, 2))
+            var = jnp.var(x, axis=(0, 1, 2))
     else:
         mean, var = p["mean"], p["var"]
     inv = jax.lax.rsqrt(var + 1e-5)
@@ -131,29 +141,34 @@ class ResNet(MultiModEncoder):
 
         return walk(params, "")
 
+    # Chains pass the per-sample validity mask so train-mode BatchNorm
+    # excludes padded rows (see core/fusion.forward_chain).
+    _accepts_sample_mask = True
+
     # ------------------------------------------------------------------
-    def features(self, params, images, train=False):
+    def features(self, params, images, train=False, mask=None):
         """(B, H, W, 3) -> (B, 512) global-average-pooled features."""
         x = _conv(images, params["stem"]["w"], 2)
-        x = jax.nn.relu(_bn(x, params["stem"]["bn"], train))
+        x = jax.nn.relu(_bn(x, params["stem"]["bn"], train, mask))
         x = jax.lax.reduce_window(
             x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "SAME")
         for s, blocks in enumerate(params["stages"]):
             for b, block in enumerate(blocks):
                 stride = 2 if (s > 0 and b == 0) else 1
                 h = jax.nn.relu(_bn(_conv(x, block["conv1"]["w"], stride),
-                                    block["conv1"]["bn"], train))
+                                    block["conv1"]["bn"], train, mask))
                 h = _bn(_conv(h, block["conv2"]["w"], 1),
-                        block["conv2"]["bn"], train)
+                        block["conv2"]["bn"], train, mask)
                 shortcut = x
                 if "down" in block:
                     shortcut = _bn(_conv(x, block["down"]["w"], stride),
-                                   block["down"]["bn"], train)
+                                   block["down"]["bn"], train, mask)
                 x = jax.nn.relu(h + shortcut)
         return jnp.mean(x, axis=(1, 2))
 
-    def apply(self, params, state, x, *, train=False, rng=None):
-        feats = self.features(params, x, train=train)
+    def apply(self, params, state, x, *, train=False, rng=None,
+              sample_mask=None):
+        feats = self.features(params, x, train=train, mask=sample_mask)
         if self.freeze:
             feats = jax.lax.stop_gradient(feats)
         return dense_apply(params["head"],

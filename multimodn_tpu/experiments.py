@@ -144,8 +144,11 @@ def kfold_fit_best(
     params = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *[m.params for m in models])
     opt_state = jax.vmap(optimizer.tx.init)(params)
-    rngs = jnp.stack([jax.random.fold_in(jax.random.PRNGKey(0), 0)
-                      for _ in range(n_folds)])
+    # Per-fold rng streams derived from each model's SEED, exactly like a
+    # fresh model's fit_best would (fold_in(PRNGKey(seed), epoch_counter=0))
+    # — dropout/in-program-shuffle draws match the sequential path per fold.
+    rngs = jnp.stack([jax.random.fold_in(jax.random.PRNGKey(m._seed), 0)
+                      for m in models])
 
     vfit = jax.vmap(fit, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, 0))
     (params, opt_state, tsums, vsums, best_params, best_score, best_epoch,

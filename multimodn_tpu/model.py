@@ -162,6 +162,7 @@ class MultiModN:
                     "batch-granular parity mode needs a global skip "
                     "decision — use the auto engine for that).")
         self.dp_engine = dp_engine
+        self._seed = seed
         self._shuffle_rng = _pyrandom.Random(seed)
 
         key = jax.random.PRNGKey(seed)
@@ -247,7 +248,12 @@ class MultiModN:
         if key not in self._fn_cache:
             loss_fn = self._loss_fn(criterion, order, self.nan_skip,
                                     per_batch)
-            if self.dp_engine == "shard_map" and not per_batch:
+            if self.dp_engine == "shard_map" and per_batch:
+                raise ValueError(
+                    "dp_engine='shard_map' does not support per-batch "
+                    "encoding sequences; use the auto engine (the explicit "
+                    "engine would otherwise be silently swapped out).")
+            if self.dp_engine == "shard_map":
                 from multimodn_tpu.parallel.shard_map_step import \
                     make_shard_map_epoch_fn
                 n_mod = None if self._chain_plan()[0] == "scan" \
@@ -326,6 +332,52 @@ class MultiModN:
                 nan_skip, chain=chain)
         return self._fn_cache[key]
 
+
+    def _validate_fused_shuffle(self, reshuffle: bool, train_loader):
+        """Guards for the fused multi-epoch programs' shuffle semantics."""
+        chain, in_prog = self._chain_plan()
+        if self.shuffle_mode and not in_prog:
+            raise NotImplementedError(
+                "fused fit()/fit_best() cannot express the unrolled chain's "
+                "host-side encoder-order shuffle (one order would be frozen "
+                "for every fused epoch, unlike the reference's per-batch "
+                "redraw); loop train_epoch() or use a homogeneous/scan or "
+                "switch chain, which shuffles in-program.")
+        if reshuffle and \
+                train_loader.n_samples % train_loader.batch_size != 0 and \
+                any(getattr(e, "unbatched_compat", False)
+                    for e in self.encoders):
+            raise ValueError(
+                "shuffle=True fused fit with a padded tail batch would "
+                "scatter mask=0 rows into mid-batch positions; the "
+                "unbatched-compat recurrent encoders run ACROSS batch rows "
+                "and would feed real samples through padded zeros. Use a "
+                "batch size dividing the dataset, unbatched_compat=False, "
+                "or looped train_epoch().")
+
+    def _validate_pairings(self, order, loader, seqs=None):
+        """Host-side width check for (modality, encoder) pairings: the
+        traced-order chains slice inputs to the ENCODER's width, so an
+        incompatible pairing would silently zero-pad/truncate features where
+        the reference crashes on the matmul shape. Reject it up front."""
+        widths = getattr(loader, "modality_widths", None)
+        if widths is None:
+            return
+
+        def check(pairs):
+            for k, e in pairs:
+                nf = getattr(self.encoders[int(e)], "n_features", None)
+                if nf is not None and widths[int(k)] != nf:
+                    raise ValueError(
+                        f"encoding sequence pairs modality {int(k)} (width "
+                        f"{widths[int(k)]}) with encoder {int(e)} "
+                        f"(n_features {nf}); widths must match.")
+
+        check(order)
+        if seqs is not None:
+            for row in np.asarray(seqs):
+                check(list(enumerate(row)))
+
     def _resolve_order(self, loader=None,
                        encoder_sequence=None, train: bool = False):
         if encoder_sequence is None and loader is not None:
@@ -384,6 +436,7 @@ class MultiModN:
         data, targets, mask = self._place(train_loader)
         seqs = self._batch_seqs(train_loader)
         order = self._resolve_order(train_loader, train=True)
+        self._validate_pairings(order, train_loader, seqs)
         if self.dp_engine == "shard_map" and seqs is None:
             n_dev = self.mesh.shape.get("data", 1)
             if targets.shape[1] % n_dev != 0:
@@ -395,7 +448,7 @@ class MultiModN:
         fn = self._train_fn(criterion, order, optimizer,
                             per_batch=seqs is not None)
 
-        rng = jax.random.fold_in(jax.random.PRNGKey(0), self._epoch_counter)
+        rng = jax.random.fold_in(jax.random.PRNGKey(self._seed), self._epoch_counter)
         self._epoch_counter += 1
         if seqs is not None:
             self.params, self.opt_state, sums, batch_log = fn(
@@ -462,11 +515,14 @@ class MultiModN:
         # epoch (see make_fit_fn), instead of silently training every fused
         # epoch on one frozen order.
         reshuffle = bool(getattr(train_loader, "shuffle", False))
+        self._validate_fused_shuffle(reshuffle, train_loader)
         data, targets, mask = self._place(train_loader)
         order = self._resolve_order(train_loader, train=True)
         with_val = val_loader is not None
         seqs, val_seqs, per_batch = self._fused_seqs(
             train_loader, val_loader if with_val else None, reshuffle)
+        self._validate_pairings(order, train_loader,
+                                self._batch_seqs(train_loader))
 
         key = ("fit", _cache_key(criterion), order, self.nan_skip,
                _cache_key(optimizer.tx), with_val, reshuffle, per_batch)
@@ -479,7 +535,7 @@ class MultiModN:
                                               reshuffle=reshuffle)
         fn = self._fn_cache[key]
 
-        rng = jax.random.fold_in(jax.random.PRNGKey(0), self._epoch_counter)
+        rng = jax.random.fold_in(jax.random.PRNGKey(self._seed), self._epoch_counter)
         self._epoch_counter += epochs
         epoch_ids = jnp.arange(epochs)
 
@@ -562,11 +618,14 @@ class MultiModN:
             self.opt_state = optimizer.init(self.params)
 
         reshuffle = bool(getattr(train_loader, "shuffle", False))
+        self._validate_fused_shuffle(reshuffle, train_loader)
         data, targets, mask = self._place(train_loader)
         vdata, vtargets, vmask = self._place(val_loader)
         order = self._resolve_order(train_loader, train=True)
         seqs, val_seqs, per_batch = self._fused_seqs(
             train_loader, val_loader, reshuffle)
+        self._validate_pairings(order, train_loader,
+                                self._batch_seqs(train_loader))
 
         key = ("fit_best", _cache_key(criterion), order, self.nan_skip,
                _cache_key(optimizer.tx), reshuffle, per_batch)
@@ -578,7 +637,7 @@ class MultiModN:
                 reshuffle=reshuffle)
         fn = self._fn_cache[key]
 
-        rng = jax.random.fold_in(jax.random.PRNGKey(0), self._epoch_counter)
+        rng = jax.random.fold_in(jax.random.PRNGKey(self._seed), self._epoch_counter)
         self._epoch_counter += epochs
         extra = (seqs, val_seqs) if per_batch else ()
         (self.params, self.opt_state, tsums, vsums, best_params, best_score,
@@ -629,6 +688,7 @@ class MultiModN:
         data, targets, mask = self._place(test_loader)
         seqs = self._batch_seqs(test_loader)
         order = self._resolve_order(test_loader, train=False)
+        self._validate_pairings(order, test_loader, seqs)
         fn = self._eval_fn(criterion, order, per_batch=seqs is not None)
 
         if seqs is not None:
@@ -731,6 +791,14 @@ class MultiModN:
                                        self.params["encoders"])
                 for i in range(E)
             ]
+        from multimodn_tpu.core.state import StaticInitState
+        if isinstance(self.init_state, StaticInitState) and \
+                self.init_state._bank.shape[0] > 1:
+            raise NotImplementedError(
+                "fused_forward broadcasts ONE initial-state row; a "
+                "multi-row StaticInitState bank assigns different rows per "
+                "sample — use predict()/predict_proba() (the XLA path) "
+                "for those models.")
         data = tuple(jnp.asarray(np.asarray(m, np.float32)) for m in x)
         valid = jnp.stack(
             [~jnp.any(jnp.isnan(m), axis=tuple(range(1, m.ndim)))
@@ -749,6 +817,9 @@ class MultiModN:
         order = self._resolve_order(data_loader, train=False)
         fwd = self._forward_fn(order, self.nan_skip)
         collected = []
+        # StaticInitState's round-robin continues ACROSS batches (reference
+        # cycle object, state.py:41) — thread the cumulative sample offset.
+        offset = jnp.zeros(())
         for b in range(data_loader.n_batches):
             if seqs is not None:
                 # Per-batch sequences: one cached trace per distinct order
@@ -758,7 +829,9 @@ class MultiModN:
                 fwd = self._forward_fn(border, self.nan_skip)
             batch = data[b] if not isinstance(data, tuple) \
                 else tuple(d[b] for d in data)
-            _, _, _, final_state = fwd(self.params, batch, mask[b])
+            _, _, _, final_state = fwd(self.params, batch, mask[b],
+                                       init_offset=offset)
+            offset = offset + jnp.sum(mask[b])
             final = np.asarray(final_state)
             keep = np.asarray(mask[b]) > 0
             collected.append(final[keep])
@@ -781,6 +854,9 @@ class MultiModN:
         state["opt_state"] = None
         state["_opt"] = None
         state["mesh"] = None
+        # Meshes don't pickle; without one the explicit engine cannot run,
+        # so an unpickled model falls back to the auto engine.
+        state["dp_engine"] = "auto"
         return state
 
     def __setstate__(self, state):

@@ -99,30 +99,74 @@ class F1Score(_BinaryMetric):
         return torch.tensor(2 * tp / denom if denom > 0 else 0.0)
 
 
+# The curve/AUROC stubs are implemented INDEPENDENTLY of
+# multimodn_tpu.core.metrics (brute-force per-threshold sweeps and the
+# pairwise Mann-Whitney statistic) so parity tests cannot pass circularly:
+# a bug in the repo's fast curve code would show up against these.
+
+def _brute_roc(y_true, y_prob):
+    """torchmetrics binary ROC: points at descending unique thresholds,
+    prefixed by the (0, 0) anchor at threshold 1.0 — each point computed by
+    an O(N) sweep at that threshold."""
+    thresholds = np.concatenate([[1.0], np.unique(y_prob)[::-1]])
+    # torchmetrics dedups: if max prob == 1.0 the anchor merges. Copy to a
+    # contiguous descending array (torch rejects negative strides).
+    thresholds = np.ascontiguousarray(np.unique(thresholds)[::-1])
+    n_pos = max(int((y_true == 1).sum()), 0)
+    n_neg = max(int((y_true == 0).sum()), 0)
+    fpr, tpr = [], []
+    for t in thresholds:
+        pred = y_prob >= t
+        tp = int(np.sum(pred & (y_true == 1)))
+        fp = int(np.sum(pred & (y_true == 0)))
+        tpr.append(tp / n_pos if n_pos else 0.0)
+        fpr.append(fp / n_neg if n_neg else 0.0)
+    return (np.asarray(fpr, np.float64), np.asarray(tpr, np.float64),
+            np.asarray(thresholds, np.float64))
+
+
 class ROC(_BinaryMetric):
     def __call__(self, preds, target):
-        from multimodn_tpu.core.metrics import _roc_curve
         p, t = self._check(preds, target)
-        fpr, tpr, thr = _roc_curve(t.astype(np.int64), p.astype(np.float64))
+        fpr, tpr, thr = _brute_roc(t.astype(np.int64), p.astype(np.float64))
         return (torch.from_numpy(fpr), torch.from_numpy(tpr),
                 torch.from_numpy(thr))
 
 
 class AUROC(_BinaryMetric):
     def __call__(self, preds, target):
-        from multimodn_tpu.core.metrics import _auc_trapezoid, _roc_curve
+        # Pairwise Mann-Whitney (ties 0.5) — algebraically equals the
+        # trapezoidal ROC integral, computed by a different algorithm.
         p, t = self._check(preds, target)
-        fpr, tpr, _ = _roc_curve(t.astype(np.int64), p.astype(np.float64))
-        return torch.tensor(_auc_trapezoid(fpr, tpr))
+        t = t.astype(np.int64)
+        pos = p[t == 1]
+        neg = p[t == 0]
+        if pos.size == 0 or neg.size == 0:
+            return torch.tensor(0.0)
+        diff = pos[:, None] - neg[None, :]
+        wins = (diff > 0).sum() + 0.5 * (diff == 0).sum()
+        return torch.tensor(float(wins) / (pos.size * neg.size))
 
 
 class PrecisionRecallCurve(_BinaryMetric):
     def __call__(self, preds, target):
-        from multimodn_tpu.core.metrics import _pr_curve
         p, t = self._check(preds, target)
-        prec, rec, thr = _pr_curve(t.astype(np.int64), p.astype(np.float64))
-        return (torch.from_numpy(prec), torch.from_numpy(rec),
-                torch.from_numpy(np.ascontiguousarray(thr)))
+        t = t.astype(np.int64)
+        thresholds = np.unique(p.astype(np.float64))        # ascending
+        n_pos = int((t == 1).sum())
+        prec, rec = [], []
+        for thr in thresholds:
+            pred = p >= thr
+            tp = int(np.sum(pred & (t == 1)))
+            fp = int(np.sum(pred & (t == 0)))
+            prec.append(tp / (tp + fp) if (tp + fp) else 0.0)
+            rec.append(tp / n_pos if n_pos else 0.0)
+        # torchmetrics anchors (precision=1, recall=0) at the end.
+        prec.append(1.0)
+        rec.append(0.0)
+        return (torch.from_numpy(np.asarray(prec, np.float64)),
+                torch.from_numpy(np.asarray(rec, np.float64)),
+                torch.from_numpy(np.asarray(thresholds, np.float64)))
 
 
 def install_stubs():

@@ -444,3 +444,86 @@ def test_unhashable_criterion_accepted():
     model.test(vl, crit, h, tag="val")
     model.fit(tl, Adam(0.01), crit, epochs=2, history=h)
     assert np.isfinite(h.loss["train"][-1]).all()
+
+
+def test_fused_fit_rejects_unrolled_host_shuffle():
+    """shuffle_mode on the unrolled chain cannot be expressed in one fused
+    program (the order would freeze for every epoch) — must raise."""
+    import pytest
+
+    tl, _ = _setup(5)
+    model = MultiModN(2, [MLPEncoder(2, 3, (4,)), MLPEncoder(2, 3, (4,))],
+                      [LogisticDecoder(2)], 0.7, 0.3, shuffle_mode=True,
+                      chain_mode="unrolled")
+    with pytest.raises(NotImplementedError, match="host-side"):
+        model.fit(tl, Adam(0.01), "cross_entropy", epochs=2)
+
+
+def test_fused_reshuffle_rejects_unbatched_recurrent_with_padding():
+    """In-program reshuffle + padded tail + across-batch recurrence would
+    feed real samples through interior zero rows — must raise."""
+    import pytest
+
+    from multimodn_tpu.encoders import LSTMEncoder
+
+    ds = _reshuffle_setup(n=50)              # 50 % 16 != 0 -> padded tail
+    model = MultiModN(2, [LSTMEncoder(2, 6, (5,))], [LogisticDecoder(2)],
+                      0.7, 0.3)
+    ds2 = PartitionDataset(
+        np.random.default_rng(0).normal(size=(50, 6)).astype(np.float32),
+        np.zeros((50, 1), np.int64), [6])
+    with pytest.raises(ValueError, match="unbatched-compat"):
+        model.fit(ArrayLoader(ds2, 16, shuffle=True), Adam(0.01),
+                  "cross_entropy", epochs=2)
+
+
+def test_seed_changes_in_program_randomness():
+    """Different model seeds must draw different dropout/permutation streams
+    (regression: everything derived from PRNGKey(0))."""
+    from multimodn_tpu.encoders import MIMICMLPEncoder
+
+    rng = np.random.default_rng(6)
+    X = rng.normal(size=(32, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = PartitionDataset(X, y, [3, 3])
+
+    outs = []
+    for seed in (0, 1):
+        model = MultiModN(3, [MIMICMLPEncoder(3, 3, (4,), dropout=0.5),
+                              MIMICMLPEncoder(3, 3, (4,), dropout=0.5)],
+                          [LogisticDecoder(3)], 1.0, 0.0, seed=seed)
+        # Same INITIAL weights for both: transplant seed-0's params.
+        if seed == 0:
+            p0 = model.state_dict()
+        else:
+            model.load_state_dict(p0)
+        model.train_epoch(ArrayLoader(ds, 16), Adam(0.01), "cross_entropy")
+        outs.append(model.state_dict()["encoders"][0]["layers"][0]["w"])
+    assert not np.allclose(outs[0], outs[1])   # dropout masks differed
+
+
+def test_mismatched_pairing_widths_rejected():
+    """A sequence pairing a modality with a different-width encoder raises
+    (the reference crashes on the matmul; silent pad/truncate is worse)."""
+    import pytest
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(16, 5)).astype(np.float32)
+    y = np.zeros((16, 1), np.int64)
+
+    class SeqDS(PartitionDataset):
+        def __getitem__(self, i):
+            xs, yv = super().__getitem__(i)[:2]
+            return xs, yv, np.asarray([1, 0], np.int64)
+
+        def arrays(self):
+            xs, yv = super().arrays()[:2]
+            return xs, yv, np.tile(np.asarray([[1, 0]], np.int64),
+                                   (len(self), 1))
+
+    ds = SeqDS(X, y, [3, 2])   # widths 3, 2 — encoders sized 3, 2: seq [1,0]
+    loader = ArrayLoader(ds, 16)
+    model = MultiModN(2, [MLPEncoder(2, 3, (4,)), MLPEncoder(2, 2, (4,))],
+                      [LogisticDecoder(2)], 0.7, 0.3)
+    with pytest.raises(ValueError, match="widths must match"):
+        model.train_epoch(loader, Adam(0.01), "cross_entropy")

@@ -80,9 +80,11 @@ def test_resnet_inside_multimodn():
     base = ResNet(state_size=S)
 
     class FlatResNet(ResNet):
-        def apply(self, params, state, x, *, train=False, rng=None):
+        def apply(self, params, state, x, *, train=False, rng=None,
+                  sample_mask=None):
             return super().apply(params, state,
-                                 x.reshape(-1, H, H, 3), train=train, rng=rng)
+                                 x.reshape(-1, H, H, 3), train=train, rng=rng,
+                                 sample_mask=sample_mask)
 
     enc = FlatResNet(state_size=S)
     model = MultiModN(S, [enc], [LogisticDecoder(S)], 1.0, 0.0)
@@ -115,3 +117,22 @@ def test_resnet_batch_stats_ema():
     out_before = enc.apply(params, state, imgs, train=False)
     out_after = enc.apply(updated, state, imgs, train=False)
     assert not np.allclose(np.asarray(out_before), np.asarray(out_after))
+
+
+def test_bn_train_stats_exclude_padded_rows():
+    """Train-mode BatchNorm with a sample mask must equal computing the
+    stats over the real rows only (padded-tail exactness)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodn_tpu.encoders.resnet import _bn, _bn_init
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(6, 4, 4, 8)).astype(np.float32)
+    x[4:] = 0.0                              # padded rows
+    mask = np.array([1, 1, 1, 1, 0, 0], np.float32)
+    p = _bn_init(8)
+    full = _bn(jnp.asarray(x[:4]), p, True)          # real rows only
+    masked = _bn(jnp.asarray(x), p, True, jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(masked)[:4], np.asarray(full),
+                               rtol=1e-5, atol=1e-6)
