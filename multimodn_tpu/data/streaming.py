@@ -126,7 +126,8 @@ def train_epoch_streaming(model, loader: StreamingLoader, optimizer,
         "fp": jnp.zeros((E + 1, D)), "fn": jnp.zeros((E + 1, D)),
         "n_counted": jnp.zeros((E + 1,)),
     }
-    rng = jax.random.fold_in(jax.random.PRNGKey(0), model._epoch_counter)
+    rng = jax.random.fold_in(jax.random.PRNGKey(model._seed),
+                             model._epoch_counter)
     model._epoch_counter += 1
     offset = jnp.zeros(())
 
