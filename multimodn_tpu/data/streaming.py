@@ -101,7 +101,9 @@ def train_epoch_streaming(model, loader: StreamingLoader, optimizer,
     order = model._resolve_order(None, None, train=True)
     loss_fn = model._loss_fn(criterion, order, model.nan_skip)
 
-    key = ("stream_step", criterion, order, model.nan_skip, optimizer.tx)
+    from multimodn_tpu.model import _cache_key
+    key = ("stream_step", _cache_key(criterion), order, model.nan_skip,
+           _cache_key(optimizer.tx))
     if key not in model._fn_cache:
         tx = optimizer.tx
 
