@@ -115,6 +115,10 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
         global_sc = jnp.sum(state_change) / n_enc
         loss = global_err * err_penalty + global_sc * state_change_penalty
         aux = {
+            # Per-encoder executed flags for torch-parity optimizer gating
+            # (optim._torch_adam): a batch-NaN-skipped (or never-executed)
+            # encoder's row_ok is 0, and torch's Adam skips its params.
+            "enc_gates": row_ok[1:],
             "err_loss": grid["err_loss"],
             "state_change": state_change,
             "n_correct": grid["n_correct"],
@@ -188,8 +192,17 @@ def resolve_unroll(scan_unroll, n_batches: int) -> int:
     return max(1, min(scan_unroll, n_batches))
 
 
+def _tx_update(tx, grads, opt_state, params, enc_gates):
+    """Call tx.update, threading per-encoder gates when the transformation
+    accepts them (optim._torch_adam); plain optax txs get the 3-arg call."""
+    try:
+        return tx.update(grads, opt_state, params, enc_gates=enc_gates)
+    except TypeError:
+        return tx.update(grads, opt_state, params)
+
+
 def gated_update(tx, grads, opt_state, params, batch_mask,
-                 enabled: bool = False):
+                 enabled: bool = False, enc_gates=None):
     """Apply the optimizer update, optionally skipping fully-padded batches.
 
     Fully-padded batches appear only when datasets of different sizes are
@@ -200,14 +213,16 @@ def gated_update(tx, grads, opt_state, params, batch_mask,
     caller can actually produce empty batches (``enabled`` is static).
     """
     if not enabled:
-        updates, opt_state = tx.update(grads, opt_state, params)
+        updates, opt_state = _tx_update(tx, grads, opt_state, params,
+                                        enc_gates)
         return jax.tree_util.tree_map(lambda p, u: p + u, params,
                                       updates), opt_state
     batch_real = jnp.any(batch_mask > 0)
 
     def do_update(operand):
         grads, opt_state, params = operand
-        updates, new_opt_state = tx.update(grads, opt_state, params)
+        updates, new_opt_state = _tx_update(tx, grads, opt_state, params,
+                                            enc_gates)
         new_params = jax.tree_util.tree_map(lambda p, u: p + u, params,
                                             updates)
         return new_params, new_opt_state
@@ -237,7 +252,8 @@ def _train_scan_body(loss_fn, tx, gate_empty_batches, rng,
             params, batch_data, batch_targets, batch_mask, batch_rng,
             offset, True, seq)
         params, opt_state = gated_update(tx, grads, opt_state, params,
-                                         batch_mask, gate_empty_batches)
+                                         batch_mask, gate_empty_batches,
+                                         enc_gates=aux["enc_gates"])
         offset = offset + jnp.sum(batch_mask)
         ys = {k: aux[k] for k in _GRID_KEYS}
         if with_batch_log:

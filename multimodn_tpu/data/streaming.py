@@ -112,7 +112,8 @@ def train_epoch_streaming(model, loader: StreamingLoader, optimizer,
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, tuple(data), targets, mask, rng, offset, True)
             params, opt_state = gated_update(tx, grads, opt_state, params,
-                                             mask)
+                                             mask,
+                                             enc_gates=aux["enc_gates"])
             sums = {k: sums[k] + aux[k] for k in _GRID_KEYS}
             return params, opt_state, sums, offset + jnp.sum(mask)
 

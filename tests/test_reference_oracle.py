@@ -710,3 +710,49 @@ def test_haim_baseline_matches_reference():
             np.testing.assert_allclose(
                 float(np.asarray(ours[i])), float(np.asarray(theirs[i])),
                 rtol=2e-4, atol=2e-5, err_msg=f"epoch {e} tuple index {i}")
+
+
+def test_randomized_configs_soak(ref, ref_enc, ref_dec):
+    """Randomized configuration soak vs the REAL reference: random encoder
+    counts/widths/hidden sizes/batch sizes/NaN patterns/penalties, 2 Adam
+    epochs each — any divergence in the (E+1)xD trajectories fails."""
+    rng = np.random.default_rng(2026)
+    for trial in range(8):
+        E = int(rng.integers(1, 4))
+        widths = [int(rng.integers(2, 7)) for _ in range(E)]
+        state = int(rng.integers(1, 6))
+        hidden = tuple(int(rng.integers(2, 7))
+                       for _ in range(int(rng.integers(0, 3))))
+        batch = int(rng.choice([4, 8, 16, 31]))   # incl. odd (padded tails)
+        n = int(rng.integers(33, 70))
+        nan_frac = float(rng.choice([0.0, 0.0, 0.3]))
+        err_p = float(rng.uniform(0.3, 1.0))
+        sc_p = float(rng.uniform(0.0, 0.5))
+        use_mimic = bool(rng.integers(0, 2))
+        seed = int(rng.integers(0, 1000))
+
+        ds = make_dataset(n=n, partitions=tuple(widths), seed=seed,
+                          nan_frac=nan_frac,
+                          nan_modality=int(rng.integers(0, E)))
+        if use_mimic:
+            encs = [MIMICMLPEncoder(state, w, hidden, dropout=0.0)
+                    for w in widths]
+            ref_encs = [ref_enc.MIMIC_MLPEncoder(state, w, hidden,
+                                                 dropout=0.0)
+                        for w in widths]
+        else:
+            encs = [MLPEncoder(state, w, hidden) for w in widths]
+            ref_encs = [ref_enc.MLPEncoder(state, w, hidden) for w in widths]
+        _, _, (hist, ref_hist), _, _ = run_pair(
+            ref, encs, [LogisticDecoder(state)],
+            ref_encs, [ref_dec.LogisticDecoder(state)],
+            ds, epochs=2, batch_size=batch, err_p=err_p, sc_p=sc_p,
+            lr=0.01)
+        try:
+            assert_history_matches(hist, ref_hist)
+        except AssertionError as e:
+            raise AssertionError(
+                f"trial {trial}: E={E} widths={widths} state={state} "
+                f"hidden={hidden} batch={batch} n={n} nan={nan_frac} "
+                f"err_p={err_p:.3f} sc_p={sc_p:.3f} mimic={use_mimic} "
+                f"seed={seed}\n{e}") from e
