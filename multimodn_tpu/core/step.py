@@ -114,11 +114,18 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
         global_err = jnp.sum(grid["err_loss"]) / (n_dec * (n_enc + 1))
         global_sc = jnp.sum(state_change) / n_enc
         loss = global_err * err_penalty + global_sc * state_change_penalty
-        aux = {
+        if nan_skip == "batch":
             # Per-encoder executed flags for torch-parity optimizer gating
             # (optim._torch_adam): a batch-NaN-skipped (or never-executed)
             # encoder's row_ok is 0, and torch's Adam skips its params.
-            "enc_gates": row_ok[1:],
+            # Only the batch-granular mode can skip (sample/none modes keep
+            # row_ok at 1), so the other modes take the zero-overhead plain
+            # update path (enc_gates=None).
+            enc_gates = row_ok[1:]
+        else:
+            enc_gates = None
+        aux = {
+            "enc_gates": enc_gates,
             "err_loss": grid["err_loss"],
             "state_change": state_change,
             "n_correct": grid["n_correct"],

@@ -28,93 +28,118 @@ import jax.numpy as jnp
 import optax
 
 
-def _gate_tree(params, flags, is_stacked):
-    """Pytree of per-leaf gates (broadcastable to each leaf): encoder-group
-    leaves get their encoder's flag; everything else gets 1."""
-    ones = jax.tree_util.tree_map(lambda p: jnp.ones(()), params)
-    if flags is None:
-        return ones
-    if is_stacked:
-        gates_enc = jax.tree_util.tree_map(
-            lambda p: flags.reshape((-1,) + (1,) * (p.ndim - 1)),
-            params["encoders"])
-    else:
-        gates_enc = [jax.tree_util.tree_map(lambda p, f=f: f, sub)
-                     for f, sub in zip(flags, params["encoders"])]
-    out = dict(ones)
-    out["encoders"] = gates_enc
-    return out
-
-
 def _torch_adam(lr: float, b1: float, b2: float, eps: float):
     """torch.optim.Adam with structural-skip gating (see module docstring).
 
-    State: m/v like Adam plus a per-leaf step count with the GATE's shape
-    (scalar, or (E,) for stacked encoder leaves) so bias correction follows
-    each group's own number of real updates — torch keeps 'step' per param.
+    State: m/v like Adam plus GROUP step counts — one scalar for all
+    non-encoder params and one count per encoder (list of scalars, or an
+    (E,) vector for scan-stacked storage) — torch keeps 'step' per param,
+    and within a group every param steps together.
+
+    ``update(..., enc_gates=None)`` is the plain torch-Adam fast path with
+    zero gating overhead (identical math to optax.adam); passing the
+    chain's (E,) executed flags engages the skip semantics. The training
+    programs pass gates only for nan_skip='batch' — the one mode where the
+    reference's torch optimizer can actually skip params.
     """
 
+    def _enc_info(tree):
+        enc = tree.get("encoders") if isinstance(tree, dict) else None
+        if enc is None:
+            return None, False
+        return enc, not isinstance(enc, (list, tuple))
+
     def init(params):
-        z = jax.tree_util.tree_map(jnp.zeros_like, params)
-        enc = params.get("encoders") if isinstance(params, dict) else None
-        stacked = isinstance(params, dict) and "encoders" in params and \
-            not isinstance(enc, (list, tuple))
-
-        def t_init(p):
-            return jnp.zeros(())
-
-        if stacked:
-            t = jax.tree_util.tree_map(t_init, params)
-            t = dict(t)
-            t["encoders"] = jax.tree_util.tree_map(
-                lambda p: jnp.zeros((p.shape[0],) + (1,) * (p.ndim - 1)),
-                params["encoders"])
+        enc, stacked = _enc_info(params)
+        if enc is None:
+            t_enc = None
+        elif stacked:
+            E = jax.tree_util.tree_leaves(enc)[0].shape[0]
+            t_enc = jnp.zeros((E,))
         else:
-            t = jax.tree_util.tree_map(t_init, params)
+            t_enc = [jnp.zeros(()) for _ in enc]
         return {"m": jax.tree_util.tree_map(jnp.zeros_like, params),
-                "v": z, "t": t}
+                "v": jax.tree_util.tree_map(jnp.zeros_like, params),
+                "t": jnp.zeros(()), "t_enc": t_enc}
+
+    def _plain_leaf(g, m, v, c1, c2):
+        m_new = b1 * m + (1 - b1) * g
+        v_new = b2 * v + (1 - b2) * g * g
+        upd = -lr * (m_new / c1) / (jnp.sqrt(v_new / c2) + eps)
+        return upd, m_new, v_new
+
+    def _gated_leaf(g, m, v, c1, c2, gate):
+        # m + gate*(1-b1)*(g-m) == gate ? b1*m+(1-b1)*g : m
+        m_new = m + gate * (1 - b1) * (g - m)
+        v_new = v + gate * (1 - b2) * (g * g - v)
+        upd = -lr * gate * (m_new / c1) / (jnp.sqrt(v_new / c2) + eps)
+        return upd, m_new, v_new
 
     def update(grads, state, params=None, enc_gates=None):
-        # enc_gates: (E,) per-encoder executed flags from the chain (the
-        # training programs thread aux row_ok through gated_update). None ->
-        # no gating (plain torch-Adam math). Inferring gates from zero grads
-        # would misfire on attached-but-dead-ReLU encoders, which torch DOES
-        # step — the chain's own execution signal is the ground truth.
-        if enc_gates is None or not isinstance(grads, dict) or \
-                "encoders" not in grads:
-            flags, is_stacked = None, False
+        enc, stacked = _enc_info(grads)
+        t_new = state["t"] + 1.0
+        c1 = 1 - b1 ** t_new
+        c2 = 1 - b2 ** t_new
+
+        def sub_update(tree, m, v, fn, *args):
+            flat, treedef = jax.tree_util.tree_flatten(tree)
+            fm = treedef.flatten_up_to(m)
+            fv = treedef.flatten_up_to(v)
+            outs = [fn(g, mm, vv, *args) for g, mm, vv in zip(flat, fm, fv)]
+            return (treedef.unflatten([o[0] for o in outs]),
+                    treedef.unflatten([o[1] for o in outs]),
+                    treedef.unflatten([o[2] for o in outs]))
+
+        if enc_gates is None or enc is None:
+            upd, m, v = sub_update(grads, state["m"], state["v"],
+                                   _plain_leaf, c1, c2)
+            t_enc = state["t_enc"]
+            if t_enc is not None:
+                one = jnp.ones(())
+                t_enc = t_enc + 1.0 if not isinstance(t_enc, list) \
+                    else [t + one for t in t_enc]
+            return upd, {"m": m, "v": v, "t": t_new, "t_enc": t_enc}
+
+        # Gated path: encoder groups follow their own executed-step counts.
+        rest_g = dict(grads); rest_g.pop("encoders")
+        rest_m = dict(state["m"]); rest_m.pop("encoders")
+        rest_v = dict(state["v"]); rest_v.pop("encoders")
+        upd_rest, m_rest, v_rest = sub_update(rest_g, rest_m, rest_v,
+                                              _plain_leaf, c1, c2)
+        if stacked:
+            te_new = state["t_enc"] + enc_gates
+            tc = jnp.maximum(te_new, 1.0)
+            ec1 = 1 - b1 ** tc
+            ec2 = 1 - b2 ** tc
+
+            def bcast(x, leaf):
+                return x.reshape((-1,) + (1,) * (leaf.ndim - 1))
+
+            flat, treedef = jax.tree_util.tree_flatten(enc)
+            fm = treedef.flatten_up_to(state["m"]["encoders"])
+            fv = treedef.flatten_up_to(state["v"]["encoders"])
+            outs = [_gated_leaf(g, mm, vv, bcast(ec1, g), bcast(ec2, g),
+                                bcast(enc_gates, g))
+                    for g, mm, vv in zip(flat, fm, fv)]
+            upd_enc = treedef.unflatten([o[0] for o in outs])
+            m_enc = treedef.unflatten([o[1] for o in outs])
+            v_enc = treedef.unflatten([o[2] for o in outs])
         else:
-            enc = grads["encoders"]
-            if isinstance(enc, (list, tuple)):
-                flags = [enc_gates[e] for e in range(len(enc))]
-                is_stacked = False
-            else:
-                flags = enc_gates
-                is_stacked = True
-        gates = _gate_tree(grads, flags, is_stacked)
-
-        def leaf(g, m, v, t, gate):
-            t_new = t + gate
-            m_new = gate * (b1 * m + (1 - b1) * g) + (1 - gate) * m
-            v_new = gate * (b2 * v + (1 - b2) * g * g) + (1 - gate) * v
-            tc = jnp.maximum(t_new, 1.0)
-            m_hat = m_new / (1 - b1 ** tc)
-            v_hat = v_new / (1 - b2 ** tc)
-            upd = -lr * m_hat / (jnp.sqrt(v_hat) + eps) * gate
-            return upd, m_new, v_new, t_new
-
-        flat_g, treedef = jax.tree_util.tree_flatten(grads)
-        flat_m = treedef.flatten_up_to(state["m"])
-        flat_v = treedef.flatten_up_to(state["v"])
-        flat_t = treedef.flatten_up_to(state["t"])
-        flat_gate = treedef.flatten_up_to(gates)
-        outs = [leaf(g, m, v, t, gate) for g, m, v, t, gate
-                in zip(flat_g, flat_m, flat_v, flat_t, flat_gate)]
-        updates = treedef.unflatten([o[0] for o in outs])
-        new_state = {"m": treedef.unflatten([o[1] for o in outs]),
-                     "v": treedef.unflatten([o[2] for o in outs]),
-                     "t": treedef.unflatten([o[3] for o in outs])}
-        return updates, new_state
+            te_new, upd_enc, m_enc, v_enc = [], [], [], []
+            for e, sub in enumerate(enc):
+                gate = enc_gates[e]
+                te = state["t_enc"][e] + gate
+                tc = jnp.maximum(te, 1.0)
+                u, m, v = sub_update(sub, state["m"]["encoders"][e],
+                                     state["v"]["encoders"][e],
+                                     _gated_leaf, 1 - b1 ** tc,
+                                     1 - b2 ** tc, gate)
+                te_new.append(te)
+                upd_enc.append(u); m_enc.append(m); v_enc.append(v)
+        updates = dict(upd_rest); updates["encoders"] = upd_enc
+        m_out = dict(m_rest); m_out["encoders"] = m_enc
+        v_out = dict(v_rest); v_out["encoders"] = v_enc
+        return updates, {"m": m_out, "v": v_out, "t": t_new, "t_enc": te_new}
 
     return optax.GradientTransformation(init, update)
 
