@@ -50,6 +50,8 @@ def kfold_fit_best(
     criterion=None,
     epochs: int = 1,
     seeds: Optional[Sequence[int]] = None,
+    mesh=None,
+    fold_axis: str = "fold",
 ) -> List[dict]:
     """Train one model per fold simultaneously.
 
@@ -60,16 +62,40 @@ def kfold_fit_best(
             match across folds.
         seeds: per-fold init seeds (default 0..F-1, mirroring the reference's
             per-fold seed increment).
+        mesh: optional ``jax.sharding.Mesh`` with a ``fold_axis`` axis. The
+            vmapped fold dimension of every stacked input (data, params,
+            optimizer state, rng streams) shards over it, so each device
+            group trains its own folds with ZERO cross-fold collectives —
+            the experiment axis is embarrassingly parallel (docs/SCALING.md).
+            Fold count is padded to a multiple of the axis size by
+            replicating the last fold (padded results are discarded).
+            Models from ``model_factory`` must not carry their own mesh.
+        fold_axis: mesh axis name the fold dimension shards over.
     Returns:
         Per-fold dicts: {model (best params restored), best_epoch,
         best_score, scores, train_sums, val_sums, n_train_batches,
         n_val_batches}.
     """
     criterion = resolve_criterion(criterion)
+    folds = list(folds)
+    n_real = len(folds)
+    seeds = list(seeds) if seeds is not None else list(range(n_real))
+    if mesh is not None:
+        if fold_axis not in mesh.axis_names:
+            raise ValueError(
+                f"mesh has no '{fold_axis}' axis (axes: {mesh.axis_names})")
+        n_pad = (-n_real) % mesh.shape[fold_axis]
+        folds += [folds[-1]] * n_pad
+        seeds += [seeds[-1]] * n_pad
     n_folds = len(folds)
-    seeds = list(seeds) if seeds is not None else list(range(n_folds))
     models = [model_factory(s) for s in seeds]
     template = models[0]
+    if mesh is not None and template.mesh is not None:
+        raise ValueError(
+            "fold-axis sharding and a model-owned mesh are mutually "
+            "exclusive: model_factory must build mesh-free models (the fold "
+            "axis is the parallel axis here; batch/TP sharding would nest "
+            "meshes). Drop mesh= from the factory or from kfold_fit_best.")
     binary = [d.n_classes == 2 for d in template.decoders]
     if not any(binary):
         raise ValueError(
@@ -150,6 +176,18 @@ def kfold_fit_best(
     rngs = jnp.stack([jax.random.fold_in(jax.random.PRNGKey(m._seed), 0)
                       for m in models])
 
+    if mesh is not None:
+        # Shard the leading (fold) axis of every stacked operand; trailing
+        # dims replicate. Folds are independent, so GSPMD partitions the
+        # whole program fold-wise with no collectives at all.
+        from jax.sharding import NamedSharding, PartitionSpec
+        fold_shard = NamedSharding(mesh, PartitionSpec(fold_axis))
+        place = lambda t: jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, fold_shard), t)
+        (data, targets, mask, vdata, vtargets, vmask, params, opt_state,
+         rngs) = (place(t) for t in (data, targets, mask, vdata, vtargets,
+                                     vmask, params, opt_state, rngs))
+
     vfit = jax.vmap(fit, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, 0))
     (params, opt_state, tsums, vsums, best_params, best_score, best_epoch,
      scores) = vfit(params, opt_state, data, targets, mask,
@@ -159,7 +197,7 @@ def kfold_fit_best(
     best_params = jax.tree_util.tree_map(np.asarray, best_params)
     tsums = jax.tree_util.tree_map(np.asarray, tsums)
     vsums = jax.tree_util.tree_map(np.asarray, vsums)
-    for f, model in enumerate(models):
+    for f, model in enumerate(models[:n_real]):
         fold_best = jax.tree_util.tree_map(lambda x: x[f], best_params)
         model.load_state_dict(fold_best)
         results.append({

@@ -172,3 +172,53 @@ def test_dp_fit_reshuffle_matches_single_device():
                     jax.tree_util.tree_leaves(m2.state_dict())):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_kfold_fold_axis_sharding_matches_plain():
+    """SCALING.md fold-axis plan: kfold_fit_best(mesh=) shards the vmapped
+    fold dimension over a 'fold' mesh axis — zero cross-fold collectives.
+    2 real folds on a 4-device axis exercises the replicate-pad path too."""
+    from multimodn_tpu.experiments import kfold_fit_best
+
+    ds = _dataset(n=96, seed=7)
+    folds = []
+    for k in range(2):
+        tr, va, _ = ds.random_split((0.7, 0.3, 0), seed=k)
+        folds.append((ArrayLoader(tr, 16), ArrayLoader(va, 16)))
+    mesh = make_mesh((4,), ("fold",), devices=jax.devices()[:4])
+
+    res_plain = kfold_fit_best(lambda s: _wide_model(seed=s),
+                               folds, Adam(0.01), "cross_entropy", epochs=3)
+    res_fold = kfold_fit_best(lambda s: _wide_model(seed=s),
+                              folds, Adam(0.01), "cross_entropy", epochs=3,
+                              mesh=mesh)
+    assert len(res_fold) == 2   # padded folds discarded
+    for rp, rf in zip(res_plain, res_fold):
+        assert rp["best_epoch"] == rf["best_epoch"]
+        np.testing.assert_allclose(rp["best_score"], rf["best_score"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(rp["scores"], rf["scores"],
+                                   rtol=1e-5, atol=1e-6)
+        for a, b in zip(
+                jax.tree_util.tree_leaves(rp["model"].state_dict()),
+                jax.tree_util.tree_leaves(rf["model"].state_dict())):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_kfold_fold_axis_sharding_validation():
+    import pytest
+    from multimodn_tpu.experiments import kfold_fit_best
+
+    ds = _dataset(n=64, seed=8)
+    tr, va, _ = ds.random_split((0.7, 0.3, 0), seed=0)
+    folds = [(ArrayLoader(tr, 16), ArrayLoader(va, 16))]
+    bad = make_mesh((4,), ("data",), devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="fold"):
+        kfold_fit_best(lambda s: _wide_model(seed=s), folds, Adam(0.01),
+                       "cross_entropy", epochs=2, mesh=bad)
+    fold_mesh = make_mesh((4,), ("fold",), devices=jax.devices()[:4])
+    model_mesh = make_mesh((4, 2), ("data", "model"))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        kfold_fit_best(lambda s: _wide_model(model_mesh, seed=s), folds,
+                       Adam(0.01), "cross_entropy", epochs=2, mesh=fold_mesh)
