@@ -59,7 +59,10 @@ def kfold_fit_best(
         model_factory: seed -> MultiModN; every fold's model must be
             structurally identical (same encoders/decoders/config).
         folds: per-fold (train_loader, val_loader) pairs; batch sizes must
-            match across folds.
+            match across folds. shuffle=True train loaders are supported
+            when every fold has the same train batch count (the in-program
+            per-epoch permutation then acts on stacks shaped exactly like
+            per-fold fit_best's).
         seeds: per-fold init seeds (default 0..F-1, mirroring the reference's
             per-fold seed increment).
         mesh: optional ``jax.sharding.Mesh`` with a ``fold_axis`` axis. The
@@ -102,12 +105,17 @@ def kfold_fit_best(
             "kfold_fit_best requires at least one binary (n_classes==2) "
             "decoder: the AUROC+BAC selection score is undefined otherwise "
             "(same contract as MultiModN.fit_best).")
-    if any(bool(getattr(f[0], "shuffle", False)) for f in folds):
-        raise NotImplementedError(
-            "kfold_fit_best does not reshuffle: the per-epoch in-program "
-            "permutation would act on fold-PADDED stacks and diverge from "
-            "per-fold fit_best. Build fold loaders with shuffle=False (the "
-            "reference protocol's cadence) or loop fit_best per fold.")
+    shuffles = [bool(getattr(f[0], "shuffle", False)) for f in folds]
+    reshuffle = any(shuffles)
+    if reshuffle and not all(shuffles):
+        raise ValueError(
+            "all fold train loaders must agree on shuffle=: the in-program "
+            "per-epoch permutation is one property of the vmapped program.")
+    if reshuffle:
+        # Same guards fit_best applies per fold (host-side-order chains,
+        # unbatched-compat encoders with padded tails).
+        for tr, _ in folds:
+            template._validate_fused_shuffle(True, tr)
     if template.shuffle_mode and not template._chain_plan()[1]:
         # Host-side (unrolled-chain) shuffle draws one order per call — that
         # cannot vary per fold inside one vmapped program. Scan/switch chains
@@ -147,7 +155,8 @@ def kfold_fit_best(
     # exact-skip gating must be on here.
     fit = make_select_fit_fn(loss_fn, optimizer.tx, binary,
                              gate_empty_batches=True,
-                             scan_unroll=template.scan_unroll)
+                             scan_unroll=template.scan_unroll,
+                             reshuffle=reshuffle)
 
     # In scan-chain mode the loss fn expects ONE stacked modality array
     # (see MultiModN._place) — _place also attaches any mesh sharding.
@@ -155,6 +164,14 @@ def kfold_fit_best(
     val_stacks = [template._place(f[1]) for f in folds]
     max_tb = max(s[1].shape[0] for s in train_stacks)
     max_vb = max(s[1].shape[0] for s in val_stacks)
+    if reshuffle and any(s[1].shape[0] != max_tb for s in train_stacks):
+        raise NotImplementedError(
+            "kfold_fit_best supports shuffle=True only when every fold has "
+            "the same train batch count: with unequal counts the in-program "
+            "per-epoch permutation would act on fold-PADDED stacks (a "
+            "different sample-slot count than per-fold fit_best permutes) "
+            "and mix padding into real batches. Equalize fold sizes or "
+            "loop fit_best per fold.")
     train_p = [_pad_batches(s, max_tb) for s in train_stacks]
     val_p = [_pad_batches(s, max_vb) for s in val_stacks]
 

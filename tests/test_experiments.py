@@ -172,3 +172,61 @@ def test_kfold_honors_uniform_encoding_sequence():
         assert results[f]["best_epoch"] == ref["best_epoch"]
         np.testing.assert_allclose(results[f]["best_score"],
                                    ref["best_score"], rtol=1e-5, atol=1e-6)
+
+
+def test_kfold_shuffle_true_matches_sequential():
+    """shuffle=True fold loaders with EQUAL batch counts: the in-program
+    per-epoch permutation acts on identically-shaped stacks as per-fold
+    fit_best, so trajectories match exactly."""
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(96, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = PartitionDataset(X, y, [3, 3])
+
+    def folds():
+        return [
+            (ArrayLoader(Subset(ds, list(range(0, 40))), 16, shuffle=True),
+             ArrayLoader(Subset(ds, list(range(40, 56))), 16)),
+            (ArrayLoader(Subset(ds, list(range(56, 96))), 16, shuffle=True),
+             ArrayLoader(Subset(ds, list(range(0, 16))), 16)),
+        ]
+
+    results = kfold_fit_best(_factory, folds(), Adam(0.01), "cross_entropy",
+                             epochs=4)
+    for f, (tr, va) in enumerate(folds()):
+        m = _factory(f)
+        ref = m.fit_best(tr, Adam(0.01), "cross_entropy", epochs=4,
+                         val_loader=va)
+        assert ref["best_epoch"] == results[f]["best_epoch"]
+        np.testing.assert_allclose(ref["scores"], results[f]["scores"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(m.params["encoders"][0]["layers"][0]["w"]),
+            np.asarray(results[f]["model"]
+                       .params["encoders"][0]["layers"][0]["w"]),
+            rtol=1e-5, atol=1e-6)
+
+
+def test_kfold_shuffle_guards():
+    import pytest
+    rng = np.random.default_rng(12)
+    X = rng.normal(size=(90, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = PartitionDataset(X, y, [3, 3])
+    # Unequal train batch counts (40 vs 24 rows at bs=16 -> 3 vs 2 batches).
+    uneq = [
+        (ArrayLoader(Subset(ds, list(range(0, 40))), 16, shuffle=True),
+         ArrayLoader(Subset(ds, list(range(40, 56))), 16)),
+        (ArrayLoader(Subset(ds, list(range(56, 80))), 16, shuffle=True),
+         ArrayLoader(Subset(ds, list(range(80, 90))), 16)),
+    ]
+    with pytest.raises(NotImplementedError, match="same train batch count"):
+        kfold_fit_best(_factory, uneq, Adam(0.01), "cross_entropy", epochs=2)
+    mixed = [
+        (ArrayLoader(Subset(ds, list(range(0, 40))), 16, shuffle=True),
+         ArrayLoader(Subset(ds, list(range(40, 56))), 16)),
+        (ArrayLoader(Subset(ds, list(range(50, 90))), 16),
+         ArrayLoader(Subset(ds, list(range(0, 16))), 16)),
+    ]
+    with pytest.raises(ValueError, match="agree on shuffle"):
+        kfold_fit_best(_factory, mixed, Adam(0.01), "cross_entropy", epochs=2)
