@@ -130,6 +130,7 @@ def fit_resumable(model, train_loader, optimizer, criterion=None, *,
                 jnp.asarray, payload["opt_state"])
             model._opt = optimizer        # keep the restored opt_state live
         model._epoch_counter = payload.get("epoch_counter", payload["epoch"])
+        model._cycle_offset = payload.get("cycle_offset", 0)
         start = int(payload["epoch"])
         if payload.get("history") is not None:
             if history is None:
@@ -149,6 +150,7 @@ def fit_resumable(model, train_loader, optimizer, criterion=None, *,
         payload = {
             "epoch": start,
             "epoch_counter": model._epoch_counter,
+            "cycle_offset": model._cycle_offset,
             "model_state_dict": _to_numpy(model.params),
             "opt_state": _to_numpy(model.opt_state)
             if model.opt_state is not None else None,

@@ -7,9 +7,13 @@ Mirrors the reference hierarchy (reference ``multimodn/state.py:8-47``):
   the parameter lives in the model's pytree under ``params["init_state"]`` and
   broadcasting happens inside the jitted step.
 - ``StaticInitState``: a fixed bank of state vectors handed out round-robin.
-  The reference uses a stateful ``itertools.cycle`` (``state.py:41``); here the
-  cycling is a deterministic modular gather driven by a sample-index counter so
-  it stays a pure function of (params, counter) and jit-compiles.
+  The reference uses a stateful ``itertools.cycle`` (``state.py:41``) shared
+  for the model's lifetime; here the cycling is a deterministic modular gather
+  driven by a sample-index counter so it stays a pure function of
+  (params, counter) and jit-compiles. The model threads its cumulative
+  sample count (``MultiModN._cycle_offset``) into every program as the base
+  offset, so the phase continues across batches, epochs, and
+  train/test/predict calls exactly like the reference's shared iterator.
 """
 from __future__ import annotations
 

@@ -302,14 +302,16 @@ def make_train_epoch_fn(loss_fn, tx, *, donate: bool = True,
     """
 
     def train_epoch(params, opt_state, data, targets, sample_mask, rng,
-                    seqs=None):
+                    seqs=None, offset0=None):
         n_batches = targets.shape[0]
         body = _train_scan_body(loss_fn, tx, gate_empty_batches, rng,
                                 with_batch_log=True)
         xs = _scan_inputs(data, targets, sample_mask,
                           seqs if with_seq else None)
+        off = jnp.zeros(()) if offset0 is None else \
+            jnp.asarray(offset0, jnp.float32)
         (params, opt_state, _), ys = jax.lax.scan(
-            body, (params, opt_state, jnp.zeros(())), xs,
+            body, (params, opt_state, off), xs,
             unroll=resolve_unroll(scan_unroll, n_batches))
         batch_log = ys.pop("batch_log")
         sums = {k: jnp.sum(v, axis=0) for k, v in ys.items()}
@@ -328,12 +330,15 @@ def make_eval_epoch_fn(loss_fn, scan_unroll=None, with_seq: bool = False):
     ``multimodn.py:354-357``).
     """
 
-    def eval_epoch(params, data, targets, sample_mask, rng, seqs=None):
+    def eval_epoch(params, data, targets, sample_mask, rng, seqs=None,
+                   offset0=None):
         n_batches = targets.shape[0]
         body = _eval_scan_body(loss_fn, rng, params, with_final_outputs=True)
         xs = _scan_inputs(data, targets, sample_mask,
                           seqs if with_seq else None)
-        _, ys = jax.lax.scan(body, jnp.zeros(()), xs,
+        off = jnp.zeros(()) if offset0 is None else \
+            jnp.asarray(offset0, jnp.float32)
+        _, ys = jax.lax.scan(body, off, xs,
                              unroll=resolve_unroll(scan_unroll, n_batches))
         sums = {k: jnp.sum(ys[k], axis=0) for k in _GRID_KEYS}
         # (n_batches, B, C_d) -> (N, C_d)
@@ -386,58 +391,69 @@ def make_fit_fn(loss_fn, tx, with_val: bool,
     """
 
     def run_train_epoch(params, opt_state, data, targets, sample_mask, rng,
-                        seqs=None):
+                        seqs, offset):
         n_batches = targets.shape[0]
         body = _train_scan_body(loss_fn, tx, gate_empty_batches, rng)
         xs = _scan_inputs(data, targets, sample_mask, seqs)
-        (params, opt_state, _), ys = jax.lax.scan(
-            body, (params, opt_state, jnp.zeros(())), xs,
+        (params, opt_state, offset), ys = jax.lax.scan(
+            body, (params, opt_state, offset), xs,
             unroll=resolve_unroll(scan_unroll, n_batches))
-        return params, opt_state, {k: jnp.sum(v, axis=0) for k, v in ys.items()}
+        return (params, opt_state, offset,
+                {k: jnp.sum(v, axis=0) for k, v in ys.items()})
 
-    def run_eval_epoch(params, data, targets, sample_mask, rng, seqs=None):
+    def run_eval_epoch(params, data, targets, sample_mask, rng, seqs, offset):
         n_batches = targets.shape[0]
         body = _eval_scan_body(loss_fn, rng, params)
         xs = _scan_inputs(data, targets, sample_mask, seqs)
-        _, ys = jax.lax.scan(body, jnp.zeros(()), xs,
-                             unroll=resolve_unroll(scan_unroll, n_batches))
-        return {k: jnp.sum(v, axis=0) for k, v in ys.items()}
+        offset, ys = jax.lax.scan(body, offset, xs,
+                                  unroll=resolve_unroll(scan_unroll, n_batches))
+        return offset, {k: jnp.sum(v, axis=0) for k, v in ys.items()}
 
     def train_arrays(data, targets, mask, erng):
         if reshuffle:
             return epoch_permute(data, targets, mask, erng)
         return data, targets, mask
 
+    def base_offset(offset0):
+        # The StaticInitState cycle phase continues across epochs AND calls,
+        # mirroring the reference's shared itertools.cycle (state.py:41);
+        # the model passes its cumulative sample count as offset0.
+        return jnp.zeros(()) if offset0 is None else \
+            jnp.asarray(offset0, jnp.float32)
+
     if with_val:
         def fit(params, opt_state, data, targets, mask,
                 val_data, val_targets, val_mask, epoch_ids, rng,
-                seqs=None, val_seqs=None):
+                seqs=None, val_seqs=None, offset0=None):
             def epoch_body(carry, eid):
-                params, opt_state = carry
+                params, opt_state, offset = carry
                 erng = jax.random.fold_in(rng, eid)
                 d, t, m = train_arrays(data, targets, mask, erng)
-                params, opt_state, tsums = run_train_epoch(
-                    params, opt_state, d, t, m, erng, seqs)
-                vsums = run_eval_epoch(params, val_data, val_targets,
-                                       val_mask, erng, val_seqs)
-                return (params, opt_state), (tsums, vsums)
+                params, opt_state, offset, tsums = run_train_epoch(
+                    params, opt_state, d, t, m, erng, seqs, offset)
+                offset, vsums = run_eval_epoch(
+                    params, val_data, val_targets, val_mask, erng, val_seqs,
+                    offset)
+                return (params, opt_state, offset), (tsums, vsums)
 
-            (params, opt_state), (tsums, vsums) = jax.lax.scan(
-                epoch_body, (params, opt_state), epoch_ids)
+            (params, opt_state, _), (tsums, vsums) = jax.lax.scan(
+                epoch_body, (params, opt_state, base_offset(offset0)),
+                epoch_ids)
             return params, opt_state, tsums, vsums
     else:
         def fit(params, opt_state, data, targets, mask, epoch_ids, rng,
-                seqs=None):
+                seqs=None, offset0=None):
             def epoch_body(carry, eid):
-                params, opt_state = carry
+                params, opt_state, offset = carry
                 erng = jax.random.fold_in(rng, eid)
                 d, t, m = train_arrays(data, targets, mask, erng)
-                params, opt_state, tsums = run_train_epoch(
-                    params, opt_state, d, t, m, erng, seqs)
-                return (params, opt_state), tsums
+                params, opt_state, offset, tsums = run_train_epoch(
+                    params, opt_state, d, t, m, erng, seqs, offset)
+                return (params, opt_state, offset), tsums
 
-            (params, opt_state), tsums = jax.lax.scan(
-                epoch_body, (params, opt_state), epoch_ids)
+            (params, opt_state, _), tsums = jax.lax.scan(
+                epoch_body, (params, opt_state, base_offset(offset0)),
+                epoch_ids)
             return params, opt_state, tsums
 
     return jax.jit(fit, donate_argnums=(0, 1))
@@ -464,22 +480,23 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
     from multimodn_tpu.core.metrics import masked_binary_auroc
 
     def run_train_epoch(params, opt_state, data, targets, sample_mask, rng,
-                        seqs=None):
+                        seqs, offset):
         body = _train_scan_body(loss_fn, tx, gate_empty_batches, rng)
         xs = _scan_inputs(data, targets, sample_mask, seqs)
-        (params, opt_state, _), ys = jax.lax.scan(
-            body, (params, opt_state, jnp.zeros(())), xs,
+        (params, opt_state, offset), ys = jax.lax.scan(
+            body, (params, opt_state, offset), xs,
             unroll=resolve_unroll(scan_unroll, targets.shape[0]))
-        return params, opt_state, {k: jnp.sum(v, axis=0) for k, v in ys.items()}
+        return (params, opt_state, offset,
+                {k: jnp.sum(v, axis=0) for k, v in ys.items()})
 
-    def run_eval_epoch(params, data, targets, sample_mask, rng, seqs=None):
+    def run_eval_epoch(params, data, targets, sample_mask, rng, seqs, offset):
         body = _eval_scan_body(loss_fn, rng, params, with_final_outputs=True)
         xs = _scan_inputs(data, targets, sample_mask, seqs)
-        _, ys = jax.lax.scan(body, jnp.zeros(()), xs,
-                             unroll=resolve_unroll(scan_unroll, targets.shape[0]))
+        offset, ys = jax.lax.scan(body, offset, xs,
+                                  unroll=resolve_unroll(scan_unroll, targets.shape[0]))
         sums = {k: jnp.sum(ys[k], axis=0) for k in _GRID_KEYS}
         outputs = [o.reshape(-1, o.shape[-1]) for o in ys["final_outputs"]]
-        return sums, outputs
+        return offset, sums, outputs
 
     def selection_score(vsums, outputs, val_targets, val_mask):
         """sum_d (AUROC_d + BAC_d) on the final encoder row."""
@@ -508,24 +525,27 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
 
     def fit(params, opt_state, data, targets, mask,
             val_data, val_targets, val_mask, epoch_ids, rng,
-            seqs=None, val_seqs=None):
+            seqs=None, val_seqs=None, offset0=None):
         # best_score starts at -inf so epoch 0 always wins the strictly-
         # greater comparison; a constant-zero score can no longer leave
         # best_epoch at -1 and silently restore untrained parameters.
         best0 = (jax.tree_util.tree_map(lambda x: x, params),
                  jnp.full((), -jnp.inf), jnp.asarray(-1, jnp.int32))
+        off0 = jnp.zeros(()) if offset0 is None else \
+            jnp.asarray(offset0, jnp.float32)
 
         def epoch_body(carry, eid):
-            params, opt_state, best = carry
+            params, opt_state, best, offset = carry
             erng = jax.random.fold_in(rng, eid)
             if reshuffle:
                 d, t, m = epoch_permute(data, targets, mask, erng)
             else:
                 d, t, m = data, targets, mask
-            params, opt_state, tsums = run_train_epoch(
-                params, opt_state, d, t, m, erng, seqs)
-            vsums, outputs = run_eval_epoch(params, val_data, val_targets,
-                                            val_mask, erng, val_seqs)
+            params, opt_state, offset, tsums = run_train_epoch(
+                params, opt_state, d, t, m, erng, seqs, offset)
+            offset, vsums, outputs = run_eval_epoch(
+                params, val_data, val_targets, val_mask, erng, val_seqs,
+                offset)
             score = selection_score(vsums, outputs, val_targets, val_mask)
             best_params, best_score, best_epoch = best
             improved = score > best_score
@@ -534,10 +554,10 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
             best = (best_params,
                     jnp.where(improved, score, best_score),
                     jnp.where(improved, eid.astype(jnp.int32), best_epoch))
-            return (params, opt_state, best), (tsums, vsums, score)
+            return (params, opt_state, best, offset), (tsums, vsums, score)
 
-        (params, opt_state, best), (tsums, vsums, scores) = jax.lax.scan(
-            epoch_body, (params, opt_state, best0), epoch_ids)
+        (params, opt_state, best, _), (tsums, vsums, scores) = jax.lax.scan(
+            epoch_body, (params, opt_state, best0, off0), epoch_ids)
         best_params, best_score, best_epoch = best
         return (params, opt_state, tsums, vsums,
                 best_params, best_score, best_epoch, scores)

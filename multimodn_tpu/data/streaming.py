@@ -132,7 +132,11 @@ def train_epoch_streaming(model, loader: StreamingLoader, optimizer,
     rng = jax.random.fold_in(jax.random.PRNGKey(model._seed),
                              model._epoch_counter)
     model._epoch_counter += 1
-    offset = jnp.zeros(())
+    # Shared-cycle base (StaticInitState phase continues across calls,
+    # reference state.py:41); None means offsets are ignored -> start at 0.
+    offset = model._cycle_base(len(loader))
+    if offset is None:
+        offset = jnp.zeros(())
 
     # Double buffer: put batch k+1 on device while batch k computes (JAX
     # dispatch is async, so device_put overlaps the in-flight step).

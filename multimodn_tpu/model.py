@@ -193,6 +193,12 @@ class MultiModN:
         self.opt_state = None
         self._fn_cache = {}
         self._epoch_counter = 0
+        # Cumulative samples served by the init state across ALL calls —
+        # the reference's StaticInitState keeps ONE itertools.cycle for the
+        # model's lifetime (state.py:41), so its phase continues across
+        # batches, epochs, and train/test/predict calls. Tracked host-side
+        # and threaded into every program as the cycle base offset.
+        self._cycle_offset = 0
 
     # ------------------------------------------------------------------
     # Program construction / caching
@@ -275,6 +281,22 @@ class MultiModN:
             self._fn_cache[key] = make_eval_epoch_fn(
                 loss_fn, scan_unroll=self.scan_unroll, with_seq=per_batch)
         return self._fn_cache[key]
+
+    def _static_cycle(self) -> bool:
+        from multimodn_tpu.core.state import StaticInitState
+        return isinstance(self.init_state, StaticInitState)
+
+    def _cycle_base(self, advance_by: int):
+        """Current cycle phase as a traced scalar (None when the init state
+        ignores offsets — keeps the common TrainableInitState programs on
+        their offset-free trace); advances the host counter by the number of
+        samples the reference's shared cycle would consume."""
+        if not self._static_cycle():
+            return None
+        bank = self.init_state._bank.shape[0]
+        base = self._cycle_offset % bank
+        self._cycle_offset = (self._cycle_offset + advance_by) % bank
+        return jnp.asarray(base, jnp.float32)
 
     @staticmethod
     def _batch_seqs(loader):
@@ -450,13 +472,20 @@ class MultiModN:
 
         rng = jax.random.fold_in(jax.random.PRNGKey(self._seed), self._epoch_counter)
         self._epoch_counter += 1
+        if self._static_cycle() and self.dp_engine == "shard_map":
+            raise ValueError(
+                "dp_engine='shard_map' cannot serve a StaticInitState bank: "
+                "each shard would index the bank by LOCAL batch positions, "
+                "not the global round-robin. Use the auto engine.")
+        off = self._cycle_base(train_loader.n_samples)
+        kw = {} if off is None else {"offset0": off}
         if seqs is not None:
             self.params, self.opt_state, sums, batch_log = fn(
                 self.params, self.opt_state, data, targets, mask, rng,
-                jnp.asarray(seqs))
+                jnp.asarray(seqs), **kw)
         else:
             self.params, self.opt_state, sums, batch_log = fn(
-                self.params, self.opt_state, data, targets, mask, rng)
+                self.params, self.opt_state, data, targets, mask, rng, **kw)
 
         stats = jax.tree_util.tree_map(
             np.asarray,
@@ -541,23 +570,29 @@ class MultiModN:
 
         if with_val:
             vdata, vtargets, vmask = self._place(val_loader)
+            off = self._cycle_base(
+                epochs * (train_loader.n_samples + val_loader.n_samples))
+            kw = {} if off is None else {"offset0": off}
             if per_batch:
                 self.params, self.opt_state, tsums, vsums = fn(
                     self.params, self.opt_state, data, targets, mask,
-                    vdata, vtargets, vmask, epoch_ids, rng, seqs, val_seqs)
+                    vdata, vtargets, vmask, epoch_ids, rng, seqs, val_seqs,
+                    **kw)
             else:
                 self.params, self.opt_state, tsums, vsums = fn(
                     self.params, self.opt_state, data, targets, mask,
-                    vdata, vtargets, vmask, epoch_ids, rng)
+                    vdata, vtargets, vmask, epoch_ids, rng, **kw)
         else:
+            off = self._cycle_base(epochs * train_loader.n_samples)
+            kw = {} if off is None else {"offset0": off}
             if per_batch:
                 self.params, self.opt_state, tsums = fn(
                     self.params, self.opt_state, data, targets, mask,
-                    epoch_ids, rng, seqs)
+                    epoch_ids, rng, seqs, **kw)
             else:
                 self.params, self.opt_state, tsums = fn(
                     self.params, self.opt_state, data, targets, mask,
-                    epoch_ids, rng)
+                    epoch_ids, rng, **kw)
             vsums = None
 
         if history is not None:
@@ -640,10 +675,13 @@ class MultiModN:
         rng = jax.random.fold_in(jax.random.PRNGKey(self._seed), self._epoch_counter)
         self._epoch_counter += epochs
         extra = (seqs, val_seqs) if per_batch else ()
+        off = self._cycle_base(
+            epochs * (train_loader.n_samples + val_loader.n_samples))
+        kw = {} if off is None else {"offset0": off}
         (self.params, self.opt_state, tsums, vsums, best_params, best_score,
          best_epoch, scores) = fn(self.params, self.opt_state, data, targets,
                                   mask, vdata, vtargets, vmask,
-                                  jnp.arange(epochs), rng, *extra)
+                                  jnp.arange(epochs), rng, *extra, **kw)
 
         if history is not None:
             tsums = jax.tree_util.tree_map(np.asarray, tsums)
@@ -691,12 +729,15 @@ class MultiModN:
         self._validate_pairings(order, test_loader, seqs)
         fn = self._eval_fn(criterion, order, per_batch=seqs is not None)
 
+        off = self._cycle_base(test_loader.n_samples)
+        kw = {} if off is None else {"offset0": off}
         if seqs is not None:
             sums, final_outputs = fn(self.params, data, targets, mask,
-                                     jax.random.PRNGKey(0), jnp.asarray(seqs))
+                                     jax.random.PRNGKey(0), jnp.asarray(seqs),
+                                     **kw)
         else:
             sums, final_outputs = fn(self.params, data, targets, mask,
-                                     jax.random.PRNGKey(0))
+                                     jax.random.PRNGKey(0), **kw)
         stats = jax.tree_util.tree_map(
             np.asarray,
             epoch_reduction(sums, test_loader.n_batches,
@@ -749,7 +790,10 @@ class MultiModN:
             data = jnp.stack(data, axis=1)  # (B, E, F)
         order = self._resolve_order(None, encoder_sequence, train=False)
         fwd = self._forward_fn(order, "none")
-        preds, _, _, _ = fwd(self.params, data, jnp.ones((n,), jnp.float32))
+        off = self._cycle_base(n)
+        kw = {} if off is None else {"init_offset": off}
+        preds, _, _, _ = fwd(self.params, data, jnp.ones((n,), jnp.float32),
+                             **kw)
         return np.asarray(preds)
 
     def predict_proba(self, x: Sequence, encoder_sequence=None) -> List[np.ndarray]:
@@ -760,7 +804,10 @@ class MultiModN:
             data = jnp.stack(data, axis=1)  # (B, E, F)
         order = self._resolve_order(None, encoder_sequence, train=False)
         fwd = self._forward_fn(order, "none")
-        _, outputs, _, _ = fwd(self.params, data, jnp.ones((n,), jnp.float32))
+        off = self._cycle_base(n)
+        kw = {} if off is None else {"init_offset": off}
+        _, outputs, _, _ = fwd(self.params, data, jnp.ones((n,), jnp.float32),
+                               **kw)
         return [np.asarray(o) for o in outputs]
 
     def fused_forward(self, x: Sequence, use_interpret: bool = False):
@@ -817,9 +864,12 @@ class MultiModN:
         order = self._resolve_order(data_loader, train=False)
         fwd = self._forward_fn(order, self.nan_skip)
         collected = []
-        # StaticInitState's round-robin continues ACROSS batches (reference
-        # cycle object, state.py:41) — thread the cumulative sample offset.
-        offset = jnp.zeros(())
+        # StaticInitState's round-robin continues ACROSS batches AND across
+        # calls (reference cycle object, state.py:41) — thread the model's
+        # cumulative sample offset.
+        offset = self._cycle_base(data_loader.n_samples)
+        if offset is None:
+            offset = jnp.zeros(())
         for b in range(data_loader.n_batches):
             if seqs is not None:
                 # Per-batch sequences: one cached trace per distinct order
@@ -861,6 +911,7 @@ class MultiModN:
 
     def __setstate__(self, state):
         self.__dict__.update(state)
+        self.__dict__.setdefault("_cycle_offset", 0)
         self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
 
     def state_dict(self) -> dict:

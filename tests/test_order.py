@@ -128,3 +128,55 @@ def test_static_init_state_in_model():
     h = MultiModNHistory(["t"])
     model.train_epoch(loader, Adam(0.01), "cross_entropy", h)
     assert np.isfinite(h.loss["train"][-1]).all()
+
+
+def _static_model(seed=0):
+    rng = np.random.default_rng(9)
+    bank = [rng.normal(size=3).astype(np.float32) for _ in range(3)]
+    return MultiModN(3, [MLPEncoder(3, 6, (5,))], [LogisticDecoder(3)],
+                     0.7, 0.3, seed=seed, init_state=StaticInitState(bank))
+
+
+def _static_data(n=40):
+    rng = np.random.default_rng(10)
+    X = rng.normal(size=(n, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    return PartitionDataset(X, y, [6])
+
+
+def test_static_cycle_fused_fit_matches_looped_epochs():
+    """Shared-cycle phase (reference state.py:41): fused fit must continue
+    the StaticInitState phase across epochs exactly like looped train_epoch
+    calls — n=40, bank=3 so the phase wraps differently every epoch."""
+    ds = _static_data()
+    m_loop, m_fused = _static_model(), _static_model()
+    h_loop, h_fused = MultiModNHistory(["t"]), MultiModNHistory(["t"])
+    opt = Adam(0.01)
+    for _ in range(3):
+        m_loop.train_epoch(ArrayLoader(ds, 16), opt, "cross_entropy",
+                           h_loop)
+    m_fused.fit(ArrayLoader(ds, 16), Adam(0.01), "cross_entropy", epochs=3,
+                history=h_fused)
+    for e in range(3):
+        np.testing.assert_allclose(h_loop.loss["train"][e],
+                                   h_fused.loss["train"][e],
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(np.asarray(m_loop.state_dict()["encoders"][0]["layers"][0]["w"]).ravel(),
+                    np.asarray(m_fused.state_dict()["encoders"][0]["layers"][0]["w"]).ravel()):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_static_cycle_continues_across_calls():
+    """A second fit() call starts where the first left off (40 % 3 == 1, so
+    the second call begins at phase 1, not 0); two fit(3)+fit(2) calls equal
+    one fit(5)."""
+    ds = _static_data()
+    m_split, m_whole = _static_model(), _static_model()
+    opt = Adam(0.01)
+    m_split.fit(ArrayLoader(ds, 16), opt, "cross_entropy", epochs=3)
+    m_split.fit(ArrayLoader(ds, 16), opt, "cross_entropy", epochs=2)
+    m_whole.fit(ArrayLoader(ds, 16), Adam(0.01), "cross_entropy", epochs=5)
+    np.testing.assert_allclose(
+        np.asarray(m_split.state_dict()["encoders"][0]["layers"][0]["w"]),
+        np.asarray(m_whole.state_dict()["encoders"][0]["layers"][0]["w"]),
+        rtol=1e-5, atol=1e-6)

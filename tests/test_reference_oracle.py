@@ -524,10 +524,8 @@ def test_rnn_encoder_matches_reference():
 
 def test_static_init_state_matches_reference(ref, ref_enc, ref_dec):
     """Training with a cycled static init-state bank matches the reference
-    when n_samples is a multiple of the bank size (the reference's shared
-    cycle object then returns to phase 0 each epoch; the modular-gather
-    reformulation restarts at 0 by construction — divergence outside that
-    is documented in core/state.py)."""
+    (n_samples a multiple of the bank size: phase returns to 0 each epoch —
+    the easy case; the non-divisible shared-cycle case is the next test)."""
     from multimodn_tpu.core.state import StaticInitState
 
     ref_state_mod = ref_module("multimodn.state")
@@ -566,6 +564,57 @@ def test_static_init_state_matches_reference(ref, ref_enc, ref_dec):
         model.train_epoch(loader, opt, "cross_entropy", hist)
         ref_model.train_epoch(batches, ref_opt,
                               torch.nn.CrossEntropyLoss(), ref_hist)
+    assert_history_matches(hist, ref_hist)
+
+
+def test_static_cycle_phase_matches_reference_nondivisible(ref, ref_enc,
+                                                           ref_dec):
+    """The reference's StaticInitState keeps ONE itertools.cycle for the
+    model's lifetime (state.py:41): with n_samples % bank_size != 0 its
+    phase wraps mid-batch and carries across epochs and interleaved test()
+    calls. The model's cumulative _cycle_offset reproduces that exactly."""
+    from multimodn_tpu.core.state import StaticInitState
+
+    ref_state_mod = ref_module("multimodn.state")
+    rng = np.random.default_rng(31)
+    bank = [rng.normal(size=3).astype(np.float32) for _ in range(3)]
+    ds = make_dataset(n=40, partitions=(6,), seed=31)   # 40 % 3 == 1
+    loader = ArrayLoader(ds, batch_size=16)             # 16 % 3 == 1
+
+    model = MultiModN(3, [MLPEncoder(3, 6, (5,))], [LogisticDecoder(3)],
+                      0.7, 0.3, nan_skip="batch",
+                      init_state=StaticInitState(bank))
+    ref_model = ref.MultiModN(
+        3, [ref_enc.MLPEncoder(3, 6, (5,))], [ref_dec.LogisticDecoder(3)],
+        0.7, 0.3,
+        init_state=ref_state_mod.StaticInitState(
+            [torch.from_numpy(b.copy()) for b in bank]),
+        device=torch.device("cpu"))
+    sd = model.state_dict()
+    for enc, p in zip(ref_model.encoders, sd["encoders"]):
+        linears = [l for l in enc.layers if isinstance(l, torch.nn.Linear)]
+        for tl, jl in zip(linears, p["layers"]):
+            tl.weight.data = torch.from_numpy(np.asarray(jl["w"]).T.copy())
+            tl.bias.data = torch.from_numpy(np.asarray(jl["b"]).copy())
+    for dec, p in zip(ref_model.decoders, sd["decoders"]):
+        dec.fc.weight.data = torch.from_numpy(
+            np.asarray(p["layers"][0]["w"]).T.copy())
+        dec.fc.bias.data = torch.from_numpy(
+            np.asarray(p["layers"][0]["b"]).copy())
+
+    opt = Adam(0.01)
+    ref_opt = torch.optim.Adam(ref_model.parameters(), 0.01)
+    batches = reference_batches(loader)
+    hist, ref_hist = MultiModNHistory(["t0"]), ref.MultiModNHistory(["t0"])
+    for _ in range(3):
+        # Interleave test() like the reference pipelines do — it draws from
+        # the SAME shared cycle, shifting the next epoch's phase.
+        model.train_epoch(loader, opt, "cross_entropy", hist)
+        ref_model.train_epoch(batches, ref_opt,
+                              torch.nn.CrossEntropyLoss(), ref_hist)
+        model.test(loader, "cross_entropy", hist, tag="val")
+        ref_model.test(batches, torch.nn.CrossEntropyLoss(), ref_hist,
+                       tag="val")
     assert_history_matches(hist, ref_hist)
 
 
