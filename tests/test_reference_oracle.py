@@ -805,3 +805,68 @@ def test_randomized_configs_soak(ref, ref_enc, ref_dec):
                 f"hidden={hidden} batch={batch} n={n} nan={nan_frac} "
                 f"err_p={err_p:.3f} sc_p={sc_p:.3f} mimic={use_mimic} "
                 f"seed={seed}\n{e}") from e
+
+
+def test_static_cycle_randomized_soak(ref, ref_enc, ref_dec):
+    """Randomized StaticInitState soak vs the REAL reference: random bank
+    sizes (mostly non-divisible into n), batch sizes, and randomly
+    interleaved test() calls — all drawing from the shared lifetime cycle.
+    Any phase drift diverges the trajectories and fails."""
+    from multimodn_tpu.core.state import StaticInitState
+
+    ref_state_mod = ref_module("multimodn.state")
+    rng = np.random.default_rng(77)
+    for trial in range(4):
+        bank_n = int(rng.integers(2, 6))
+        state = int(rng.integers(2, 5))
+        width = int(rng.integers(3, 7))
+        batch = int(rng.choice([8, 16, 13]))
+        n = int(rng.integers(30, 60))
+        seed = int(rng.integers(0, 1000))
+        bank = [rng.normal(size=state).astype(np.float32)
+                for _ in range(bank_n)]
+        ds = make_dataset(n=n, partitions=(width,), seed=seed)
+        loader = ArrayLoader(ds, batch_size=batch)
+
+        model = MultiModN(state, [MLPEncoder(state, width, (5,))],
+                          [LogisticDecoder(state)], 0.7, 0.3,
+                          nan_skip="batch",
+                          init_state=StaticInitState(bank))
+        ref_model = ref.MultiModN(
+            state, [ref_enc.MLPEncoder(state, width, (5,))],
+            [ref_dec.LogisticDecoder(state)], 0.7, 0.3,
+            init_state=ref_state_mod.StaticInitState(
+                [torch.from_numpy(b.copy()) for b in bank]),
+            device=torch.device("cpu"))
+        sd = model.state_dict()
+        for enc, p in zip(ref_model.encoders, sd["encoders"]):
+            linears = [l for l in enc.layers
+                       if isinstance(l, torch.nn.Linear)]
+            for tl, jl in zip(linears, p["layers"]):
+                tl.weight.data = torch.from_numpy(
+                    np.asarray(jl["w"]).T.copy())
+                tl.bias.data = torch.from_numpy(np.asarray(jl["b"]).copy())
+        for dec, p in zip(ref_model.decoders, sd["decoders"]):
+            dec.fc.weight.data = torch.from_numpy(
+                np.asarray(p["layers"][0]["w"]).T.copy())
+            dec.fc.bias.data = torch.from_numpy(
+                np.asarray(p["layers"][0]["b"]).copy())
+
+        opt = Adam(0.01)
+        ref_opt = torch.optim.Adam(ref_model.parameters(), 0.01)
+        batches = reference_batches(loader)
+        hist = MultiModNHistory(["t0"])
+        ref_hist = ref.MultiModNHistory(["t0"])
+        crit = torch.nn.CrossEntropyLoss()
+        for e in range(3):
+            model.train_epoch(loader, opt, "cross_entropy", hist)
+            ref_model.train_epoch(batches, ref_opt, crit, ref_hist)
+            if rng.random() < 0.5:   # random cycle-consuming interleave
+                model.test(loader, "cross_entropy", hist, tag="val")
+                ref_model.test(batches, crit, ref_hist, tag="val")
+        try:
+            assert_history_matches(hist, ref_hist)
+        except AssertionError as err:
+            raise AssertionError(
+                f"trial {trial}: bank={bank_n} state={state} width={width} "
+                f"batch={batch} n={n} seed={seed}\n{err}") from err
