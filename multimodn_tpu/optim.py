@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import optax
 
 
-def _torch_adam(lr: float, b1: float, b2: float, eps: float):
+def _torch_adam(lr: float, b1: float, b2: float, eps: float,
+                state_dtype=None):
     """torch.optim.Adam with structural-skip gating (see module docstring).
 
     State: m/v like Adam plus GROUP step counts — one scalar for all
@@ -41,6 +42,13 @@ def _torch_adam(lr: float, b1: float, b2: float, eps: float):
     chain's (E,) executed flags engages the skip semantics. The training
     programs pass gates only for nan_skip='batch' — the one mode where the
     reference's torch optimizer can actually skip params.
+
+    ``state_dtype``: storage dtype for the m/v moments (e.g.
+    ``jnp.bfloat16``). Every Adam update streams the full optimizer state
+    through HBM (read p,g,m,v + write p,m,v — the measured bottleneck of
+    Adam training at scale, RESULTS.md roofline); bf16 moments cut that
+    traffic by ~2/7 at a small, NON-torch-exact numerical difference.
+    Default None keeps fp32 moments (reference-parity math).
     """
 
     def _enc_info(tree):
@@ -58,22 +66,29 @@ def _torch_adam(lr: float, b1: float, b2: float, eps: float):
             t_enc = jnp.zeros((E,))
         else:
             t_enc = [jnp.zeros(()) for _ in enc]
-        return {"m": jax.tree_util.tree_map(jnp.zeros_like, params),
-                "v": jax.tree_util.tree_map(jnp.zeros_like, params),
+        zeros = (jnp.zeros_like if state_dtype is None else
+                 (lambda p: jnp.zeros(p.shape, state_dtype)))
+        return {"m": jax.tree_util.tree_map(zeros, params),
+                "v": jax.tree_util.tree_map(zeros, params),
                 "t": jnp.zeros(()), "t_enc": t_enc}
 
+    def _store(x, like):
+        return x if state_dtype is None else x.astype(like.dtype)
+
     def _plain_leaf(g, m, v, c1, c2):
-        m_new = b1 * m + (1 - b1) * g
-        v_new = b2 * v + (1 - b2) * g * g
+        mf, vf = m.astype(g.dtype), v.astype(g.dtype)
+        m_new = b1 * mf + (1 - b1) * g
+        v_new = b2 * vf + (1 - b2) * g * g
         upd = -lr * (m_new / c1) / (jnp.sqrt(v_new / c2) + eps)
-        return upd, m_new, v_new
+        return upd, _store(m_new, m), _store(v_new, v)
 
     def _gated_leaf(g, m, v, c1, c2, gate):
         # m + gate*(1-b1)*(g-m) == gate ? b1*m+(1-b1)*g : m
-        m_new = m + gate * (1 - b1) * (g - m)
-        v_new = v + gate * (1 - b2) * (g * g - v)
+        mf, vf = m.astype(g.dtype), v.astype(g.dtype)
+        m_new = mf + gate * (1 - b1) * (g - mf)
+        v_new = vf + gate * (1 - b2) * (g * g - vf)
         upd = -lr * gate * (m_new / c1) / (jnp.sqrt(v_new / c2) + eps)
-        return upd, m_new, v_new
+        return upd, _store(m_new, m), _store(v_new, v)
 
     def update(grads, state, params=None, enc_gates=None):
         enc, stacked = _enc_info(grads)
@@ -159,8 +174,9 @@ class Optimizer:
 
 class Adam(Optimizer):
     def __init__(self, learning_rate: float, betas: Tuple[float, float] = (0.9, 0.999),
-                 eps: float = 1e-8):
-        super().__init__(_torch_adam(learning_rate, betas[0], betas[1], eps))
+                 eps: float = 1e-8, state_dtype=None):
+        super().__init__(_torch_adam(learning_rate, betas[0], betas[1], eps,
+                                     state_dtype=state_dtype))
 
 
 class AdamW(Optimizer):

@@ -527,3 +527,36 @@ def test_mismatched_pairing_widths_rejected():
                       [LogisticDecoder(2)], 0.7, 0.3)
     with pytest.raises(ValueError, match="widths must match"):
         model.train_epoch(loader, Adam(0.01), "cross_entropy")
+
+
+def test_adam_bf16_state_dtype():
+    """Adam(state_dtype=bf16) stores moments in bf16 (HBM-traffic option,
+    RESULTS.md roofline) and tracks fp32-Adam training closely."""
+    import jax
+    import jax.numpy as jnp
+    from multimodn_tpu import Adam, MultiModN, MultiModNHistory
+    from multimodn_tpu.data import ArrayLoader, PartitionDataset
+    from multimodn_tpu.decoders import LogisticDecoder
+    from multimodn_tpu.encoders import MLPEncoder
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(64, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = PartitionDataset(X, y, [3, 3])
+
+    def build():
+        return MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                         [LogisticDecoder(3)], 0.7, 0.3)
+
+    m32, m16 = build(), build()
+    h32, h16 = MultiModNHistory(["t"]), MultiModNHistory(["t"])
+    m32.fit(ArrayLoader(ds, 16), Adam(0.01), "cross_entropy", epochs=5,
+            history=h32)
+    m16.fit(ArrayLoader(ds, 16), Adam(0.01, state_dtype=jnp.bfloat16),
+            "cross_entropy", epochs=5, history=h16)
+    moments = jax.tree_util.tree_leaves(m16.opt_state["m"])
+    assert all(x.dtype == jnp.bfloat16 for x in moments)
+    # Not bit-equal (that's the point), but the trajectory must track fp32.
+    np.testing.assert_allclose(np.asarray(h32.loss["train"][-1]),
+                               np.asarray(h16.loss["train"][-1]),
+                               rtol=0.05, atol=0.02)
