@@ -48,8 +48,9 @@ def model_flops_per_sample() -> float:
     return 2 * macs * 3  # fwd+bwd ~3x fwd FLOPs
 
 
-def run(compute_dtype, batch):
+def run(compute_dtype, batch, adam_state_dtype=None):
     import jax  # noqa: F401
+    import jax.numpy as jnp
 
     from multimodn_tpu import Adam, MultiModN
     from multimodn_tpu.data import ArrayLoader, PartitionDataset
@@ -66,7 +67,8 @@ def run(compute_dtype, batch):
          for w in WIDTHS],
         [MLPDecoder(STATE, (HIDDEN, HIDDEN), 2)],
         1.0, 0.0, compute_dtype=compute_dtype)
-    opt = Adam(1e-3)
+    opt = Adam(1e-3, state_dtype=jnp.bfloat16
+               if adam_state_dtype == "bf16" else None)
 
     def sync():
         return float(np.asarray(
@@ -85,9 +87,10 @@ def run(compute_dtype, batch):
     per_epoch = float(np.median(times)) / EPOCHS
     sps = N / per_epoch
     tflops = sps * model_flops_per_sample() / 1e12
+    suffix = "_adamstate_bf16" if adam_state_dtype == "bf16" else ""
     return {
         "metric": f"scaling_train_samples_per_sec_"
-                  f"{compute_dtype or 'float32'}_b{batch}",
+                  f"{compute_dtype or 'float32'}_b{batch}{suffix}",
         "value": round(sps, 1),
         "unit": "samples/s",
         "epoch_ms": round(per_epoch * 1e3, 2),
@@ -99,6 +102,16 @@ def run(compute_dtype, batch):
 
 
 def main():
+    if "--adam-state" in sys.argv:
+        # Same-process A/B (the remote compiler's session variance makes
+        # cross-session comparisons meaningless): fp32 vs bf16 Adam moments
+        # at the Adam-traffic-bound batch (512).
+        results = [run("bfloat16", 512), run("bfloat16", 512, "bf16")]
+        for r in results:
+            print(json.dumps(r))
+        with open(os.path.join(REPO, "bench_adam_state.json"), "w") as f:
+            json.dump(results, f, indent=2)
+        return
     results = [run("bfloat16", 512), run("bfloat16", 1024),
                run("bfloat16", 2048)]
     if "--fp32" in sys.argv:
