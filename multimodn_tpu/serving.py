@@ -39,7 +39,12 @@ class InferenceSession:
         self._decode_fn = None
 
     def init(self, batch_size: int) -> jnp.ndarray:
-        """Initial (batch, state_size) fusion state."""
+        """Initial (batch, state_size) fusion state.
+
+        StaticInitState sessions start at cycle phase 0 (each serving
+        session is its own stream; the model's training-side shared-cycle
+        counter is deliberately not consumed here).
+        """
         return self.model.init_state.apply(
             self.model.params["init_state"], batch_size, 0)
 
