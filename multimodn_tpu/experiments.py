@@ -62,7 +62,9 @@ def kfold_fit_best(
             match across folds. shuffle=True train loaders are supported
             when every fold has the same train batch count (the in-program
             per-epoch permutation then acts on stacks shaped exactly like
-            per-fold fit_best's).
+            per-fold fit_best's). Encoding sequences — uniform (shared or
+            per-fold) and true per-batch — thread through as traced order
+            arrays, exactly like fused fit/fit_best.
         seeds: per-fold init seeds (default 0..F-1, mirroring the reference's
             per-fold seed increment).
         mesh: optional ``jax.sharding.Mesh`` with a ``fold_axis`` axis. The
@@ -128,29 +130,59 @@ def kfold_fit_best(
             "shuffle in-program (homogeneous 'scan' or 'switch' chains); "
             "the unrolled chain's host-side shuffle cannot vary per fold.")
 
-    for f, (tr, va) in enumerate(folds):
-        for ldr in (tr, va):
-            seq_fn = getattr(ldr, "batch_sequences", None)
-            if seq_fn is not None and seq_fn() is not None:
-                raise NotImplementedError(
-                    f"fold {f}: per-batch encoding sequences are not "
-                    "supported by the vmapped k-fold program; loop "
-                    "fit_best per fold instead.")
-    # A globally-uniform dataset-supplied sequence IS honored: every fold's
-    # train AND val loaders must agree on it (they share one dataset in the
-    # reference protocol).
-    seqs = [getattr(ldr, "encoding_sequence", None)
-            for f in folds for ldr in f]
-    if any(s is not None for s in seqs):
-        first = seqs[0]
-        if first is None or any(
-                s is None or not np.array_equal(s, first) for s in seqs):
+    # Encoding-sequence resolution, mirroring MultiModN._fused_seqs:
+    # - no sequences anywhere -> identity order, sequence-free program;
+    # - ONE uniform sequence shared by every loader -> static order;
+    # - anything else (true per-batch sequences, or folds with DIFFERENT
+    #   uniform sequences) -> traced per-batch orders stacked over folds.
+    E = len(template.encoders)
+
+    def _pb(ldr):
+        fn = getattr(ldr, "batch_sequences", None)
+        return fn() if fn is not None else None
+
+    all_loaders = [ldr for pair in folds for ldr in pair]
+    any_pb = any(_pb(l) is not None for l in all_loaders)
+    uniforms = [getattr(l, "encoding_sequence", None) for l in all_loaders]
+    present = [u for u in uniforms if u is not None]
+    shared_uniform = (len(present) == len(uniforms) and
+                      all(np.array_equal(u, present[0]) for u in present)
+                      ) if present else False
+    per_batch = any_pb or (bool(present) and not shared_uniform)
+
+    if per_batch:
+        order = default_order(E)
+        if reshuffle and any(_pb(tr) is not None for tr, _ in folds):
             raise ValueError(
-                "all fold loaders must share one uniform encoding_sequence")
-        order = tuple((int(k), int(e)) for k, e in enumerate(first))
+                "shuffle=True fold loaders cannot carry per-batch encoding "
+                "sequences: the in-program sample permutation would break "
+                "the batch<->sequence association (same rule as fused "
+                "fit/fit_best; batch-constant uniform sequences are fine).")
+    elif shared_uniform:
+        order = tuple((int(k), int(e)) for k, e in enumerate(present[0]))
     else:
-        order = default_order(len(template.encoders))
-    loss_fn = template._loss_fn(criterion, order, template.nan_skip)
+        order = default_order(E)
+
+    def fold_seqs(ldr, max_nb):
+        """(max_nb, E) traced order rows for one loader: its own per-batch
+        rows, or its uniform sequence (identity absent one) tiled; padded
+        batches get identity rows (they are gated off exactly)."""
+        rows = _pb(ldr)
+        if rows is None:
+            u = getattr(ldr, "encoding_sequence", None)
+            row = np.asarray(u, np.int32) if u is not None \
+                else np.arange(E, dtype=np.int32)
+            rows = np.tile(row, (ldr.n_batches, 1))
+        rows = np.asarray(rows, np.int32)
+        template._validate_pairings((), ldr, rows)
+        if rows.shape[0] < max_nb:
+            pad = np.tile(np.arange(E, dtype=np.int32),
+                          (max_nb - rows.shape[0], 1))
+            rows = np.concatenate([rows, pad], axis=0)
+        return rows
+
+    loss_fn = template._loss_fn(criterion, order, template.nan_skip,
+                                per_batch)
     # Folds get padded to a common batch count -> empty batches exist, so the
     # exact-skip gating must be on here.
     fit = make_select_fit_fn(loss_fn, optimizer.tx, binary,
@@ -192,6 +224,9 @@ def kfold_fit_best(
     # — dropout/in-program-shuffle draws match the sequential path per fold.
     rngs = jnp.stack([jax.random.fold_in(jax.random.PRNGKey(m._seed), 0)
                       for m in models])
+    if per_batch:
+        tseqs = jnp.stack([fold_seqs(tr, max_tb) for tr, _ in folds])
+        vseqs = jnp.stack([fold_seqs(va, max_vb) for _, va in folds])
 
     if mesh is not None:
         # Shard the leading (fold) axis of every stacked operand; trailing
@@ -204,11 +239,22 @@ def kfold_fit_best(
         (data, targets, mask, vdata, vtargets, vmask, params, opt_state,
          rngs) = (place(t) for t in (data, targets, mask, vdata, vtargets,
                                      vmask, params, opt_state, rngs))
+        if per_batch:
+            tseqs, vseqs = place(tseqs), place(vseqs)
 
-    vfit = jax.vmap(fit, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, 0))
-    (params, opt_state, tsums, vsums, best_params, best_score, best_epoch,
-     scores) = vfit(params, opt_state, data, targets, mask,
-                    vdata, vtargets, vmask, jnp.arange(epochs), rngs)
+    if per_batch:
+        vfit = jax.vmap(fit,
+                        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, 0, 0, 0))
+        (params, opt_state, tsums, vsums, best_params, best_score,
+         best_epoch, scores) = vfit(params, opt_state, data, targets, mask,
+                                    vdata, vtargets, vmask,
+                                    jnp.arange(epochs), rngs, tseqs, vseqs)
+    else:
+        vfit = jax.vmap(fit, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, 0))
+        (params, opt_state, tsums, vsums, best_params, best_score,
+         best_epoch, scores) = vfit(params, opt_state, data, targets, mask,
+                                    vdata, vtargets, vmask,
+                                    jnp.arange(epochs), rngs)
 
     results = []
     best_params = jax.tree_util.tree_map(np.asarray, best_params)

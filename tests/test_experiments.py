@@ -230,3 +230,88 @@ def test_kfold_shuffle_guards():
     ]
     with pytest.raises(ValueError, match="agree on shuffle"):
         kfold_fit_best(_factory, mixed, Adam(0.01), "cross_entropy", epochs=2)
+
+
+def test_kfold_per_fold_uniform_sequences():
+    """Folds whose loaders carry DIFFERENT uniform encoding sequences (one
+    fold fuses [1,0], the other [0,1]) thread per-fold traced orders and
+    match per-fold fit_best exactly (previously rejected)."""
+    class SeqDS(PartitionDataset):
+        def __init__(self, X, y, parts, seq):
+            super().__init__(X, y, parts)
+            self._seq = np.asarray(seq, np.int64)
+
+        def __getitem__(self, i):
+            xs, y = super().__getitem__(i)[:2]
+            return xs, y, self._seq
+
+        def arrays(self):
+            xs, y = super().arrays()[:2]
+            return xs, y, np.tile(self._seq[None, :], (len(self), 1))
+
+    rng = np.random.default_rng(21)
+    X = rng.normal(size=(64, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds_a = SeqDS(X, y, [3, 3], [1, 0])
+    ds_b = SeqDS(X, y, [3, 3], [0, 1])
+
+    def folds():
+        return [
+            (ArrayLoader(Subset(ds_a, list(range(0, 32))), 16),
+             ArrayLoader(Subset(ds_a, list(range(32, 48))), 16)),
+            (ArrayLoader(Subset(ds_b, list(range(32, 64))), 16),
+             ArrayLoader(Subset(ds_b, list(range(0, 16))), 16)),
+        ]
+
+    results = kfold_fit_best(_factory, folds(), Adam(0.01), "cross_entropy",
+                             epochs=3)
+    for f, (tr, va) in enumerate(folds()):
+        m = _factory(f)
+        ref = m.fit_best(tr, Adam(0.01), "cross_entropy", epochs=3,
+                         val_loader=va)
+        assert ref["best_epoch"] == results[f]["best_epoch"], f"fold {f}"
+        np.testing.assert_allclose(ref["scores"], results[f]["scores"],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_kfold_per_batch_sequences():
+    """True per-batch sequences (batch-uniform, varying across batches)
+    thread through the vmapped program and match per-fold fit_best."""
+    class BatchSeqDS(PartitionDataset):
+        """Per-sample sequences constant within each 16-sample block."""
+        def __init__(self, X, y, parts):
+            super().__init__(X, y, parts)
+            self._rows = np.asarray([[0, 1], [1, 0]], np.int64)
+
+        def __getitem__(self, i):
+            xs, y = super().__getitem__(i)[:2]
+            return xs, y, self._rows[(i // 16) % 2]
+
+        def arrays(self):
+            xs, y = super().arrays()[:2]
+            seq = np.stack([self._rows[(i // 16) % 2]
+                            for i in range(len(self))])
+            return xs, y, seq
+
+    rng = np.random.default_rng(22)
+    X = rng.normal(size=(64, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = BatchSeqDS(X, y, [3, 3])
+
+    def folds():
+        return [
+            (ArrayLoader(Subset(ds, list(range(0, 32))), 16),
+             ArrayLoader(Subset(ds, list(range(32, 48))), 16)),
+            (ArrayLoader(Subset(ds, list(range(32, 64))), 16),
+             ArrayLoader(Subset(ds, list(range(0, 16))), 16)),
+        ]
+
+    results = kfold_fit_best(_factory, folds(), Adam(0.01), "cross_entropy",
+                             epochs=3)
+    for f, (tr, va) in enumerate(folds()):
+        m = _factory(f)
+        ref = m.fit_best(tr, Adam(0.01), "cross_entropy", epochs=3,
+                         val_loader=va)
+        assert ref["best_epoch"] == results[f]["best_epoch"], f"fold {f}"
+        np.testing.assert_allclose(ref["scores"], results[f]["scores"],
+                                   rtol=1e-5, atol=1e-6)
