@@ -104,12 +104,20 @@ def run(compute_dtype, batch, adam_state_dtype=None):
 def main():
     if "--adam-state" in sys.argv:
         # Same-process A/B (the remote compiler's session variance makes
-        # cross-session comparisons meaningless): fp32 vs bf16 Adam moments
-        # at the Adam-traffic-bound batch (512).
-        results = [run("bfloat16", 512), run("bfloat16", 512, "bf16")]
+        # cross-session comparisons meaningless): fp32 vs bf16 Adam moments.
+        # Optional batch after the flag (default 512, the Adam-traffic-bound
+        # point); the output filename records non-default batches, matching
+        # the committed artifacts (bench_adam_state.json @512,
+        # bench_adam_state_b2048.json @2048).
+        i = sys.argv.index("--adam-state")
+        batch = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 \
+            and sys.argv[i + 1].isdigit() else 512
+        results = [run("bfloat16", batch), run("bfloat16", batch, "bf16")]
         for r in results:
             print(json.dumps(r))
-        with open(os.path.join(REPO, "bench_adam_state.json"), "w") as f:
+        name = "bench_adam_state.json" if batch == 512 \
+            else f"bench_adam_state_b{batch}.json"
+        with open(os.path.join(REPO, name), "w") as f:
             json.dump(results, f, indent=2)
         return
     results = [run("bfloat16", 512), run("bfloat16", 1024),

@@ -242,6 +242,23 @@ def gated_update(tx, grads, opt_state, params, batch_mask,
                         (grads, opt_state, params))
 
 
+def _base_offset(offset0):
+    """Normalize the StaticInitState cycle base to the int32 scan carry.
+
+    The phase continues across epochs AND calls, mirroring the reference's
+    shared itertools.cycle (state.py:41); the model passes its cumulative
+    sample count as offset0 (None -> 0 for offset-free init states).
+    int32, not float32: a fused multi-epoch run can accumulate past 2^24
+    samples, where float32 increments would lose integer exactness and
+    silently gather wrong bank rows."""
+    return jnp.zeros((), jnp.int32) if offset0 is None else \
+        jnp.asarray(offset0, jnp.int32)
+
+
+def _advance_offset(offset, batch_mask):
+    return offset + jnp.sum(batch_mask).astype(jnp.int32)
+
+
 def _train_scan_body(loss_fn, tx, gate_empty_batches, rng,
                      with_batch_log: bool = False):
     """The ONE training batch-step body shared by every epoch program
@@ -261,7 +278,7 @@ def _train_scan_body(loss_fn, tx, gate_empty_batches, rng,
         params, opt_state = gated_update(tx, grads, opt_state, params,
                                          batch_mask, gate_empty_batches,
                                          enc_gates=aux["enc_gates"])
-        offset = offset + jnp.sum(batch_mask)
+        offset = _advance_offset(offset, batch_mask)
         ys = {k: aux[k] for k in _GRID_KEYS}
         if with_batch_log:
             ys["batch_log"] = jnp.stack(
@@ -285,7 +302,7 @@ def _eval_scan_body(loss_fn, rng, params, with_final_outputs: bool = False):
         ys = {k: aux[k] for k in _GRID_KEYS}
         if with_final_outputs:
             ys["final_outputs"] = aux["final_outputs"]
-        return offset + jnp.sum(batch_mask), ys
+        return _advance_offset(offset, batch_mask), ys
 
     return body
 
@@ -308,8 +325,7 @@ def make_train_epoch_fn(loss_fn, tx, *, donate: bool = True,
                                 with_batch_log=True)
         xs = _scan_inputs(data, targets, sample_mask,
                           seqs if with_seq else None)
-        off = jnp.zeros(()) if offset0 is None else \
-            jnp.asarray(offset0, jnp.float32)
+        off = _base_offset(offset0)
         (params, opt_state, _), ys = jax.lax.scan(
             body, (params, opt_state, off), xs,
             unroll=resolve_unroll(scan_unroll, n_batches))
@@ -336,8 +352,7 @@ def make_eval_epoch_fn(loss_fn, scan_unroll=None, with_seq: bool = False):
         body = _eval_scan_body(loss_fn, rng, params, with_final_outputs=True)
         xs = _scan_inputs(data, targets, sample_mask,
                           seqs if with_seq else None)
-        off = jnp.zeros(()) if offset0 is None else \
-            jnp.asarray(offset0, jnp.float32)
+        off = _base_offset(offset0)
         _, ys = jax.lax.scan(body, off, xs,
                              unroll=resolve_unroll(scan_unroll, n_batches))
         sums = {k: jnp.sum(ys[k], axis=0) for k in _GRID_KEYS}
@@ -414,13 +429,6 @@ def make_fit_fn(loss_fn, tx, with_val: bool,
             return epoch_permute(data, targets, mask, erng)
         return data, targets, mask
 
-    def base_offset(offset0):
-        # The StaticInitState cycle phase continues across epochs AND calls,
-        # mirroring the reference's shared itertools.cycle (state.py:41);
-        # the model passes its cumulative sample count as offset0.
-        return jnp.zeros(()) if offset0 is None else \
-            jnp.asarray(offset0, jnp.float32)
-
     if with_val:
         def fit(params, opt_state, data, targets, mask,
                 val_data, val_targets, val_mask, epoch_ids, rng,
@@ -437,7 +445,7 @@ def make_fit_fn(loss_fn, tx, with_val: bool,
                 return (params, opt_state, offset), (tsums, vsums)
 
             (params, opt_state, _), (tsums, vsums) = jax.lax.scan(
-                epoch_body, (params, opt_state, base_offset(offset0)),
+                epoch_body, (params, opt_state, _base_offset(offset0)),
                 epoch_ids)
             return params, opt_state, tsums, vsums
     else:
@@ -452,7 +460,7 @@ def make_fit_fn(loss_fn, tx, with_val: bool,
                 return (params, opt_state, offset), tsums
 
             (params, opt_state, _), tsums = jax.lax.scan(
-                epoch_body, (params, opt_state, base_offset(offset0)),
+                epoch_body, (params, opt_state, _base_offset(offset0)),
                 epoch_ids)
             return params, opt_state, tsums
 
@@ -531,8 +539,7 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
         # best_epoch at -1 and silently restore untrained parameters.
         best0 = (jax.tree_util.tree_map(lambda x: x, params),
                  jnp.full((), -jnp.inf), jnp.asarray(-1, jnp.int32))
-        off0 = jnp.zeros(()) if offset0 is None else \
-            jnp.asarray(offset0, jnp.float32)
+        off0 = _base_offset(offset0)
 
         def epoch_body(carry, eid):
             params, opt_state, best, offset = carry

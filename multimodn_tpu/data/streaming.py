@@ -115,7 +115,8 @@ def train_epoch_streaming(model, loader: StreamingLoader, optimizer,
                                              mask,
                                              enc_gates=aux["enc_gates"])
             sums = {k: sums[k] + aux[k] for k in _GRID_KEYS}
-            return params, opt_state, sums, offset + jnp.sum(mask)
+            return (params, opt_state, sums,
+                    offset + jnp.sum(mask).astype(jnp.int32))
 
         model._fn_cache[key] = step
     step = model._fn_cache[key]
@@ -134,9 +135,10 @@ def train_epoch_streaming(model, loader: StreamingLoader, optimizer,
     model._epoch_counter += 1
     # Shared-cycle base (StaticInitState phase continues across calls,
     # reference state.py:41); None means offsets are ignored -> start at 0.
-    offset = model._cycle_base(len(loader))
+    # The counter advances by SAMPLES consumed, after the epoch succeeds.
+    offset = model._cycle_base()
     if offset is None:
-        offset = jnp.zeros(())
+        offset = jnp.zeros((), jnp.int32)
 
     # Double buffer: put batch k+1 on device while batch k computes (JAX
     # dispatch is async, so device_put overlaps the in-flight step).
@@ -161,6 +163,7 @@ def train_epoch_streaming(model, loader: StreamingLoader, optimizer,
             data, targets, mask, batch_rng)
         b += 1
 
+    model._advance_cycle(loader.n_samples)
     stats = jax.tree_util.tree_map(
         np.asarray, epoch_reduction(sums, loader.n_batches,
                                     model.ones_initialized_counts))

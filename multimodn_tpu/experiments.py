@@ -263,6 +263,13 @@ def kfold_fit_best(
     for f, model in enumerate(models[:n_real]):
         fold_best = jax.tree_util.tree_map(lambda x: x[f], best_params)
         model.load_state_dict(fold_best)
+        # Leave each fold model exactly as per-fold fit_best would: the
+        # training consumed epochs*(n_train+n_val) StaticInitState cycle
+        # states in-program, and epochs rng epochs — a later test()/predict()
+        # on the returned model must continue from there.
+        model._advance_cycle(
+            epochs * (folds[f][0].n_samples + folds[f][1].n_samples))
+        model._epoch_counter += epochs
         results.append({
             "model": model,
             "best_epoch": int(np.asarray(best_epoch)[f]),

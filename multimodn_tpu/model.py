@@ -286,17 +286,23 @@ class MultiModN:
         from multimodn_tpu.core.state import StaticInitState
         return isinstance(self.init_state, StaticInitState)
 
-    def _cycle_base(self, advance_by: int):
-        """Current cycle phase as a traced scalar (None when the init state
-        ignores offsets — keeps the common TrainableInitState programs on
-        their offset-free trace); advances the host counter by the number of
-        samples the reference's shared cycle would consume."""
+    def _cycle_base(self):
+        """Current cycle phase as a traced int32 scalar (None when the init
+        state ignores offsets — keeps the common TrainableInitState programs
+        on their offset-free trace)."""
         if not self._static_cycle():
             return None
         bank = self.init_state._bank.shape[0]
-        base = self._cycle_offset % bank
-        self._cycle_offset = (self._cycle_offset + advance_by) % bank
-        return jnp.asarray(base, jnp.float32)
+        return jnp.asarray(self._cycle_offset % bank, jnp.int32)
+
+    def _advance_cycle(self, consumed: int):
+        """Advance the shared-cycle counter by the samples a successful call
+        consumed. Called AFTER the program ran: a call that raises must not
+        shift the phase (or the next successful call would silently diverge
+        from a model that never made the failed call)."""
+        if self._static_cycle():
+            bank = self.init_state._bank.shape[0]
+            self._cycle_offset = (self._cycle_offset + consumed) % bank
 
     @staticmethod
     def _batch_seqs(loader):
@@ -365,6 +371,16 @@ class MultiModN:
                 "for every fused epoch, unlike the reference's per-batch "
                 "redraw); loop train_epoch() or use a homogeneous/scan or "
                 "switch chain, which shuffles in-program.")
+        if reshuffle and self._static_cycle() and \
+                train_loader.n_samples % train_loader.batch_size != 0:
+            raise ValueError(
+                "shuffle=True fused fit with a padded tail batch cannot "
+                "serve a StaticInitState bank: the in-program permutation "
+                "scatters mask=0 rows into mid-batch POSITIONS, and the "
+                "bank assigns states by position — real samples after a "
+                "padded row would receive shifted bank rows (a pattern the "
+                "reference's cycle can never produce). Use a batch size "
+                "that divides n_samples, or loop train_epoch().")
         if reshuffle and \
                 train_loader.n_samples % train_loader.batch_size != 0 and \
                 any(getattr(e, "unbatched_compat", False)
@@ -450,6 +466,14 @@ class MultiModN:
         if log_interval and not logger:
             logger = print
         criterion = resolve_criterion(criterion)
+        if self._static_cycle() and self.dp_engine == "shard_map":
+            # Validate BEFORE mutating host state (loader order, program
+            # caches, counters): a rejected call must leave the model as if
+            # it never happened.
+            raise ValueError(
+                "dp_engine='shard_map' cannot serve a StaticInitState bank: "
+                "each shard would index the bank by LOCAL batch positions, "
+                "not the global round-robin. Use the auto engine.")
         if self._opt is not optimizer or self.opt_state is None:
             self._opt = optimizer
             self.opt_state = optimizer.init(self.params)
@@ -472,12 +496,7 @@ class MultiModN:
 
         rng = jax.random.fold_in(jax.random.PRNGKey(self._seed), self._epoch_counter)
         self._epoch_counter += 1
-        if self._static_cycle() and self.dp_engine == "shard_map":
-            raise ValueError(
-                "dp_engine='shard_map' cannot serve a StaticInitState bank: "
-                "each shard would index the bank by LOCAL batch positions, "
-                "not the global round-robin. Use the auto engine.")
-        off = self._cycle_base(train_loader.n_samples)
+        off = self._cycle_base()
         kw = {} if off is None else {"offset0": off}
         if seqs is not None:
             self.params, self.opt_state, sums, batch_log = fn(
@@ -486,6 +505,7 @@ class MultiModN:
         else:
             self.params, self.opt_state, sums, batch_log = fn(
                 self.params, self.opt_state, data, targets, mask, rng, **kw)
+        self._advance_cycle(train_loader.n_samples)
 
         stats = jax.tree_util.tree_map(
             np.asarray,
@@ -570,8 +590,7 @@ class MultiModN:
 
         if with_val:
             vdata, vtargets, vmask = self._place(val_loader)
-            off = self._cycle_base(
-                epochs * (train_loader.n_samples + val_loader.n_samples))
+            off = self._cycle_base()
             kw = {} if off is None else {"offset0": off}
             if per_batch:
                 self.params, self.opt_state, tsums, vsums = fn(
@@ -582,8 +601,10 @@ class MultiModN:
                 self.params, self.opt_state, tsums, vsums = fn(
                     self.params, self.opt_state, data, targets, mask,
                     vdata, vtargets, vmask, epoch_ids, rng, **kw)
+            self._advance_cycle(
+                epochs * (train_loader.n_samples + val_loader.n_samples))
         else:
-            off = self._cycle_base(epochs * train_loader.n_samples)
+            off = self._cycle_base()
             kw = {} if off is None else {"offset0": off}
             if per_batch:
                 self.params, self.opt_state, tsums = fn(
@@ -593,6 +614,7 @@ class MultiModN:
                 self.params, self.opt_state, tsums = fn(
                     self.params, self.opt_state, data, targets, mask,
                     epoch_ids, rng, **kw)
+            self._advance_cycle(epochs * train_loader.n_samples)
             vsums = None
 
         if history is not None:
@@ -675,13 +697,14 @@ class MultiModN:
         rng = jax.random.fold_in(jax.random.PRNGKey(self._seed), self._epoch_counter)
         self._epoch_counter += epochs
         extra = (seqs, val_seqs) if per_batch else ()
-        off = self._cycle_base(
-            epochs * (train_loader.n_samples + val_loader.n_samples))
+        off = self._cycle_base()
         kw = {} if off is None else {"offset0": off}
         (self.params, self.opt_state, tsums, vsums, best_params, best_score,
          best_epoch, scores) = fn(self.params, self.opt_state, data, targets,
                                   mask, vdata, vtargets, vmask,
                                   jnp.arange(epochs), rng, *extra, **kw)
+        self._advance_cycle(
+            epochs * (train_loader.n_samples + val_loader.n_samples))
 
         if history is not None:
             tsums = jax.tree_util.tree_map(np.asarray, tsums)
@@ -729,7 +752,7 @@ class MultiModN:
         self._validate_pairings(order, test_loader, seqs)
         fn = self._eval_fn(criterion, order, per_batch=seqs is not None)
 
-        off = self._cycle_base(test_loader.n_samples)
+        off = self._cycle_base()
         kw = {} if off is None else {"offset0": off}
         if seqs is not None:
             sums, final_outputs = fn(self.params, data, targets, mask,
@@ -738,6 +761,7 @@ class MultiModN:
         else:
             sums, final_outputs = fn(self.params, data, targets, mask,
                                      jax.random.PRNGKey(0), **kw)
+        self._advance_cycle(test_loader.n_samples)
         stats = jax.tree_util.tree_map(
             np.asarray,
             epoch_reduction(sums, test_loader.n_batches,
@@ -790,10 +814,11 @@ class MultiModN:
             data = jnp.stack(data, axis=1)  # (B, E, F)
         order = self._resolve_order(None, encoder_sequence, train=False)
         fwd = self._forward_fn(order, "none")
-        off = self._cycle_base(n)
+        off = self._cycle_base()
         kw = {} if off is None else {"init_offset": off}
         preds, _, _, _ = fwd(self.params, data, jnp.ones((n,), jnp.float32),
                              **kw)
+        self._advance_cycle(n)
         return np.asarray(preds)
 
     def predict_proba(self, x: Sequence, encoder_sequence=None) -> List[np.ndarray]:
@@ -804,10 +829,11 @@ class MultiModN:
             data = jnp.stack(data, axis=1)  # (B, E, F)
         order = self._resolve_order(None, encoder_sequence, train=False)
         fwd = self._forward_fn(order, "none")
-        off = self._cycle_base(n)
+        off = self._cycle_base()
         kw = {} if off is None else {"init_offset": off}
         _, outputs, _, _ = fwd(self.params, data, jnp.ones((n,), jnp.float32),
                                **kw)
+        self._advance_cycle(n)
         return [np.asarray(o) for o in outputs]
 
     def fused_forward(self, x: Sequence, use_interpret: bool = False):
@@ -867,9 +893,9 @@ class MultiModN:
         # StaticInitState's round-robin continues ACROSS batches AND across
         # calls (reference cycle object, state.py:41) — thread the model's
         # cumulative sample offset.
-        offset = self._cycle_base(data_loader.n_samples)
+        offset = self._cycle_base()
         if offset is None:
-            offset = jnp.zeros(())
+            offset = jnp.zeros((), jnp.int32)
         for b in range(data_loader.n_batches):
             if seqs is not None:
                 # Per-batch sequences: one cached trace per distinct order
@@ -881,10 +907,11 @@ class MultiModN:
                 else tuple(d[b] for d in data)
             _, _, _, final_state = fwd(self.params, batch, mask[b],
                                        init_offset=offset)
-            offset = offset + jnp.sum(mask[b])
+            offset = offset + jnp.sum(mask[b]).astype(jnp.int32)
             final = np.asarray(final_state)
             keep = np.asarray(mask[b]) > 0
             collected.append(final[keep])
+        self._advance_cycle(data_loader.n_samples)
         return list(np.concatenate(collected, axis=0))
 
     # ------------------------------------------------------------------

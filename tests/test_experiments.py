@@ -315,3 +315,39 @@ def test_kfold_per_batch_sequences():
         assert ref["best_epoch"] == results[f]["best_epoch"], f"fold {f}"
         np.testing.assert_allclose(ref["scores"], results[f]["scores"],
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_kfold_fold_models_carry_cycle_phase():
+    """Regression (review finding): kfold-returned StaticInitState models
+    must leave with the cycle phase their in-program training consumed, so a
+    later test() matches per-fold fit_best exactly."""
+    from multimodn_tpu import MultiModNHistory, StaticInitState
+
+    rng = np.random.default_rng(31)
+    bank = [rng.normal(size=3).astype(np.float32) for _ in range(5)]
+    X = rng.normal(size=(56, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = PartitionDataset(X, y, [3, 3])
+
+    def factory(seed):
+        return MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                         [LogisticDecoder(3)], 1.0, 0.0, seed=seed,
+                         init_state=StaticInitState(bank))
+
+    def folds():
+        return [(ArrayLoader(Subset(ds, list(range(0, 40))), 16),
+                 ArrayLoader(Subset(ds, list(range(40, 56))), 16))]
+
+    results = kfold_fit_best(factory, folds(), Adam(0.01), "cross_entropy",
+                             epochs=3)
+    tr, va = folds()[0]
+    solo = factory(0)
+    solo.fit_best(tr, Adam(0.01), "cross_entropy", epochs=3, val_loader=va)
+    km = results[0]["model"]
+    assert km._cycle_offset == solo._cycle_offset == (3 * 56) % 5
+    h1, h2 = MultiModNHistory(["t"]), MultiModNHistory(["t"])
+    r_solo = solo.test(va, "cross_entropy", h1)
+    r_k = km.test(va, "cross_entropy", h2)
+    np.testing.assert_allclose(np.asarray(h1.loss["test"][0]),
+                               np.asarray(h2.loss["test"][0]),
+                               rtol=1e-5, atol=1e-6)

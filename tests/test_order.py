@@ -180,3 +180,17 @@ def test_static_cycle_continues_across_calls():
         np.asarray(m_split.state_dict()["encoders"][0]["layers"][0]["w"]),
         np.asarray(m_whole.state_dict()["encoders"][0]["layers"][0]["w"]),
         rtol=1e-5, atol=1e-6)
+
+
+def test_static_cycle_fused_shuffle_padded_tail_rejected():
+    """Position-indexed bank rows + in-program permutation + padded tail
+    would serve shifted states (review finding) — rejected up front."""
+    ds = _static_data(n=40)   # 40 % 16 != 0 -> padded tail
+    m = _static_model()
+    with pytest.raises(ValueError, match="StaticInitState"):
+        m.fit(ArrayLoader(ds, 16, shuffle=True), Adam(0.01),
+              "cross_entropy", epochs=2)
+    # Divisible batch size stays allowed.
+    m2 = _static_model()
+    m2.fit(ArrayLoader(_static_data(n=32), 16, shuffle=True), Adam(0.01),
+           "cross_entropy", epochs=2)

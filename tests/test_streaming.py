@@ -82,3 +82,37 @@ def test_streaming_shuffle_reshuffles():
     batches = list(loader.iter_batches())
     assert len(batches) == 3
     assert all(b[2].sum() == 16 for b in batches)
+
+
+def test_streaming_static_cycle_matches_train_epoch():
+    """Regression (review finding): the streaming path must advance the
+    StaticInitState shared cycle by SAMPLES, not batches — two streaming
+    epochs equal two ArrayLoader train_epoch calls at bank=7, n=40, B=16."""
+    from multimodn_tpu import Adam, MultiModN, MultiModNHistory, StaticInitState
+    from multimodn_tpu.data import ArrayLoader, PartitionDataset
+    from multimodn_tpu.data.streaming import StreamingLoader, train_epoch_streaming
+    from multimodn_tpu.decoders import LogisticDecoder
+    from multimodn_tpu.encoders import MLPEncoder
+
+    rng = np.random.default_rng(3)
+    bank = [rng.normal(size=3).astype(np.float32) for _ in range(7)]
+    X = rng.normal(size=(40, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = PartitionDataset(X, y, [6])
+
+    def build():
+        return MultiModN(3, [MLPEncoder(3, 6, (5,))], [LogisticDecoder(3)],
+                         0.7, 0.3, init_state=StaticInitState(bank))
+
+    m_s, m_a = build(), build()
+    opt_s, opt_a = Adam(0.01), Adam(0.01)
+    h_a = MultiModNHistory(["t"])
+    for _ in range(2):
+        train_epoch_streaming(m_s, StreamingLoader(ds, 16), opt_s,
+                              "cross_entropy")
+        m_a.train_epoch(ArrayLoader(ds, 16), opt_a, "cross_entropy", h_a)
+    assert m_s._cycle_offset == m_a._cycle_offset == (80 % 7)
+    np.testing.assert_allclose(
+        np.asarray(m_s.state_dict()["encoders"][0]["layers"][0]["w"]),
+        np.asarray(m_a.state_dict()["encoders"][0]["layers"][0]["w"]),
+        rtol=1e-5, atol=1e-6)
