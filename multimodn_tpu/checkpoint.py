@@ -163,6 +163,94 @@ def fit_resumable(model, train_loader, optimizer, criterion=None, *,
     return history, ran
 
 
+def fit_best_resumable(model, train_loader, optimizer, criterion=None, *,
+                       epochs: int, checkpoint_dir: str, val_loader,
+                       chunk_epochs: int = 10, history=None,
+                       val_tag: str = "val", restore_best: bool = True):
+    """Preemption-safe fused ``fit_best``: the north-star MIMIC protocol
+    (train + val + on-device AUROC/BAC best-checkpoint selection,
+    reference ``mimic_single_task_pipeline.py:141-158``) in resumable
+    chunks. The running global best (params/score/global epoch) rides the
+    checkpoint payload; chunk-local strictly-greater winners compose to the
+    same first-max a single fused ``fit_best`` selects, so an uninterrupted
+    chunked run equals one ``fit_best`` call (dropout-free models; with
+    dropout the rng stream is chunk-boundary-dependent, same caveat as
+    ``fit_resumable``), and a killed-and-resumed run equals the
+    uninterrupted chunked run bit-for-bit.
+
+    Returns {"best_epoch", "best_score", "best_params", "scores",
+    "history", "epochs_run"}; with ``restore_best`` the model's live params
+    become the global best epoch's.
+    """
+    import jax.numpy as jnp
+
+    if val_loader is None:
+        raise ValueError("fit_best_resumable requires a val_loader")
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    state_path = os.path.join(checkpoint_dir, "resume_best_latest.pkl")
+
+    start = 0
+    best = {"params": None, "score": -np.inf, "epoch": -1}
+    all_scores: list = []
+    if os.path.exists(state_path):
+        with open(state_path, "rb") as f:
+            payload = pickle.load(f)
+        model.load_state_dict(payload["model_state_dict"])
+        if payload.get("opt_state") is not None:
+            model.opt_state = jax.tree_util.tree_map(
+                jnp.asarray, payload["opt_state"])
+            model._opt = optimizer
+        model._epoch_counter = payload.get("epoch_counter", payload["epoch"])
+        model._cycle_offset = payload.get("cycle_offset", 0)
+        start = int(payload["epoch"])
+        best = payload["best"]
+        all_scores = list(payload["scores"])
+        if payload.get("history") is not None:
+            if history is None:
+                history = payload["history"]
+            else:
+                history.__dict__.update(payload["history"].__dict__)
+
+    ran = 0
+    while start < epochs:
+        n = min(chunk_epochs, epochs - start)
+        res = model.fit_best(train_loader, optimizer, criterion, epochs=n,
+                             val_loader=val_loader, history=history,
+                             val_tag=val_tag, restore_best=False)
+        if res["best_score"] > best["score"]:
+            best = {"params": res["best_params"],   # already numpy
+                    "score": float(res["best_score"]),
+                    "epoch": start + int(res["best_epoch"])}
+        all_scores.extend(float(s) for s in np.asarray(res["scores"]))
+        start += n
+        ran += n
+        payload = {
+            "epoch": start,
+            "epoch_counter": model._epoch_counter,
+            "cycle_offset": model._cycle_offset,
+            "model_state_dict": _to_numpy(model.params),
+            "opt_state": _to_numpy(model.opt_state)
+            if model.opt_state is not None else None,
+            "best": best,
+            "scores": all_scores,
+            "history": history,
+        }
+        tmp = state_path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f)
+        os.replace(tmp, state_path)       # atomic: never a torn checkpoint
+    if restore_best and best["params"] is not None:
+        model.load_state_dict(best["params"])
+    return {
+        "best_epoch": best["epoch"],
+        "best_score": best["score"],
+        "best_params": best["params"],
+        "scores": np.asarray(all_scores),
+        "history": history,
+        "epochs_run": ran,
+    }
+
+
 class OrbaxCheckpointer:
     """Orbax-backed params/opt_state checkpointing (async-capable)."""
 

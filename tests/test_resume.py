@@ -174,3 +174,63 @@ def test_checkpoint_manager_same_epoch_twice(tmp_path):
     assert mgr.save(model, epoch=3, score=0.7)
     restored = mgr.restore_best(model)
     assert restored["auc_bac_val_cum"] == 0.7
+
+
+def test_fit_best_resumable_equals_single_fit_best(tmp_path):
+    """Uninterrupted chunked fit_best_resumable == ONE fused fit_best call
+    (dropout-free model: the rng stream is unused, so chunk boundaries are
+    invisible); and kill-and-resume equals the uninterrupted chunked run."""
+    from multimodn_tpu.checkpoint import fit_best_resumable
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(64, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = PartitionDataset(X, y, [3, 3])
+    tr, va, _ = ds.random_split((0.7, 0.3, 0), seed=0)
+
+    def build():
+        return MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                         [LogisticDecoder(3)], 0.7, 0.3)
+
+    # Single fused run.
+    m_one = build()
+    r_one = m_one.fit_best(ArrayLoader(tr, 16), Adam(0.01), "cross_entropy",
+                           epochs=6, val_loader=ArrayLoader(va, 16))
+
+    # Uninterrupted chunked run.
+    m_ch = build()
+    r_ch = fit_best_resumable(
+        m_ch, ArrayLoader(tr, 16), Adam(0.01), "cross_entropy", epochs=6,
+        checkpoint_dir=str(tmp_path / "full"), chunk_epochs=2,
+        val_loader=ArrayLoader(va, 16))
+    assert r_ch["epochs_run"] == 6
+    assert r_ch["best_epoch"] == r_one["best_epoch"]
+    np.testing.assert_allclose(r_ch["best_score"], r_one["best_score"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(r_ch["scores"], r_one["scores"],
+                               rtol=1e-5, atol=1e-6)
+    import jax
+    for a, b in zip(jax.tree_util.tree_leaves(m_one.state_dict()),
+                    jax.tree_util.tree_leaves(m_ch.state_dict())):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    # Kill at the first chunk boundary, resume in a fresh model object.
+    ckpt = str(tmp_path / "interrupted")
+    m_a = build()
+    fit_best_resumable(m_a, ArrayLoader(tr, 16), Adam(0.01), "cross_entropy",
+                       epochs=2, checkpoint_dir=ckpt, chunk_epochs=2,
+                       val_loader=ArrayLoader(va, 16), restore_best=False)
+    m_b = build()
+    r_res = fit_best_resumable(
+        m_b, ArrayLoader(tr, 16), Adam(0.01), "cross_entropy", epochs=6,
+        checkpoint_dir=ckpt, chunk_epochs=2,
+        val_loader=ArrayLoader(va, 16))
+    assert r_res["epochs_run"] == 4       # resumed, not restarted
+    assert r_res["best_epoch"] == r_ch["best_epoch"]
+    np.testing.assert_allclose(r_res["scores"], r_ch["scores"],
+                               rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(m_ch.state_dict()),
+                    jax.tree_util.tree_leaves(m_b.state_dict())):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
