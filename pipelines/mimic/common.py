@@ -60,6 +60,11 @@ class MimicConfig:
     # 'mimic_mlp' (reference parity) or 'transformer' (the beyond-reference
     # attention encoder for wide modalities, encoders/attention.py).
     encoder_type: str = "mimic_mlp"
+    # Preemption-safe training: when set, each fold trains through
+    # checkpoint.fit_best_resumable with atomic full-state checkpoints under
+    # this directory (re-running the pipeline resumes unfinished folds).
+    # Forces the sequential per-fold path (vmap_folds is ignored).
+    resume_dir: str = None
     transformer_embed: int = 128
     transformer_heads: int = 4
     transformer_layers: int = 2
@@ -143,10 +148,20 @@ def run_fold_modn(cfg: MimicConfig, dataset_modn, partitions, targets,
 
     model = build_modn(cfg, partitions, targets, seed)
     history = MultiModNHistory(targets)
-    info = model.fit_best(train_loader, Adam(cfg.learning_rate),
-                          "cross_entropy", epochs=cfg.epochs,
-                          val_loader=val_loader, history=history,
-                          restore_best=True)
+    if cfg.resume_dir:
+        from multimodn_tpu.checkpoint import fit_best_resumable
+        info = fit_best_resumable(
+            model, train_loader, Adam(cfg.learning_rate), "cross_entropy",
+            epochs=cfg.epochs, val_loader=val_loader, history=history,
+            checkpoint_dir=os.path.join(cfg.resume_dir,
+                                        fold_tag or f"seed{seed}"),
+            chunk_epochs=max(1, cfg.epochs // 10))
+        history = info["history"] or history
+    else:
+        info = model.fit_best(train_loader, Adam(cfg.learning_rate),
+                              "cross_entropy", epochs=cfg.epochs,
+                              val_loader=val_loader, history=history,
+                              restore_best=True)
     if artifacts_dir:
         os.makedirs(artifacts_dir, exist_ok=True)
         save_checkpoint(os.path.join(artifacts_dir,

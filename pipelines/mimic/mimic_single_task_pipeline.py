@@ -50,7 +50,7 @@ def main(argv=None, cfg: MimicConfig = None):
         fold_indices = list(
             patient_kfold_splits(dataset_modn, cfg.nfold, args.seed))
 
-        if cfg.vmap_folds:
+        if cfg.vmap_folds and not cfg.resume_dir:
             # All folds in one vmapped dispatch (bit-identical to the
             # sequential path; see tests/test_experiments.py).
             fold_runs = run_all_folds_modn(cfg, part_modn, partitions,

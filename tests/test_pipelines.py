@@ -82,3 +82,21 @@ def test_mimic_transformer_pipeline_smoke(tmp_path, monkeypatch):
 
     monkeypatch.setenv("MULTIMODN_MIMIC_CACHE", str(tmp_path))
     mimic_transformer_pipeline.main(argv=["-e", "2", "-m", "false"])
+
+
+def test_mimic_single_task_resumable(tmp_path):
+    """resume_dir routes each fold through fit_best_resumable; re-running
+    the pipeline after completion trains zero further epochs (all folds
+    resume as complete) and reproduces the same AUCs."""
+    from pipelines.mimic.common import MimicConfig
+    from pipelines.mimic.mimic_single_task_pipeline import main
+
+    cfg = MimicConfig(targets=["Cardiomegaly"], epochs=4, nfold=2,
+                      synthetic_patients=40,
+                      resume_dir=str(tmp_path / "resume"))
+    res1 = main(["-e", "4", "-m", "false"], cfg)
+    assert os.path.isdir(str(tmp_path / "resume"))
+    res2 = main(["-e", "4", "-m", "false"], cfg)
+    aucs1 = [r for r in res1 if r[0] == "modn"]
+    aucs2 = [r for r in res2 if r[0] == "modn"]
+    assert [a[3] for a in aucs1] == [a[3] for a in aucs2]
