@@ -52,12 +52,17 @@ def measure_jax() -> dict:
     ds = PartitionDataset(X, y, list(BENCH_WIDTHS))
     loader = ArrayLoader(ds, BENCH_BATCH)
 
+    # scan_unroll=32 measured +9% over the default 8 (1.73 vs 1.9 ms/epoch);
+    # its one-time ~31 s compile used to be a driver-run risk under the
+    # remote-compile service's variance, but the persistent compilation
+    # cache (multimodn_tpu/__init__) makes repeat runs skip the compiler
+    # entirely — pre-warmed by any prior bench invocation on this machine.
     model = MultiModN(
         BENCH_STATE,
         [MIMICMLPEncoder(BENCH_STATE, w, (BENCH_HIDDEN, BENCH_HIDDEN),
                          dropout=0.0) for w in BENCH_WIDTHS],
         [MLPDecoder(BENCH_STATE, (BENCH_HIDDEN, BENCH_HIDDEN), 2)],
-        1.0, 0.0)
+        1.0, 0.0, scan_unroll=32)
     opt = Adam(1e-3)
 
     def sync():
