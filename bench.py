@@ -5,9 +5,11 @@ over source widths {10, 1024, 768, 99}, state 50, hidden 32, batch 16,
 N=1024 synthetic samples — the reference's heaviest configuration shape.
 
 Measures the framework's real training path: the fused multi-epoch ``fit``
-program (N epochs per device dispatch). Reports amortized per-epoch
-wall-clock and samples/sec, and compares against the cached PyTorch-CPU
-reference-semantics baseline (bench_baseline.json, produced by
+program at 100 epochs per device dispatch — exactly the reference MIMIC
+protocol's epoch count (mimic_single_task_pipeline.py:64), so the dispatch
+amortization in the metric is the amortization a real run gets. Reports
+amortized per-epoch wall-clock and samples/sec against the cached
+PyTorch-CPU reference-semantics baseline (bench_baseline.json, produced by
 bench_baseline_torch.py on this machine).
 
 Prints ONE JSON line:
@@ -36,7 +38,7 @@ from bench_baseline_torch import (  # noqa: E402
     bench_data,
 )
 
-EPOCHS_PER_DISPATCH = 50
+EPOCHS_PER_DISPATCH = 100
 
 
 def measure_jax() -> dict:
