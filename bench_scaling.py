@@ -8,9 +8,10 @@ batch sizes, reporting model TFLOP/s against the measured matmul ceiling
 bench.py.
 
 Measurement notes (see bench_mfu.json and RESULTS.md):
-- 25 epochs per dispatch: the axon tunnel costs ~30 ms per dispatch+fetch,
+- 100 epochs per dispatch: the axon tunnel costs ~30 ms per dispatch+fetch,
   so short dispatches understate device throughput (round 1 reported
-  35 TFLOP/s at 5 epochs/dispatch; the same config measures ~60 at 25).
+  35 TFLOP/s at 5 epochs/dispatch; 25 epochs/dispatch still hid ~1.2 ms/epoch
+  of tunnel cost at b512 — ~18%).
 - fp32 is opt-in (--fp32): it measures the same throughput as bf16 at
   batch 512 (62.5 vs 60.6 TFLOP/s — both Adam/pipeline-bound there). The
   round-1 "fp32 compile cliff" was remote-compile-service variance (same
@@ -35,7 +36,7 @@ WIDTHS = [1024, 1024, 1024, 1024]
 STATE = 256
 HIDDEN = 1024
 N = 4096
-EPOCHS = 25
+EPOCHS = 100
 
 
 def model_flops_per_sample() -> float:
