@@ -97,6 +97,52 @@ class CheckpointManager:
         return load_checkpoint(self.best_path, model)
 
 
+def _load_resume_payload(state_path, model, optimizer, history):
+    """Restore model/optimizer/counters/history from a resume checkpoint.
+    Returns (start_epoch, payload, history) — (0, None, history) when no
+    checkpoint exists. Shared by fit_resumable / fit_best_resumable so the
+    resume format lives in exactly one place."""
+    import jax.numpy as jnp
+
+    if not os.path.exists(state_path):
+        return 0, None, history
+    with open(state_path, "rb") as f:
+        payload = pickle.load(f)
+    model.load_state_dict(payload["model_state_dict"])
+    if payload.get("opt_state") is not None:
+        model.opt_state = jax.tree_util.tree_map(
+            jnp.asarray, payload["opt_state"])
+        model._opt = optimizer        # keep the restored opt_state live
+    model._epoch_counter = payload.get("epoch_counter", payload["epoch"])
+    model._cycle_offset = payload.get("cycle_offset", 0)
+    if payload.get("history") is not None:
+        if history is None:
+            # Adopt the checkpointed history so accumulated epochs are
+            # never silently dropped on a history=None resume.
+            history = payload["history"]
+        else:
+            history.__dict__.update(payload["history"].__dict__)
+    return int(payload["epoch"]), payload, history
+
+
+def _write_resume_payload(state_path, model, epoch, history, **extra):
+    """Atomically persist the full resume state (never a torn checkpoint)."""
+    payload = {
+        "epoch": epoch,
+        "epoch_counter": model._epoch_counter,
+        "cycle_offset": model._cycle_offset,
+        "model_state_dict": _to_numpy(model.params),
+        "opt_state": _to_numpy(model.opt_state)
+        if model.opt_state is not None else None,
+        "history": history,
+    }
+    payload.update(extra)
+    tmp = state_path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    os.replace(tmp, state_path)
+
+
 def fit_resumable(model, train_loader, optimizer, criterion=None, *,
                   epochs: int, checkpoint_dir: str, chunk_epochs: int = 10,
                   history=None, val_loader=None, val_tag: str = "val"):
@@ -115,31 +161,10 @@ def fit_resumable(model, train_loader, optimizer, criterion=None, *,
 
     Returns (history, epochs_run_this_invocation).
     """
-    import jax.numpy as jnp
-
     os.makedirs(checkpoint_dir, exist_ok=True)
     state_path = os.path.join(checkpoint_dir, "resume_latest.pkl")
-
-    start = 0
-    if os.path.exists(state_path):
-        with open(state_path, "rb") as f:
-            payload = pickle.load(f)
-        model.load_state_dict(payload["model_state_dict"])
-        if payload.get("opt_state") is not None:
-            model.opt_state = jax.tree_util.tree_map(
-                jnp.asarray, payload["opt_state"])
-            model._opt = optimizer        # keep the restored opt_state live
-        model._epoch_counter = payload.get("epoch_counter", payload["epoch"])
-        model._cycle_offset = payload.get("cycle_offset", 0)
-        start = int(payload["epoch"])
-        if payload.get("history") is not None:
-            if history is None:
-                # Adopt the checkpointed history so accumulated epochs are
-                # never silently dropped on a history=None resume.
-                history = payload["history"]
-            else:
-                history.__dict__.update(payload["history"].__dict__)
-
+    start, _, history = _load_resume_payload(state_path, model, optimizer,
+                                             history)
     ran = 0
     while start < epochs:
         n = min(chunk_epochs, epochs - start)
@@ -147,19 +172,7 @@ def fit_resumable(model, train_loader, optimizer, criterion=None, *,
                   history=history, val_loader=val_loader, val_tag=val_tag)
         start += n
         ran += n
-        payload = {
-            "epoch": start,
-            "epoch_counter": model._epoch_counter,
-            "cycle_offset": model._cycle_offset,
-            "model_state_dict": _to_numpy(model.params),
-            "opt_state": _to_numpy(model.opt_state)
-            if model.opt_state is not None else None,
-            "history": history,
-        }
-        tmp = state_path + ".tmp"
-        with open(tmp, "wb") as f:
-            pickle.dump(payload, f)
-        os.replace(tmp, state_path)       # atomic: never a torn checkpoint
+        _write_resume_payload(state_path, model, start, history)
     return history, ran
 
 
@@ -173,43 +186,30 @@ def fit_best_resumable(model, train_loader, optimizer, criterion=None, *,
     chunks. The running global best (params/score/global epoch) rides the
     checkpoint payload; chunk-local strictly-greater winners compose to the
     same first-max a single fused ``fit_best`` selects, so an uninterrupted
-    chunked run equals one ``fit_best`` call (dropout-free models; with
-    dropout the rng stream is chunk-boundary-dependent, same caveat as
-    ``fit_resumable``), and a killed-and-resumed run equals the
-    uninterrupted chunked run bit-for-bit.
+    chunked run equals one ``fit_best`` call for models whose rng stream is
+    unused — i.e. dropout-free AND shuffle=False loaders. With dropout or
+    shuffle=True the per-epoch rng folds restart at each chunk boundary, so
+    results are chunk_epochs-dependent (still valid training, and
+    kill-and-resume still equals the uninterrupted CHUNKED run bit-for-bit
+    — chunk boundaries are fixed by chunk_epochs; the same caveat applies
+    to ``fit_resumable``).
 
     Returns {"best_epoch", "best_score", "best_params", "scores",
     "history", "epochs_run"}; with ``restore_best`` the model's live params
     become the global best epoch's.
     """
-    import jax.numpy as jnp
-
     if val_loader is None:
         raise ValueError("fit_best_resumable requires a val_loader")
     os.makedirs(checkpoint_dir, exist_ok=True)
     state_path = os.path.join(checkpoint_dir, "resume_best_latest.pkl")
 
-    start = 0
     best = {"params": None, "score": -np.inf, "epoch": -1}
     all_scores: list = []
-    if os.path.exists(state_path):
-        with open(state_path, "rb") as f:
-            payload = pickle.load(f)
-        model.load_state_dict(payload["model_state_dict"])
-        if payload.get("opt_state") is not None:
-            model.opt_state = jax.tree_util.tree_map(
-                jnp.asarray, payload["opt_state"])
-            model._opt = optimizer
-        model._epoch_counter = payload.get("epoch_counter", payload["epoch"])
-        model._cycle_offset = payload.get("cycle_offset", 0)
-        start = int(payload["epoch"])
+    start, payload, history = _load_resume_payload(state_path, model,
+                                                   optimizer, history)
+    if payload is not None:
         best = payload["best"]
         all_scores = list(payload["scores"])
-        if payload.get("history") is not None:
-            if history is None:
-                history = payload["history"]
-            else:
-                history.__dict__.update(payload["history"].__dict__)
 
     ran = 0
     while start < epochs:
@@ -224,21 +224,8 @@ def fit_best_resumable(model, train_loader, optimizer, criterion=None, *,
         all_scores.extend(float(s) for s in np.asarray(res["scores"]))
         start += n
         ran += n
-        payload = {
-            "epoch": start,
-            "epoch_counter": model._epoch_counter,
-            "cycle_offset": model._cycle_offset,
-            "model_state_dict": _to_numpy(model.params),
-            "opt_state": _to_numpy(model.opt_state)
-            if model.opt_state is not None else None,
-            "best": best,
-            "scores": all_scores,
-            "history": history,
-        }
-        tmp = state_path + ".tmp"
-        with open(tmp, "wb") as f:
-            pickle.dump(payload, f)
-        os.replace(tmp, state_path)       # atomic: never a torn checkpoint
+        _write_resume_payload(state_path, model, start, history,
+                              best=best, scores=all_scores)
     if restore_best and best["params"] is not None:
         model.load_state_dict(best["params"])
     return {

@@ -555,10 +555,6 @@ class MultiModN:
         looped train_epoch/test calls.
         """
         criterion = resolve_criterion(criterion)
-        if self._opt is not optimizer or self.opt_state is None:
-            self._opt = optimizer
-            self.opt_state = optimizer.init(self.params)
-
         # Shuffle-enabled loaders keep their per-epoch reshuffle semantics
         # inside the fused program: an in-program sample permutation per
         # epoch (see make_fit_fn), instead of silently training every fused
@@ -572,6 +568,11 @@ class MultiModN:
             train_loader, val_loader if with_val else None, reshuffle)
         self._validate_pairings(order, train_loader,
                                 self._batch_seqs(train_loader))
+        # Optimizer-state swap only after every validation passed: a
+        # rejected call must not discard live Adam moments.
+        if self._opt is not optimizer or self.opt_state is None:
+            self._opt = optimizer
+            self.opt_state = optimizer.init(self.params)
 
         key = ("fit", _cache_key(criterion), order, self.nan_skip,
                _cache_key(optimizer.tx), with_val, reshuffle, per_batch)
@@ -670,10 +671,6 @@ class MultiModN:
                 "decoder: the AUROC+BAC selection score is undefined "
                 "otherwise. Use fit() for non-binary models.")
         criterion = resolve_criterion(criterion)
-        if self._opt is not optimizer or self.opt_state is None:
-            self._opt = optimizer
-            self.opt_state = optimizer.init(self.params)
-
         reshuffle = bool(getattr(train_loader, "shuffle", False))
         self._validate_fused_shuffle(reshuffle, train_loader)
         data, targets, mask = self._place(train_loader)
@@ -683,6 +680,11 @@ class MultiModN:
             train_loader, val_loader, reshuffle)
         self._validate_pairings(order, train_loader,
                                 self._batch_seqs(train_loader))
+        # Optimizer-state swap only after every validation passed: a
+        # rejected call must not discard live Adam moments.
+        if self._opt is not optimizer or self.opt_state is None:
+            self._opt = optimizer
+            self.opt_state = optimizer.init(self.params)
 
         key = ("fit_best", _cache_key(criterion), order, self.nan_skip,
                _cache_key(optimizer.tx), reshuffle, per_batch)

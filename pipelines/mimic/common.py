@@ -150,11 +150,22 @@ def run_fold_modn(cfg: MimicConfig, dataset_modn, partitions, targets,
     history = MultiModNHistory(targets)
     if cfg.resume_dir:
         from multimodn_tpu.checkpoint import fit_best_resumable
+        if not fold_tag:
+            raise ValueError(
+                "resume_dir requires a unique fold_tag per (target, fold) "
+                "run: checkpoint dirs must not collide across runs or a "
+                "later run silently adopts an earlier run's completed "
+                "checkpoint and trains zero epochs.")
+        # Run identity = targets + missingness + fold tag: two different
+        # experiments must never share a checkpoint directory (same-shape
+        # payloads load silently).
+        run_key = "_".join(t.replace(" ", "-") for t in targets)
+        if cfg.miss_perc:
+            run_key += f"_miss{cfg.miss_perc:g}"
         info = fit_best_resumable(
             model, train_loader, Adam(cfg.learning_rate), "cross_entropy",
             epochs=cfg.epochs, val_loader=val_loader, history=history,
-            checkpoint_dir=os.path.join(cfg.resume_dir,
-                                        fold_tag or f"seed{seed}"),
+            checkpoint_dir=os.path.join(cfg.resume_dir, run_key, fold_tag),
             chunk_epochs=max(1, cfg.epochs // 10))
         history = info["history"] or history
     else:

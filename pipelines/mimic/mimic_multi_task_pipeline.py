@@ -43,7 +43,7 @@ def main(argv=None, cfg: MimicConfig = None):
     fold_indices = list(
         patient_kfold_splits(dataset_modn, cfg.nfold, args.seed))
     fold_runs = None
-    if cfg.vmap_folds:
+    if cfg.vmap_folds and not cfg.resume_dir:
         fold_runs = run_all_folds_modn(cfg, part_modn, partitions,
                                        cfg.targets, fold_indices, args.seed)
 

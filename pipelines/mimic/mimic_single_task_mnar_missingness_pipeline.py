@@ -105,7 +105,7 @@ def main(argv=None, cfg: MimicConfig = None):
             fold_datasets.append((dataset_modn, dataset_haim))
 
         fold_runs = None
-        if cfg.vmap_folds:
+        if cfg.vmap_folds and not cfg.resume_dir:
             # All folds' (differently degraded) data trained in one vmapped
             # dispatch — fold data content differs, shapes agree.
             from multimodn_tpu.experiments import kfold_fit_best
@@ -131,7 +131,8 @@ def main(argv=None, cfg: MimicConfig = None):
                 model = fold_runs[fold]["model"]
             else:
                 model, _, info, _ = run_fold_modn(
-                    cfg, dataset_modn, partitions, [target], tr, va, te, seed)
+                    cfg, dataset_modn, partitions, [target], tr, va, te, seed,
+                    fold_tag=f"fold{fold}_seed{seed}")
 
             # Test twice: clean (both=False) and flipped-class degraded
             # (both=True) — reference :218-242.

@@ -100,3 +100,23 @@ def test_mimic_single_task_resumable(tmp_path):
     aucs1 = [r for r in res1 if r[0] == "modn"]
     aucs2 = [r for r in res2 if r[0] == "modn"]
     assert [a[3] for a in aucs1] == [a[3] for a in aucs2]
+
+
+def test_mimic_resumable_multi_target_no_checkpoint_collision(tmp_path):
+    """Regression (review finding): with two targets, each (target, fold)
+    run must get its OWN checkpoint directory — previously target 2 found
+    target 1's completed checkpoint (same shapes), trained zero epochs, and
+    reported target 1's model as its own."""
+    from pipelines.mimic.common import MimicConfig
+    from pipelines.mimic.mimic_single_task_pipeline import main
+
+    cfg = MimicConfig(targets=["Enlarged Cardiomediastinum", "Cardiomegaly"],
+                      epochs=3, nfold=2, synthetic_patients=40,
+                      resume_dir=str(tmp_path / "resume"))
+    main(["-e", "3", "-m", "false"], cfg)
+    roots = sorted(os.listdir(str(tmp_path / "resume")))
+    assert len(roots) == 2 and roots[0] != roots[1], roots
+    # Two folds per target -> two fold dirs under each target key.
+    for r in roots:
+        folds = os.listdir(str(tmp_path / "resume" / r))
+        assert len(folds) == 2, (r, folds)
