@@ -137,6 +137,25 @@ def _auc_trapezoid(x: np.ndarray, y: np.ndarray) -> float:
     return float(np.trapezoid(y, x))
 
 
+def compute_metrics(tp, tn, fp, fn, cm, enc_idx, dec_idx):
+    """Reference-compat helper (``multimodn/multimodn.py:51-63``): scatter
+    one (2, 2) confusion matrix into the (E+1, D) count grids in place, or
+    NaN-fill the cell when the decoder is non-binary (cm None). The fused
+    training path never calls this — grids come from on-device reductions
+    (core/fusion.py) — but reference user code imports it."""
+    if cm is not None:
+        cm = np.asarray(cm)
+        tp[enc_idx][dec_idx] += cm[1][1]
+        tn[enc_idx][dec_idx] += cm[0][0]
+        fp[enc_idx][dec_idx] += cm[0][1]
+        fn[enc_idx][dec_idx] += cm[1][0]
+    else:
+        tp[enc_idx][dec_idx] = float("nan")
+        tn[enc_idx][dec_idx] = float("nan")
+        fp[enc_idx][dec_idx] = float("nan")
+        fn[enc_idx][dec_idx] = float("nan")
+
+
 def get_performance_metrics(y_true, y_pred, y_prob) -> Tuple:
     """Binary-classification suite; same 15-tuple as the reference
     (``multimodn/multimodn.py:22-49``).

@@ -23,3 +23,19 @@ def test_reference_import_lines_resolve():
     history = MultiModNHistory(["Survived"])
     preds = model.predict([np.zeros((3, 6), np.float32)])
     assert preds.shape == (2, 1, 3)
+
+
+def test_compute_metrics_compat():
+    """Reference module-level helper (multimodn.py:51-63) importable from
+    the compat path with identical scatter/NaN-fill semantics."""
+    import numpy as np
+    from multimodn.multimodn import compute_metrics
+
+    E, D = 2, 2
+    tp = np.zeros((E, D)); tn = np.zeros((E, D))
+    fp = np.zeros((E, D)); fn = np.zeros((E, D))
+    cm = np.array([[3, 1], [2, 5]])
+    compute_metrics(tp, tn, fp, fn, cm, 1, 0)
+    assert (tp[1][0], tn[1][0], fp[1][0], fn[1][0]) == (5, 3, 1, 2)
+    compute_metrics(tp, tn, fp, fn, None, 0, 1)
+    assert np.isnan(tp[0][1]) and np.isnan(fn[0][1])
