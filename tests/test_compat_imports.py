@@ -39,3 +39,24 @@ def test_compute_metrics_compat():
     assert (tp[1][0], tn[1][0], fp[1][0], fn[1][0]) == (5, 3, 1, 2)
     compute_metrics(tp, tn, fp, fn, None, 0, 1)
     assert np.isnan(tp[0][1]) and np.isnan(fn[0][1])
+
+
+def test_deep_submodule_paths():
+    """The reference's full module tree resolves, not just the package
+    roots: user code imports e.g. multimodn.encoders.mlp_encoder directly
+    (reference file layout, SURVEY SS2.1/2.2)."""
+    from multimodn.encoders.multimod_encoder import MultiModEncoder  # noqa
+    from multimodn.encoders.mlp_encoder import (  # noqa: F401
+        MIMIC_MLPEncoder, MLPEncoder, MLPFeatureEncoder)
+    from multimodn.encoders.slp_encoders import (  # noqa: F401
+        LinearEncoder, LogisticEncoder, SLPEncoder)
+    from multimodn.encoders.lstm_encoder import (  # noqa: F401
+        LSTMEncoder, LSTMFeatureEncoder)
+    from multimodn.encoders.rnn_encoder import (  # noqa: F401
+        RNNEncoder, RNNFeatureEncoder)
+    from multimodn.encoders.resnet_encoder import ResNet  # noqa: F401
+    from multimodn.decoders.decoders import (  # noqa: F401
+        ClassDecoder, LogisticDecoder, MLPDecoder)
+    from multimodn.decoders.multimod_decoder import MultiModDecoder  # noqa
+    from datasets.titanic.titanic_dataset import TitanicDataset  # noqa
+    from datasets.mimic.mimic_dataset import MIMICDataset  # noqa: F401
