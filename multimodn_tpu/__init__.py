@@ -55,7 +55,13 @@ from multimodn_tpu.core.history import MultiModNHistory
 from multimodn_tpu.core.losses import cross_entropy_loss, CrossEntropyLoss
 from multimodn_tpu.core.metrics import get_performance_metrics, performance_metrics
 from multimodn_tpu.optim import Adam, SGD, AdamW
-from multimodn_tpu.serving import InferenceSession, export_model, load_model
+from multimodn_tpu.serving import (
+    InferenceSession,
+    export_compiled,
+    export_model,
+    load_compiled,
+    load_model,
+)
 
 __version__ = "0.1.0"
 
@@ -73,6 +79,8 @@ __all__ = [
     "SGD",
     "AdamW",
     "InferenceSession",
+    "export_compiled",
     "export_model",
+    "load_compiled",
     "load_model",
 ]

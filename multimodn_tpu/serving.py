@@ -18,6 +18,12 @@ update per sample (missingness semantics preserved at serving time).
 ``export_model`` / ``load_model`` provide a pickle-free on-disk format
 (config JSON + params .npz) for deployment: no arbitrary code execution on
 load, unlike the reference's whole-object pickles.
+
+``export_compiled`` / ``load_compiled`` go further: the full fused forward
+(encoder chain + every decoder head after every step, parameters BAKED IN)
+serialized as portable StableHLO via ``jax.export`` with a SYMBOLIC batch
+dimension — the deployment side needs no model code, no params file, and
+no tracing: deserialize and call, on CPU or TPU, at any batch size.
 """
 from __future__ import annotations
 
@@ -242,3 +248,63 @@ def load_model(directory: str):
     )
     model.params = _unflatten_like(model.params, flat)
     return model
+
+
+def export_compiled(model, path: str, platforms=("cpu", "tpu"),
+                    encoder_sequence=None) -> str:
+    """Serialize the model's full fused forward as an ahead-of-time
+    StableHLO artifact (``jax.export``): parameters baked in, symbolic
+    batch dimension, multi-platform lowering (default cpu+tpu in one blob).
+
+    The artifact computes exactly what ``predict_proba`` computes — every
+    decoder's raw outputs after every fusion step, (E+1, b, C_d) per
+    decoder — under the model's own ``nan_skip`` missingness mode (the
+    serving semantics, unlike predict_proba's deliberate no-skip
+    quirk-parity mode).
+
+    StaticInitState models are exported at cycle phase 0 (an artifact is a
+    pure function; there is no cross-call cycle to continue).
+    """
+    from jax import export as jexport
+
+    for i, e in enumerate(model.encoders):
+        if getattr(e, "n_features", None) is None:
+            raise ValueError(
+                f"encoder {i} ({type(e).__name__}) does not expose "
+                "n_features; export_compiled needs static input widths.")
+    order = model._resolve_order(None, encoder_sequence, train=False)
+    fwd = model._forward_fn(order, model.nan_skip)
+    params = model.params
+    chain = model._chain_plan()[0]
+
+    def forward(*modalities):
+        n = modalities[0].shape[0]
+        data = jnp.stack(modalities, axis=1) if chain == "scan" \
+            else tuple(modalities)
+        _, outputs, _, _ = fwd(params, data, jnp.ones((n,), jnp.float32))
+        return tuple(outputs)
+
+    b, = jexport.symbolic_shape("b")
+    args = [jax.ShapeDtypeStruct((b, e.n_features), jnp.float32)
+            for e in model.encoders]
+    exp = jexport.export(jax.jit(forward), platforms=tuple(platforms))(*args)
+    with open(path, "wb") as f:
+        f.write(exp.serialize())
+    return path
+
+
+def load_compiled(path: str):
+    """Load an ``export_compiled`` artifact. Returns a callable taking the
+    per-encoder modality arrays (each (b, n_features) float32, any b) and
+    returning the per-decoder (E+1, b, C_d) output tuple. Needs no
+    framework model object or parameter files."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exp = jexport.deserialize(f.read())
+
+    def run(*modalities):
+        return exp.call(*[jnp.asarray(np.asarray(m, np.float32))
+                          for m in modalities])
+
+    return run

@@ -161,3 +161,26 @@ def test_session_nan_skip_tracks_model_mode():
     st0 = s2.init(4)
     st, _ = s2.step(st0, 0, x)
     np.testing.assert_array_equal(np.asarray(st)[1], np.asarray(st0)[1])
+
+
+def test_export_compiled_roundtrip(tmp_path):
+    """AOT StableHLO artifact (params baked in, symbolic batch): loads
+    without any model/params and matches the live forward at multiple
+    batch sizes."""
+    import os
+    from multimodn_tpu.serving import export_compiled, load_compiled
+
+    rng = np.random.default_rng(17)
+    model = MultiModN(3, [MLPEncoder(3, 4, (5,)), MLPEncoder(3, 2, (5,))],
+                      [LogisticDecoder(3)], 0.7, 0.3, nan_skip="none")
+    path = export_compiled(model, str(tmp_path / "model.stablehlo"))
+    assert os.path.getsize(path) > 0
+    run = load_compiled(path)
+    for n in (1, 7):
+        x0 = rng.normal(size=(n, 4)).astype(np.float32)
+        x1 = rng.normal(size=(n, 2)).astype(np.float32)
+        got = run(x0, x1)
+        want = model.predict_proba((x0, x1))
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-6, atol=1e-6)
