@@ -184,3 +184,31 @@ def test_export_compiled_roundtrip(tmp_path):
         for g, w in zip(got, want):
             np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                        rtol=1e-6, atol=1e-6)
+
+
+def test_export_compiled_scan_chain_nan_skip(tmp_path):
+    """AOT artifact under scan-chain storage + per-sample NaN skip: NaN
+    rows leave the state unchanged inside the exported program too."""
+    import os
+    from multimodn_tpu.encoders import MLPFeatureEncoder
+    from multimodn_tpu.serving import export_compiled, load_compiled
+
+    rng = np.random.default_rng(23)
+    model = MultiModN(3, [MLPFeatureEncoder(3, 4) for _ in range(4)],
+                      [LogisticDecoder(3)], 0.7, 0.3, nan_skip="sample",
+                      chain_mode="scan")
+    path = export_compiled(model, str(tmp_path / "scan.stablehlo"))
+    run = load_compiled(path)
+    X = rng.normal(size=(6, 4)).astype(np.float32)
+    X[0, 2] = np.nan    # modality 2 missing for sample 0
+    mods = [X[:, i:i+1] for i in range(4)]
+    got = run(*mods)[0]                      # (E+1, 6, 2)
+    assert np.isfinite(np.asarray(got)).all()
+    # The exported forward must equal the model's own forward in the SAME
+    # nan mode (per-sample skip), which predict_proba does not use; compare
+    # against a no-NaN run where the two modes coincide.
+    Xc = rng.normal(size=(5, 4)).astype(np.float32)
+    modsc = [Xc[:, i:i+1] for i in range(4)]
+    np.testing.assert_allclose(np.asarray(run(*modsc)[0]),
+                               np.asarray(model.predict_proba(tuple(modsc))[0]),
+                               rtol=1e-6, atol=1e-6)
