@@ -96,3 +96,80 @@ def test_ctor_validation():
     with pytest.raises(ValueError, match="nan_skip"):
         MultiModN(2, [MLPEncoder(2, 3, (4,))], [LogisticDecoder(2)], 1.0,
                   0.0, nan_skip="bogus")
+
+
+def test_randomized_fused_equals_looped_soak():
+    """Cross-path consistency soak: for random configurations (encoder
+    counts/widths/state sizes/batch sizes/NaN patterns/init states/chain
+    modes), the fused multi-epoch fit() must reproduce looped train_epoch()
+    + test() exactly — same rng-free trajectories, same final params."""
+    from multimodn_tpu import (Adam, MultiModN, MultiModNHistory,
+                               StaticInitState)
+    from multimodn_tpu.data import ArrayLoader, PartitionDataset
+    from multimodn_tpu.decoders import LogisticDecoder
+    from multimodn_tpu.encoders import MIMICMLPEncoder, MLPEncoder
+
+    rng = np.random.default_rng(515)
+    for trial in range(6):
+        E = int(rng.integers(1, 4))
+        widths = [int(rng.integers(2, 6)) for _ in range(E)]
+        state = int(rng.integers(1, 5))
+        batch = int(rng.choice([8, 16, 13]))
+        n = int(rng.integers(25, 60))
+        nan_frac = float(rng.choice([0.0, 0.3]))
+        nan_skip = str(rng.choice(["sample", "batch"]))
+        chain = str(rng.choice(["auto", "unrolled"]))
+        use_mimic = bool(rng.integers(0, 2))
+        use_static = bool(rng.integers(0, 2))
+        seed = int(rng.integers(0, 1000))
+
+        X = rng.normal(size=(n, sum(widths))).astype(np.float32)
+        y = (X @ rng.normal(size=sum(widths)) > 0).astype(np.int64)[:, None]
+        if nan_frac > 0:
+            rows = rng.random(n) < nan_frac
+            X[rows, :widths[0]] = np.nan
+        ds = PartitionDataset(X, y, widths)
+
+        def build():
+            enc_cls = (lambda s, w: MIMICMLPEncoder(s, w, (4,), dropout=0.0)) \
+                if use_mimic else (lambda s, w: MLPEncoder(s, w, (4,)))
+            init = StaticInitState(
+                [np.arange(state, dtype=np.float32) + k for k in range(3)]) \
+                if use_static else None
+            return MultiModN(state, [enc_cls(state, w) for w in widths],
+                             [LogisticDecoder(state)], 0.7, 0.3, seed=seed,
+                             nan_skip=nan_skip, init_state=init,
+                             chain_mode=chain)
+
+        m_loop, m_fused = build(), build()
+        h_loop, h_fused = MultiModNHistory(["t"]), MultiModNHistory(["t"])
+        opt = Adam(0.01)
+        for _ in range(3):
+            m_loop.train_epoch(ArrayLoader(ds, batch), opt, "cross_entropy",
+                               h_loop)
+            m_loop.test(ArrayLoader(ds, batch), "cross_entropy", h_loop,
+                        tag="val")
+        m_fused.fit(ArrayLoader(ds, batch), Adam(0.01), "cross_entropy",
+                    epochs=3, history=h_fused,
+                    val_loader=ArrayLoader(ds, batch))
+        try:
+            for e in range(3):
+                np.testing.assert_allclose(
+                    np.asarray(h_loop.loss["train"][e]),
+                    np.asarray(h_fused.loss["train"][e]),
+                    rtol=1e-5, atol=1e-6)
+                np.testing.assert_allclose(
+                    np.asarray(h_loop.loss["val"][e]),
+                    np.asarray(h_fused.loss["val"][e]),
+                    rtol=1e-5, atol=1e-6)
+            import jax
+            for a, b in zip(jax.tree_util.tree_leaves(m_loop.state_dict()),
+                            jax.tree_util.tree_leaves(m_fused.state_dict())):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-5, atol=1e-6)
+        except AssertionError as err:
+            raise AssertionError(
+                f"trial {trial}: E={E} widths={widths} state={state} "
+                f"batch={batch} n={n} nan={nan_frac} skip={nan_skip} "
+                f"chain={chain} mimic={use_mimic} static={use_static} "
+                f"seed={seed}\n{err}") from err
