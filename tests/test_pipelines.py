@@ -120,3 +120,19 @@ def test_mimic_resumable_multi_target_no_checkpoint_collision(tmp_path):
     for r in roots:
         folds = os.listdir(str(tmp_path / "resume" / r))
         assert len(folds) == 2, (r, folds)
+
+
+def test_mimic_multi_task_resumable(tmp_path):
+    """resume_dir disables the vmapped path on the multi-task pipeline too
+    and resumes completed runs with zero further training."""
+    from pipelines.mimic.common import MimicConfig
+    from pipelines.mimic.mimic_multi_task_pipeline import main
+
+    cfg = MimicConfig(targets=["Enlarged Cardiomediastinum", "Cardiomegaly"],
+                      epochs=3, nfold=2, synthetic_patients=40,
+                      resume_dir=str(tmp_path / "resume"))
+    res1 = main(["-e", "3", "-m", "false"], cfg)
+    res2 = main(["-e", "3", "-m", "false"], cfg)
+    m1 = [r for r in res1 if r[0] == "modn"]
+    m2 = [r for r in res2 if r[0] == "modn"]
+    assert [r[3] for r in m1] == [r[3] for r in m2]
