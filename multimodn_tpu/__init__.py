@@ -30,24 +30,41 @@ if _platform:
     except Exception:
         pass
 
-# Persistent XLA compilation cache, ON by default. Through a remote-compile
-# TPU tunnel the same program has measured 21-513 s to compile depending on
-# service state (CLAUDE.md); the on-disk cache removes that entirely on any
-# repeat run (measured: 60.5 s first process -> 0.25 s second). Entries are
-# keyed by HLO + compile options + backend version, so staleness is safe.
-# MULTIMODN_COMPILE_CACHE=0 disables; =<path> overrides the location.
+# Persistent XLA compilation cache, ON by default for accelerator
+# platforms. Through a remote-compile TPU tunnel the same program has
+# measured 21-513 s to compile depending on service state (CLAUDE.md); the
+# on-disk cache removes that entirely on any repeat run (measured: 60.5 s
+# first process -> 0.25 s second). Entries are keyed by HLO + compile
+# options + backend version. NOT enabled for CPU-pinned processes: XLA:CPU
+# caches AOT machine code keyed on compile-time-detected CPU features, and
+# feature detection has been observed to differ between processes on this
+# same host ("+prefer-no-gather ... could lead to SIGILL" loader warnings)
+# — CPU compiles are fast anyway. MULTIMODN_COMPILE_CACHE=0 disables,
+# =<path> overrides the location (and forces it on regardless of platform).
 _cache = _os.environ.get("MULTIMODN_COMPILE_CACHE", "")
 if _cache != "0":
     import jax as _jax
 
-    try:
-        _path = _cache or _os.path.join(
-            _os.path.expanduser("~"), ".cache", "multimodn_tpu", "xla")
-        _os.makedirs(_path, exist_ok=True)
-        _jax.config.update("jax_compilation_cache_dir", _path)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    def _cpu_pinned() -> bool:
+        if (_platform or "").lower() == "cpu":
+            return True
+        if _os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+            return True
+        try:   # e.g. dryrun_multichip sets jax.config directly
+            return (_jax.config.jax_platforms or "").lower() == "cpu"
+        except Exception:
+            return False
+
+    if _cache or not _cpu_pinned():
+        try:
+            _path = _cache or _os.path.join(
+                _os.path.expanduser("~"), ".cache", "multimodn_tpu", "xla")
+            _os.makedirs(_path, exist_ok=True)
+            _jax.config.update("jax_compilation_cache_dir", _path)
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
 
 from multimodn_tpu.model import MultiModN
 from multimodn_tpu.core.state import InitState, TrainableInitState, StaticInitState
