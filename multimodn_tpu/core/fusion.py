@@ -32,6 +32,13 @@ import jax.numpy as jnp
 from multimodn_tpu.core.metrics import binary_confusion_counts
 
 
+
+def _chain_dtype(data):
+    """Floating dtype of the incoming modality arrays (post mixed-precision
+    cast): tuple of per-modality arrays or one stacked array."""
+    leaf = data[0] if isinstance(data, (tuple, list)) else data
+    return leaf.dtype
+
 def default_order(n_encoders: int) -> Tuple[Tuple[int, int], ...]:
     """Identity (data_idx, enc_idx) pairing (reference ``multimodn.py:516``)."""
     return tuple((i, i) for i in range(n_encoders))
@@ -77,6 +84,11 @@ def forward_chain(
     n_real = jnp.sum(sample_mask.astype(jnp.float32))
 
     state = init_state.apply(params["init_state"], batch, init_offset)
+    # Align the initial state with the chain's compute dtype: a
+    # StaticInitState bank lives OUTSIDE params (fp32), so under bf16 mixed
+    # precision the params/data cast never reaches it and the whole chain
+    # would silently promote back to fp32.
+    state = state.astype(_chain_dtype(data))
 
     states_rows: List = [state] + [state] * n_enc  # placeholder rows
     state_change = [jnp.zeros(()) for _ in range(n_enc)]
@@ -140,6 +152,143 @@ def forward_chain(
     # execution order under permuted `order`; `state` is the final EXECUTED
     # state (what the reference's get_states returns, multimodn.py:490).
     return states_by_row, state_change, row_ok, n_counted, state
+
+
+def has_repeated_encoders(order) -> bool:
+    """True when an encoder id appears more than once in a static order —
+    legal in the reference (any encoding_sequence list), but its metric
+    accumulation is per-EXECUTION into the encoder-indexed row
+    (multimodn.py:171-192: counts '+=' per execution, err_loss/state_change
+    assigned by the LAST non-skipped execution), which the one-row-per-
+    encoder fast path cannot express."""
+    encs = [int(e) for _d, e in order]
+    return len(set(encs)) < len(encs)
+
+
+def forward_chain_executions(
+    encoders: Sequence,
+    init_state,
+    params: dict,
+    data: Sequence[jnp.ndarray],
+    sample_mask: jnp.ndarray,
+    *,
+    order: Sequence[Tuple[int, int]],
+    nan_skip: str = "sample",
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    init_offset=0,
+):
+    """Execution-indexed variant of ``forward_chain`` for orders with
+    repeated encoders: row k+1 is the state after the k-th EXECUTION
+    (whatever encoder it ran), leaving the encoder-row combination to
+    ``combine_executions``. Same skip semantics per execution.
+
+    Returns (states (K+1, B, S), state_change (K,), ok (K+1,),
+    counted (K+1,), final_state).
+    """
+    batch = sample_mask.shape[0]
+    n_real = jnp.sum(sample_mask.astype(jnp.float32))
+    state = init_state.apply(params["init_state"], batch, init_offset)
+    # Align the initial state with the chain's compute dtype: a
+    # StaticInitState bank lives OUTSIDE params (fp32), so under bf16 mixed
+    # precision the params/data cast never reaches it and the whole chain
+    # would silently promote back to fp32.
+    state = state.astype(_chain_dtype(data))
+
+    states_rows: List = [state]
+    sc_exec: List = []
+    ok_exec: List = [jnp.ones(())]
+    cnt_exec: List = [n_real]
+
+    for k, (data_idx, enc_idx) in enumerate(order):
+        enc = encoders[enc_idx]
+        x = data[data_idx]
+        old_state = state
+        step_rng = jax.random.fold_in(rng, k) if rng is not None else None
+        extra = {"sample_mask": sample_mask} \
+            if getattr(enc, "_accepts_sample_mask", False) else {}
+
+        if nan_skip == "none":
+            state = enc.apply(params["encoders"][enc_idx], state, x,
+                              train=train, rng=step_rng, **extra)
+            ok = jnp.ones(())
+            counted = n_real
+        else:
+            nan_here = jnp.isnan(x)
+            sample_has_nan = jnp.any(nan_here, axis=tuple(range(1, x.ndim))) \
+                if x.ndim > 1 else nan_here
+            xz = jnp.nan_to_num(x)
+            new_state = enc.apply(params["encoders"][enc_idx], state, xz,
+                                  train=train, rng=step_rng, **extra)
+            if nan_skip == "batch":
+                any_nan = jnp.any(sample_has_nan & (sample_mask > 0))
+                ok = jnp.where(any_nan, 0.0, 1.0)
+                state = jnp.where(any_nan, old_state, new_state)
+                counted = n_real * ok
+            elif nan_skip == "sample":
+                valid = (~sample_has_nan) & (sample_mask > 0)
+                state = jnp.where(valid[:, None], new_state, old_state)
+                ok = jnp.ones(())
+                counted = n_real
+            else:
+                raise ValueError(f"Unknown nan_skip mode {nan_skip!r}")
+
+        states_rows.append(state)
+        sc_exec.append(masked_mean_sq_diff(state, old_state, sample_mask))
+        ok_exec.append(ok)
+        cnt_exec.append(counted)
+
+    return (jnp.stack(states_rows), jnp.stack(sc_exec), jnp.stack(ok_exec),
+            jnp.stack(cnt_exec), state)
+
+
+def combine_executions(order, n_enc: int, exec_grid: dict, sc_exec,
+                       ok_exec, cnt_exec, exec_outputs):
+    """Fold an execution-indexed grid back into the reference's
+    encoder-indexed (E+1, D) grid for orders with repeated encoders
+    (multimodn.py:171-192):
+
+    - n_correct / tp / tn / fp / fn / n_counted ACCUMULATE over the row's
+      executions ('+=' per non-skipped execution; skipped executions
+      contribute their already-zeroed cells);
+    - err_loss, per-row decoder outputs, and state_change take the LAST
+      NON-SKIPPED execution's value (reference assigns; a skipped execution
+      'continue's past the assignment);
+    - a row is live (row_ok) if ANY of its executions ran.
+    """
+    rows = n_enc + 1
+    D = exec_grid["err_loss"].shape[1]
+
+    err = jnp.zeros((rows, D)).at[0].set(exec_grid["err_loss"][0])
+    ncorr = jnp.zeros((rows, D)).at[0].set(exec_grid["n_correct"][0])
+    conf = {k: jnp.zeros((rows, D)).at[0].set(exec_grid[k][0])
+            for k in ("tp", "tn", "fp", "fn")}
+    n_counted = jnp.zeros((rows,)).at[0].set(cnt_exec[0])
+    row_ok = jnp.zeros((rows,)).at[0].set(1.0)
+    state_change = jnp.zeros((n_enc,))
+    outputs = [jnp.zeros((rows,) + o.shape[1:], o.dtype).at[0].set(o[0])
+               for o in exec_outputs]
+
+    for k, (_d, e) in enumerate(order):
+        r, x = e + 1, k + 1
+        live = ok_exec[x] > 0
+        err = err.at[r].set(jnp.where(live, exec_grid["err_loss"][x], err[r]))
+        ncorr = ncorr.at[r].add(exec_grid["n_correct"][x])
+        for key in conf:
+            # NaN columns (non-binary decoders) stay NaN under addition.
+            conf[key] = conf[key].at[r].add(exec_grid[key][x])
+        n_counted = n_counted.at[r].add(cnt_exec[x])
+        row_ok = row_ok.at[r].max(ok_exec[x])
+        state_change = state_change.at[e].set(
+            jnp.where(live, sc_exec[k], state_change[e]))
+        outputs = [o.at[r].set(jnp.where(live, eo[x], o[r]))
+                   for o, eo in zip(outputs, exec_outputs)]
+
+    combined = {"err_loss": err, "n_correct": ncorr, "n_counted": n_counted,
+                "row_ok": row_ok, "state_change": state_change,
+                "outputs": outputs}
+    combined.update(conf)
+    return combined
 
 
 def decode_grid(

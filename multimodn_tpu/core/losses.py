@@ -113,9 +113,19 @@ def resolve_criterion(criterion):
             return criterion
         import inspect
         try:
-            n_params = len(inspect.signature(criterion).parameters)
+            sig = inspect.signature(criterion)
+            # Mask-aware means the callable REQUIRES a third argument: count
+            # parameters without defaults, so torch-style criteria with
+            # extra defaulted knobs (e.g. reduction='mean') are not handed
+            # the row mask as that knob.
+            n_params = sum(
+                1 for p in sig.parameters.values()
+                if p.default is inspect.Parameter.empty
+                and p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD))
         except (ValueError, TypeError):
-            n_params = 3
+            # Uninspectable (C-extension) callables: assume the torch-style
+            # 2-arg contract the reference uses (multimodn.py:146).
+            n_params = 2
         if n_params >= 3:
             try:
                 criterion._accepts_mask = True

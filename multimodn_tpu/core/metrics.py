@@ -172,7 +172,9 @@ def get_performance_metrics(y_true, y_pred, y_prob) -> Tuple:
 
     # F1 on thresholded probabilities (torchmetrics F1Score(task='binary')
     # applied to probs thresholds at 0.5 — reference multimodn.py:48).
-    pred_t = (y_prob >= 0.5).astype(np.int64)
+    # STRICT > like torchmetrics' _binary_stat_scores_format (preds >
+    # threshold): probability exactly 0.5 classifies negative.
+    pred_t = (y_prob > 0.5).astype(np.int64)
     tp_f = float(np.sum((pred_t == 1) & (y_true == 1)))
     fp_f = float(np.sum((pred_t == 1) & (y_true == 0)))
     fn_f = float(np.sum((pred_t == 0) & (y_true == 1)))

@@ -28,6 +28,13 @@ import jax.numpy as jnp
 from multimodn_tpu.core.fusion import masked_mean_sq_diff
 
 
+
+def _chain_dtype(data):
+    """Floating dtype of the incoming modality arrays (post mixed-precision
+    cast): tuple of per-modality arrays or one stacked array."""
+    leaf = data[0] if isinstance(data, (tuple, list)) else data
+    return leaf.dtype
+
 def encoders_homogeneous(encoders: Sequence) -> bool:
     """True when all encoders share class, layer dims, and activation — the
     condition for stacking their parameter pytrees."""
@@ -100,6 +107,11 @@ def forward_chain_scan(
         data_stack = jnp.swapaxes(data, 0, 1)         # (B, E, F) -> (E, B, F)
 
     state0 = init_state.apply(params["init_state"], batch, init_offset)
+    # Align the initial state with the chain's compute dtype: a
+    # StaticInitState bank lives OUTSIDE params (fp32), so under bf16 mixed
+    # precision the params/data cast never reaches it and the whole chain
+    # would silently promote back to fp32.
+    state0 = state0.astype(_chain_dtype(data))
 
     def step(carry, xs):
         state = carry
@@ -201,6 +213,11 @@ def forward_chain_switch(
     ])                                                  # (E, B, Fmax)
 
     state0 = init_state.apply(params["init_state"], batch, init_offset)
+    # Align the initial state with the chain's compute dtype: a
+    # StaticInitState bank lives OUTSIDE params (fp32), so under bf16 mixed
+    # precision the params/data cast never reaches it and the whole chain
+    # would silently promote back to fp32.
+    state0 = state0.astype(_chain_dtype(data))
 
     def make_branch(j):
         enc = encoders[j]

@@ -21,7 +21,13 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from multimodn_tpu.core.fusion import decode_grid, forward_chain
+from multimodn_tpu.core.fusion import (
+    combine_executions,
+    decode_grid,
+    forward_chain,
+    forward_chain_executions,
+    has_repeated_encoders,
+)
 from multimodn_tpu.core.metrics import safe_div
 
 
@@ -50,6 +56,13 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
     n_dec = len(decoders)
     if per_batch_seq and chain not in ("scan", "switch"):
         raise ValueError("per_batch_seq requires chain='scan' or 'switch'")
+    repeats = not per_batch_seq and has_repeated_encoders(order)
+    if repeats and chain in ("scan", "switch"):
+        raise ValueError(
+            "encoding sequences with REPEATED encoders need the unrolled "
+            "chain: the traced-order chains keep one metric row per encoder "
+            "and cannot express the reference's per-execution accumulation "
+            "(multimodn.py:171-192). Use chain_mode='unrolled' (or 'auto').")
     if chain in ("scan", "switch"):
         from multimodn_tpu.core.scan_chain import (forward_chain_scan,
                                                    forward_chain_switch)
@@ -101,14 +114,35 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
                         data_order=b_data[perm], enc_order=b_enc[perm],
                         nan_skip=nan_skip, train=train, rng=rng,
                         init_offset=init_offset)
+        elif repeats:
+            # Repeated-encoder order: decode per EXECUTION, then fold back
+            # into the reference's encoder-indexed grid (counts accumulate,
+            # err/outputs take the last non-skipped execution —
+            # multimodn.py:171-192; see fusion.combine_executions).
+            states_x, sc_x, ok_x, cnt_x, final_state = \
+                forward_chain_executions(
+                    encoders, init_state, params, data, sample_mask,
+                    order=order, nan_skip=nan_skip, train=train, rng=rng,
+                    init_offset=init_offset)
+            exec_grid = decode_grid(decoders, params, states_x, targets,
+                                    sample_mask, ok_x, criterion)
+            comb = combine_executions(order, n_enc, exec_grid, sc_x, ok_x,
+                                      cnt_x, exec_grid["outputs"])
+            grid = {k: comb[k] for k in ("err_loss", "n_correct",
+                                         "tp", "tn", "fp", "fn")}
+            grid["outputs"] = comb["outputs"]
+            state_change = comb["state_change"]
+            row_ok = comb["row_ok"]
+            n_counted = comb["n_counted"]
         else:
             states, state_change, row_ok, n_counted, final_state = \
                 forward_chain(
                     encoders, init_state, params, data, sample_mask,
                     order=order, nan_skip=nan_skip, train=train, rng=rng,
                     init_offset=init_offset)
-        grid = decode_grid(decoders, params, states, targets, sample_mask,
-                           row_ok, criterion)
+        if not repeats or chain in ("scan", "switch"):
+            grid = decode_grid(decoders, params, states, targets,
+                               sample_mask, row_ok, criterion)
         # Reference loss (multimodn.py:194-202): grid mean * err_penalty +
         # state-change mean * (0.01 * state_change_penalty).
         global_err = jnp.sum(grid["err_loss"]) / (n_dec * (n_enc + 1))
@@ -199,13 +233,24 @@ def resolve_unroll(scan_unroll, n_batches: int) -> int:
     return max(1, min(scan_unroll, n_batches))
 
 
+def _accepts_enc_gates(tx) -> bool:
+    """Detect the gated-update capability by SIGNATURE, not try/except: a
+    TypeError raised INSIDE a gated update must fail loudly, never silently
+    fall back to the plain path (that would drop the torch-parity skip
+    semantics the gating exists for)."""
+    try:
+        import inspect
+        return "enc_gates" in inspect.signature(tx.update).parameters
+    except (ValueError, TypeError):
+        return False
+
+
 def _tx_update(tx, grads, opt_state, params, enc_gates):
     """Call tx.update, threading per-encoder gates when the transformation
     accepts them (optim._torch_adam); plain optax txs get the 3-arg call."""
-    try:
+    if _accepts_enc_gates(tx):
         return tx.update(grads, opt_state, params, enc_gates=enc_gates)
-    except TypeError:
-        return tx.update(grads, opt_state, params)
+    return tx.update(grads, opt_state, params)
 
 
 def gated_update(tx, grads, opt_state, params, batch_mask,
@@ -517,7 +562,11 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
             out = outputs[d]
             # Row-sum normalization like the reference's test()
             # (multimodn.py:415) before taking the positive-class column.
-            norm = out / jnp.maximum(jnp.sum(out, axis=1, keepdims=True), 1e-12)
+            # Sign-preserving zero guard: the reference divides by the true
+            # sum; clamping a NEGATIVE sum to +1e-12 would flip and explode
+            # the normalized ordering for identity-activation decoders.
+            s = jnp.sum(out, axis=1, keepdims=True)
+            norm = out / jnp.where(jnp.abs(s) < 1e-12, 1e-12, s)
             auc = masked_binary_auroc(norm[:, 1], flat_t[:, d], flat_m)
             # BAC on argmax predictions over the whole epoch — identical to
             # (sens+spec)/2 from the final-row confusion counts.
@@ -529,7 +578,9 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
             sens = safe_div(tp, tp + fn)
             spec = safe_div(tn, tn + fp)
             score = score + auc + (sens + spec) / 2.0
-        return score
+        # NaN-diverged epochs must never win the strictly-greater update
+        # (the reference's host-side NaN comparison is always False).
+        return jnp.where(jnp.isnan(score), -jnp.inf, score)
 
     def fit(params, opt_state, data, targets, mask,
             val_data, val_targets, val_mask, epoch_ids, rng,
@@ -581,6 +632,11 @@ def make_forward_fn(encoders, decoders, init_state,
     Matches ``MultiModN.predict`` (``multimodn.py:422-458``), which does NOT
     NaN-skip — callers choose ``nan_skip='none'`` for that parity.
     """
+    if chain == "scan" and has_repeated_encoders(order):
+        raise ValueError(
+            "encoding sequences with REPEATED encoders need the unrolled "
+            "chain (see make_batch_loss_fn); use chain_mode='unrolled' or "
+            "'auto'.")
 
     @functools.partial(jax.jit, static_argnames=("train",))
     def forward(params, data, sample_mask, rng=None, init_offset=0, train=False):
@@ -593,6 +649,22 @@ def make_forward_fn(encoders, decoders, init_state,
                 enc_order=jnp.asarray([e for _d, e in order], jnp.int32),
                 nan_skip=nan_skip, train=train, rng=rng,
                 init_offset=init_offset)
+        elif has_repeated_encoders(order):
+            # Per-execution run folded back to encoder-indexed rows (the
+            # reference's predict indexes outputs[enc_idx+1] too).
+            states_x, sc_x, ok_x, cnt_x, final_state = \
+                forward_chain_executions(
+                    encoders, init_state, params, data, sample_mask,
+                    order=order, nan_skip=nan_skip, train=train, rng=rng,
+                    init_offset=init_offset)
+            n_enc = len(encoders)
+            rows = n_enc + 1
+            states = jnp.zeros((rows,) + states_x.shape[1:],
+                               states_x.dtype).at[0].set(states_x[0])
+            for k, (_d, e) in enumerate(order):
+                states = states.at[e + 1].set(
+                    jnp.where(ok_x[k + 1] > 0, states_x[k + 1],
+                              states[e + 1]))
         else:
             states, _, row_ok, _, final_state = forward_chain(
                 encoders, init_state, params, data, sample_mask,

@@ -228,6 +228,16 @@ class MultiModN:
 
     def _loss_fn(self, criterion, order, nan_skip, per_batch: bool = False):
         chain, shuffle = self._chain_plan()
+        if not per_batch and chain in ("scan", "switch"):
+            from multimodn_tpu.core.fusion import has_repeated_encoders
+            if has_repeated_encoders(order):
+                if self.chain_mode != "auto":
+                    raise ValueError(
+                        "encoding sequences with REPEATED encoders need the "
+                        "unrolled chain (per-execution metric accumulation, "
+                        "multimodn.py:171-192); drop chain_mode="
+                        f"{self.chain_mode!r} or use 'auto'/'unrolled'.")
+                chain, shuffle = "unrolled", False
         if per_batch and chain == "unrolled":
             # Per-batch encoding sequences need a traced-order chain:
             # stacked-scan for homogeneous encoders, lax.switch otherwise.
@@ -353,6 +363,15 @@ class MultiModN:
 
     def _forward_fn(self, order, nan_skip):
         chain = self._chain_plan()[0]
+        if chain in ("scan", "switch"):
+            from multimodn_tpu.core.fusion import has_repeated_encoders
+            if has_repeated_encoders(order):
+                if self.chain_mode != "auto":
+                    raise ValueError(
+                        "encoding sequences with REPEATED encoders need the "
+                        "unrolled chain; drop chain_mode="
+                        f"{self.chain_mode!r} or use 'auto'/'unrolled'.")
+                chain = "unrolled"
         key = ("fwd", order, nan_skip, chain)
         if key not in self._fn_cache:
             self._fn_cache[key] = make_forward_fn(
@@ -415,6 +434,14 @@ class MultiModN:
         if seqs is not None:
             for row in np.asarray(seqs):
                 check(list(enumerate(row)))
+                if len({int(v) for v in row}) < len(row):
+                    raise NotImplementedError(
+                        "per-batch encoding sequences with REPEATED "
+                        "encoders are not supported: the traced-order "
+                        "chains keep one metric row per encoder and cannot "
+                        "express the reference's per-execution accumulation "
+                        "(multimodn.py:171-192). Uniform repeated sequences "
+                        "work through the unrolled chain.")
 
     def _resolve_order(self, loader=None,
                        encoder_sequence=None, train: bool = False):

@@ -41,7 +41,7 @@ def _binarize(preds: np.ndarray) -> np.ndarray:
     """torchmetrics binary semantics: float inputs are probabilities
     thresholded at 0.5; integer inputs are hard labels."""
     if preds.dtype.kind == "f":
-        return (preds >= 0.5).astype(np.int64)
+        return (preds > 0.5).astype(np.int64)   # torchmetrics: strict >
     return preds.astype(np.int64)
 
 

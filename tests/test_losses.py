@@ -123,3 +123,27 @@ def test_two_arg_scalar_criterion_applies_per_row():
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
     # Rows must actually differ from each other (a broadcast mean would not).
     assert np.ptp(ref) > 1e-6
+
+
+def test_two_arg_criterion_with_defaulted_knob():
+    """Review finding: a torch-style criterion with a defaulted extra
+    parameter (reduction='mean') must be treated as 2-arg — previously the
+    row mask was silently passed as the knob."""
+    import jax
+    import jax.numpy as jnp
+    from multimodn_tpu.core.losses import resolve_criterion
+
+    calls = {}
+
+    def my_loss(outputs, targets, reduction="mean"):
+        calls["reduction"] = reduction
+        per = -jax.nn.log_softmax(outputs)[
+            jnp.arange(targets.shape[0]), targets]
+        return jnp.mean(per)
+
+    crit = resolve_criterion(my_loss)
+    assert crit._accepts_mask is False
+    out = jnp.zeros((4, 2))
+    tgt = jnp.zeros((4,), jnp.int32)
+    float(crit(out, tgt, jnp.ones((4,))))   # mask consumed by wrapper
+    assert calls["reduction"] == "mean"     # knob untouched

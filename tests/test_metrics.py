@@ -137,3 +137,18 @@ def test_performance_metrics_empty_input_degenerate():
     t = get_performance_metrics(np.zeros(0), np.zeros(0), np.zeros(0))
     assert len(t) == 15
     assert t[0] == 0.0 and t[1] == 0.0 and t[2] == 0.0
+
+
+def test_f1_threshold_strict_greater():
+    """torchmetrics binarizes with STRICT > 0.5 (preds > threshold): a
+    probability of exactly 0.5 classifies negative (review finding; the
+    oracle stub previously shared the >= bug)."""
+    from multimodn_tpu.core.metrics import get_performance_metrics
+
+    y_true = np.array([1, 0, 1, 0])
+    y_prob = np.array([0.5, 0.5, 0.9, 0.1])
+    y_pred = (y_prob > 0.5).astype(np.int64)
+    f1 = get_performance_metrics(y_true, y_pred, y_prob)[0]
+    # Exactly-0.5 rows predicted negative: tp=1 (0.9), fn=1 (0.5-pos),
+    # fp=0 -> f1 = 2*1 / (2*1 + 0 + 1) = 2/3.
+    np.testing.assert_allclose(float(f1), 2.0 / 3.0, rtol=1e-6)

@@ -44,3 +44,26 @@ def test_bf16_eval_and_suite():
     res = model.test(loader, "cross_entropy")
     assert len(res[0]) == 15
     assert np.isfinite(res[0][1])
+
+
+def test_static_bank_respects_compute_dtype():
+    """Review finding: the StaticInitState bank lives outside params, so
+    the mixed-precision cast never reached it and the whole chain silently
+    promoted to fp32. The chain now casts the initial state to the data's
+    compute dtype."""
+    import jax.numpy as jnp
+    from multimodn_tpu import MultiModN, StaticInitState
+    from multimodn_tpu.core.fusion import forward_chain
+
+    bank = [np.ones(3, np.float32), np.zeros(3, np.float32)]
+    m = MultiModN(3, [MLPEncoder(3, 4, (5,))], [LogisticDecoder(3)],
+                  0.7, 0.3, init_state=StaticInitState(bank),
+                  compute_dtype=jnp.bfloat16)
+    x = np.random.default_rng(0).normal(size=(4, 4)).astype(np.float32)
+    loss_fn = m._loss_fn("cross_entropy", ((0, 0),), "sample")
+    # Trace the states through the chain directly at bf16 inputs.
+    states, *_ = forward_chain(
+        m.encoders, m.init_state, m.params,
+        (jnp.asarray(x, jnp.bfloat16),), jnp.ones((4,), jnp.float32),
+        order=((0, 0),), nan_skip="sample")
+    assert states.dtype == jnp.bfloat16

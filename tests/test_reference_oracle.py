@@ -870,3 +870,71 @@ def test_static_cycle_randomized_soak(ref, ref_enc, ref_dec):
             raise AssertionError(
                 f"trial {trial}: bank={bank_n} state={state} width={width} "
                 f"batch={batch} n={n} seed={seed}\n{err}") from err
+
+
+def test_repeated_encoder_sequence_matches_reference(ref, ref_enc, ref_dec):
+    """Sequence [1, 0, 0] — encoder 0 executes TWICE per batch. The
+    reference accumulates n_correct/confusion counts and n_samples per
+    EXECUTION into the encoder-indexed row ('+=', multimodn.py:171-192)
+    while err_loss/state_change take the last execution (assignment); the
+    per-execution fold (fusion.combine_executions) must reproduce all of
+    it, including a NaN-skipped second execution keeping the first
+    execution's counts."""
+    seq = np.asarray([1, 0, 0], np.int64)
+    rng = np.random.default_rng(41)
+    X = rng.normal(size=(48, 8)).astype(np.float32)
+    y = (X @ rng.normal(size=(8, 1)) > 0).astype(np.int64)
+    ds = _SeqPartitionDataset(X, y, [2, 3, 3], seq)
+    loader = ArrayLoader(ds, batch_size=16)
+
+    # slot 0 (2 features) -> encoder 1; slots 1 and 2 (3 features each) ->
+    # encoder 0 twice.
+    model = MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 2, (4,))],
+                      [LogisticDecoder(3)], 0.7, 0.3, nan_skip="batch")
+    ref_model = ref.MultiModN(
+        3, [ref_enc.MLPEncoder(3, 3, (4,)), ref_enc.MLPEncoder(3, 2, (4,))],
+        [ref_dec.LogisticDecoder(3)], 0.7, 0.3, device=torch.device("cpu"))
+    transplant_reference(ref_model, model.state_dict())
+    opt = Adam(0.01)
+    ref_opt = torch.optim.Adam(ref_model.parameters(), 0.01)
+    batches = reference_batches(loader, encoder_sequence=seq)
+    hist, ref_hist = MultiModNHistory(["t0"]), ref.MultiModNHistory(["t0"])
+    for _ in range(3):
+        model.train_epoch(loader, opt, "cross_entropy", hist)
+        ref_model.train_epoch(batches, ref_opt,
+                              torch.nn.CrossEntropyLoss(), ref_hist)
+        model.test(loader, "cross_entropy", hist, tag="val")
+        ref_model.test(batches, torch.nn.CrossEntropyLoss(), ref_hist,
+                       tag="val")
+    assert_history_matches(hist, ref_hist)
+    assert_history_matches(hist, ref_hist, tag="val")
+
+
+def test_repeated_encoder_nan_second_execution_matches_reference(
+        ref, ref_enc, ref_dec):
+    """NaN in the SECOND execution's data slot (nan_skip='batch'): the
+    reference 'continue's past it, keeping the first execution's counts and
+    err_loss assignment for that encoder row."""
+    seq = np.asarray([1, 0, 0], np.int64)
+    rng = np.random.default_rng(42)
+    X = rng.normal(size=(32, 8)).astype(np.float32)
+    X[5, 5:8] = np.nan          # slot 2 = the SECOND execution of encoder 0
+    y = (np.nan_to_num(X) @ rng.normal(size=(8, 1)) > 0).astype(np.int64)
+    ds = _SeqPartitionDataset(X, y, [2, 3, 3], seq)
+    loader = ArrayLoader(ds, batch_size=16)
+
+    model = MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 2, (4,))],
+                      [LogisticDecoder(3)], 0.7, 0.3, nan_skip="batch")
+    ref_model = ref.MultiModN(
+        3, [ref_enc.MLPEncoder(3, 3, (4,)), ref_enc.MLPEncoder(3, 2, (4,))],
+        [ref_dec.LogisticDecoder(3)], 0.7, 0.3, device=torch.device("cpu"))
+    transplant_reference(ref_model, model.state_dict())
+    opt = Adam(0.01)
+    ref_opt = torch.optim.Adam(ref_model.parameters(), 0.01)
+    batches = reference_batches(loader, encoder_sequence=seq)
+    hist, ref_hist = MultiModNHistory(["t0"]), ref.MultiModNHistory(["t0"])
+    for _ in range(3):
+        model.train_epoch(loader, opt, "cross_entropy", hist)
+        ref_model.train_epoch(batches, ref_opt,
+                              torch.nn.CrossEntropyLoss(), ref_hist)
+    assert_history_matches(hist, ref_hist)
