@@ -54,6 +54,8 @@ class HAIM:
         self._opt = None
         self.opt_state = None
         self._fn_cache = {}
+        self._seed = seed
+        self._epoch_counter = 0
 
     def _loss_fn(self, criterion):
         def loss_fn(params, x, targets, mask):
@@ -61,18 +63,27 @@ class HAIM:
             return criterion(out, targets[:, 0], mask)
         return loss_fn
 
-    def _fit_fn(self, criterion, tx):
+    def _fit_fn(self, criterion, tx, reshuffle: bool = False):
+        from multimodn_tpu.core.step import epoch_permute
         from multimodn_tpu.model import _cache_key
         # Object-keyed (strong refs): GC'd criteria cannot alias a stale
         # compiled program through id reuse (same fix as MultiModN).
-        key = (_cache_key(criterion), _cache_key(tx))
+        key = (_cache_key(criterion), _cache_key(tx), reshuffle)
         if key not in self._fn_cache:
             loss_fn = self._loss_fn(criterion)
 
             @jax.jit
-            def fit(params, opt_state, data, targets, mask, epoch_ids):
-                def epoch_body(carry, _eid):
+            def fit(params, opt_state, data, targets, mask, epoch_ids, rng):
+                def epoch_body(carry, eid):
                     params, opt_state = carry
+                    if reshuffle:
+                        # shuffle=True loaders keep their per-epoch
+                        # semantics inside the fused program (same
+                        # in-program permutation as MultiModN.fit).
+                        d, t, m = epoch_permute(
+                            data, targets, mask, jax.random.fold_in(rng, eid))
+                    else:
+                        d, t, m = data, targets, mask
 
                     def body(carry, xs):
                         params, opt_state = carry
@@ -85,7 +96,7 @@ class HAIM:
                         return (params, opt_state), loss
 
                     (params, opt_state), losses = jax.lax.scan(
-                        body, (params, opt_state), (data, targets, mask))
+                        body, (params, opt_state), (d, t, m))
                     return (params, opt_state), jnp.mean(losses)
 
                 (params, opt_state), losses = jax.lax.scan(
@@ -95,7 +106,7 @@ class HAIM:
             self._fn_cache[key] = fit
         return self._fn_cache[key]
 
-    def _select_fit_fn(self, criterion, tx):
+    def _select_fit_fn(self, criterion, tx, reshuffle: bool = False):
         """Fused N-epoch train + per-epoch val scoring (AUROC+BAC) with the
         best params carried on device — HAIM counterpart of MultiModN's
         make_select_fit_fn, reproducing the reference HAIM loop
@@ -103,14 +114,15 @@ class HAIM:
         from multimodn_tpu.core.metrics import masked_binary_auroc, safe_div
 
         from multimodn_tpu.model import _cache_key
-        key = ("select", _cache_key(criterion), _cache_key(tx))
+        key = ("select", _cache_key(criterion), _cache_key(tx), reshuffle)
         if key in self._fn_cache:
             return self._fn_cache[key]
+        from multimodn_tpu.core.step import epoch_permute
         loss_fn = self._loss_fn(criterion)
         decoder = self.decoder
 
         @jax.jit
-        def fit(params, opt_state, x, t, m, vx, vt, vm, epoch_ids):
+        def fit(params, opt_state, x, t, m, vx, vt, vm, epoch_ids, rng):
             def score(params):
                 out = decoder.apply(params, vx)          # (nb, B, C)
                 out = out.reshape(-1, out.shape[-1])
@@ -129,6 +141,11 @@ class HAIM:
 
             def epoch_body(carry, eid):
                 params, opt_state, best = carry
+                if reshuffle:
+                    xd, td, md = epoch_permute(
+                        x, t, m, jax.random.fold_in(rng, eid))
+                else:
+                    xd, td, md = x, t, m
 
                 def body(carry, xs):
                     params, opt_state = carry
@@ -140,7 +157,7 @@ class HAIM:
                     return (params, opt_state), None
 
                 (params, opt_state), _ = jax.lax.scan(
-                    body, (params, opt_state), (x, t, m))
+                    body, (params, opt_state), (xd, td, md))
                 s = score(params)
                 best_params, best_score, best_epoch = best
                 improved = s > best_score
@@ -177,10 +194,14 @@ class HAIM:
             self.opt_state = optimizer.init(self.params)
         x, t, m = self._single_modality(train_loader)
         vx, vt, vm = self._single_modality(val_loader)
-        fit = self._select_fit_fn(criterion, optimizer.tx)
+        reshuffle = bool(getattr(train_loader, "shuffle", False))
+        fit = self._select_fit_fn(criterion, optimizer.tx, reshuffle)
+        rng = jax.random.fold_in(jax.random.PRNGKey(self._seed),
+                                 self._epoch_counter)
+        self._epoch_counter += epochs
         (self.params, self.opt_state, best_params, best_score, best_epoch,
          scores) = fit(self.params, self.opt_state, x, t, m, vx, vt, vm,
-                       jnp.arange(epochs))
+                       jnp.arange(epochs), rng)
         if restore_best:
             self.params = best_params
         return {
@@ -208,9 +229,14 @@ class HAIM:
             self._opt = optimizer
             self.opt_state = optimizer.init(self.params)
         x, targets, mask = self._single_modality(train_loader)
-        fit = self._fit_fn(criterion, optimizer.tx)
+        reshuffle = bool(getattr(train_loader, "shuffle", False))
+        fit = self._fit_fn(criterion, optimizer.tx, reshuffle)
+        rng = jax.random.fold_in(jax.random.PRNGKey(self._seed),
+                                 self._epoch_counter)
+        self._epoch_counter += epochs
         self.params, self.opt_state, _ = fit(
-            self.params, self.opt_state, x, targets, mask, jnp.arange(epochs))
+            self.params, self.opt_state, x, targets, mask, jnp.arange(epochs),
+            rng)
         if last_epoch:
             return self.test(train_loader, criterion)
         return None

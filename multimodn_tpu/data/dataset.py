@@ -28,7 +28,8 @@ def _seeded_permutation(n: int, seed: int) -> List[int]:
         import torch
         gen = torch.Generator().manual_seed(seed)
         return torch.randperm(n, generator=gen).tolist()
-    except ImportError:  # pragma: no cover - torch is present in CI/TPU images
+    except (ImportError, OSError):  # pragma: no cover - torch
+        # absent OR its shared libraries broken (OSError at import)
         return list(np.random.default_rng(seed).permutation(n))
 
 
@@ -144,3 +145,20 @@ class JointDatasets(MultiModDataset):
             for dataset in self.datasets
         ]
         return tensor_array, self.datasets[0][idx][1]
+
+def split_into_partition_datasets(X, y, partitions):
+    """One PartitionDataset per partition block (reference
+    ``titanic_dataset.py:60-67`` / ``mimic_dataset.py`` split_dataset).
+    The swapped Expected/got operands reproduce the reference's message."""
+    from itertools import accumulate
+
+    if partitions is None:
+        partitions = [X.shape[1]]
+    if sum(partitions) != X.shape[1]:
+        raise ValueError(
+            "Paritions sum doesn't match data dimension. "
+            "Expected: {}, got: {}".format(sum(partitions), X.shape[1]))
+    offsets = list(accumulate(partitions[:-1]))
+    X_split = np.split(X, offsets, axis=1)
+    return [PartitionDataset(X_split[i], y, [p])
+            for i, p in enumerate(partitions)]

@@ -99,6 +99,11 @@ def _resolve_cache_root(cache_root: str, synthetic_kwargs) -> str:
     tag = (f"synth_p{kw.get('n_patients', 200)}"
            f"_s{kw.get('seed', 2023)}"
            f"_m{kw.get('max_stays_per_patient', 3)}")
+    if kw.get("sources"):
+        # The generated SOURCES change the rng stream (each block draws in
+        # order), so different source sets must never share a cache even
+        # when the other knobs match.
+        tag += "_src" + "-".join(sorted(kw["sources"]))
     return os.path.join(cache_root, tag)
 
 
@@ -115,7 +120,11 @@ def build_mimic_cache(
     source_spec = "_".join(sources)
     cache_dir = os.path.join(cache_root, pathologies, source_spec)
     data_path = os.path.join(cache_dir, "data.csv")
-    if os.path.exists(data_path):
+    split_path = os.path.join(cache_dir, "how_to_split.csv")
+    # A cache is valid only when BOTH artifacts exist (each written via
+    # tmp + atomic rename below, split table first): a crash mid-build can
+    # never leave a permanently "valid" partial cache.
+    if os.path.exists(data_path) and os.path.exists(split_path):
         return cache_dir
     os.makedirs(cache_dir, exist_ok=True)
 
@@ -149,13 +158,17 @@ def build_mimic_cache(
                                 drop_first=True, dtype=int)
     features, _ = _source_features(df, sources)
     data_full = df[features + targets + ["haim_id"]]
-    data_full.to_csv(data_path, index=False)
 
     patient = df.groupby("haim_id").agg(
         label_count=("Agg", "count"), label_ones=("Agg", "sum")).reset_index()
     patient["label"] = (patient["label_ones"] >=
                         patient["label_count"] / 2).astype(int)
-    patient.to_csv(os.path.join(cache_dir, "how_to_split.csv"), index=False)
+    # Split table first, data.csv last, each atomically: validity is
+    # checked on the pair, so a torn build is retried, never served.
+    patient.to_csv(split_path + ".tmp", index=False)
+    os.replace(split_path + ".tmp", split_path)
+    data_full.to_csv(data_path + ".tmp", index=False)
+    os.replace(data_path + ".tmp", data_path)
     return cache_dir
 
 
@@ -170,11 +183,27 @@ def load_mimic_data(
 ):
     """Return (data_df, labels_df, features, partitions) — the equivalent of
     the reference's mimic_get_*_data loaders (``mimic_dataset.py:27-148``)."""
+    return _load_mimic_full(targets, sources, put_none, indices_to_nan,
+                            features_to_nan, cache_root, synthetic_kwargs)[:4]
+
+
+def _load_mimic_full(
+    targets: List[str],
+    sources: List[str],
+    put_none: bool = False,
+    indices_to_nan=(),
+    features_to_nan=(),
+    cache_root: str = DEFAULT_CACHE_ROOT,
+    synthetic_kwargs=None,
+):
+    """load_mimic_data plus (haim_ids, cache_dir) from the SAME parse —
+    MIMICDataset uses this to avoid a second full-CSV read."""
     cache_dir = build_mimic_cache(targets, sources, cache_root, synthetic_kwargs)
     data_full = _read_numeric_csv(os.path.join(cache_dir, "data.csv"))
     features, partitions = _source_features(data_full, sources)
     data = data_full[features].copy()
     labels = data_full[targets]
+    haim_ids = data_full["haim_id"].values
     if put_none:
         cols = features_to_nan
         if isinstance(cols, str):
@@ -188,7 +217,7 @@ def load_mimic_data(
             raise KeyError(
                 f"features_to_nan names unknown feature columns: {missing}")
         data.loc[list(indices_to_nan), list(cols)] = np.nan
-    return data, labels, features, partitions
+    return data, labels, features, partitions, haim_ids, cache_dir
 
 
 class MIMICDataset:
@@ -206,7 +235,8 @@ class MIMICDataset:
         synthetic_kwargs=None,
     ):
         targets = list(targets or [])
-        data, labels, features, partitions = load_mimic_data(
+        (data, labels, features, partitions, haim_ids,
+         cache_dir) = _load_mimic_full(
             targets, sources, put_none, indices_to_nan, features_to_nan,
             cache_root, synthetic_kwargs)
         if dropna:
@@ -226,14 +256,13 @@ class MIMICDataset:
         self.y = labels.values
         self.partitions = partitions
         self.features = features
-        self.cache_dir = build_mimic_cache(targets, sources, cache_root,
-                                           synthetic_kwargs)
+        self.cache_dir = cache_dir
         # Per-row patient ids captured THROUGH the same row filtering as
         # X/y (data.index survives dropna): haim_ids() stays row-aligned —
-        # re-reading the cache would return ids for ALL rows and silently
-        # leak patients across folds under dropna.
-        full = _read_numeric_csv(os.path.join(self.cache_dir, "data.csv"))
-        self._row_haim_ids = full["haim_id"].values[data.index.values]
+        # unfiltered ids would silently leak patients across folds under
+        # dropna. Ids come from the SAME parse as X/y (the second full
+        # CSV parse this used to do doubled dataset-construction cost).
+        self._row_haim_ids = haim_ids[data.index.values]
 
     def __len__(self):
         return len(self.y)
@@ -282,13 +311,5 @@ class MIMICDataset:
 
     def split_dataset(self, partitions: Optional[List[int]] = None
                       ) -> List[PartitionDataset]:
-        if partitions is None:
-            partitions = [self.X.shape[1]]
-        if sum(partitions) != self.X.shape[1]:
-            raise ValueError(
-                "Paritions sum doesn't match data dimension. Expected: {}, got: {}"
-                .format(sum(partitions), self.X.shape[1]))
-        offsets = list(accumulate(partitions[:-1]))
-        X_split = np.split(self.X, offsets, axis=1)
-        return [PartitionDataset(X_split[i], self.y, [p])
-                for i, p in enumerate(partitions)]
+        from multimodn_tpu.data.dataset import split_into_partition_datasets
+        return split_into_partition_datasets(self.X, self.y, partitions)

@@ -103,7 +103,8 @@ def train_epoch_streaming(model, loader: StreamingLoader, optimizer,
 
     from multimodn_tpu.model import _cache_key
     key = ("stream_step", _cache_key(criterion), order, model.nan_skip,
-           _cache_key(optimizer.tx))
+           _cache_key(optimizer.tx), model._chain_plan(),
+           str(model.compute_dtype))
     if key not in model._fn_cache:
         tx = optimizer.tx
 

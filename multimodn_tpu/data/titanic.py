@@ -93,13 +93,5 @@ class TitanicDataset:
 
     def split_dataset(self, partitions: Optional[List[int]] = None
                       ) -> List[PartitionDataset]:
-        if partitions is None:
-            partitions = [self.X.shape[1]]
-        if sum(partitions) != self.X.shape[1]:
-            raise ValueError(
-                "Paritions sum doesn't match data dimension. Expected: {}, got: {}"
-                .format(sum(partitions), self.X.shape[1]))
-        offsets = list(accumulate(partitions[:-1]))
-        X_split = np.split(self.X, offsets, axis=1)
-        return [PartitionDataset(X_split[i], self.y, [p])
-                for i, p in enumerate(partitions)]
+        from multimodn_tpu.data.dataset import split_into_partition_datasets
+        return split_into_partition_datasets(self.X, self.y, partitions)

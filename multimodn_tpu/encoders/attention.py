@@ -70,6 +70,12 @@ class TransformerEncoder(MultiModEncoder):
         self.n_tokens = -(-n_features // chunk)          # cdiv
         self.pad = self.n_tokens * chunk - n_features
 
+    @property
+    def stochastic(self) -> bool:
+        # Base-class contract: whether apply() consumes rng during training
+        # (review finding: this reported False with dropout_rate > 0).
+        return self.dropout_rate > 0
+
     def init(self, key) -> dict:
         keys = jax.random.split(key, 2 + self.n_layers)
         params = {

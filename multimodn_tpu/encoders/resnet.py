@@ -78,7 +78,7 @@ class ResNet(MultiModEncoder):
     apply(params, state (B, S), images (B, H, W, 3)) -> (B, S).
     """
 
-    def __init__(self, *, state_size: int = 0, freeze: bool = False,
+    def __init__(self, *, state_size: int, freeze: bool = False,
                  pretrained_path: Optional[str] = None,
                  pretrained: bool = False):
         super().__init__(state_size, n_features=None)
@@ -90,6 +90,10 @@ class ResNet(MultiModEncoder):
             raise ValueError(
                 "No network access: supply pretrained weights as a local "
                 ".npz via pretrained_path (numpy pytree of this module).")
+        if state_size < 1:
+            # A Linear(512, 0) head would emit (B, 0) states and only fail
+            # as an opaque carry-shape error deep inside the fusion trace.
+            raise ValueError(f"ResNet needs state_size >= 1, got {state_size}")
         self.freeze = freeze
         self.pretrained_path = pretrained_path
 

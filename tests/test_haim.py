@@ -71,3 +71,23 @@ def test_haim_multi_modality_concat():
     m.train_epoch(loader, Adam(0.01), "cross_entropy")
     res = m.test(loader, "cross_entropy")
     assert np.isfinite(res[1])
+
+
+def test_haim_fit_honors_loader_shuffle():
+    """Review finding: shuffle=True loaders were silently trained on the
+    fixed initial order. The fused fit now permutes per epoch in-program:
+    shuffled != unshuffled trajectories, and same-seed runs reproduce."""
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(48, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = PartitionDataset(X, y, [6])
+
+    def run(shuffle):
+        m = HAIM(HAIMDecoder(6, (8,)))
+        m.fit(ArrayLoader(ds, 16, shuffle=shuffle), Adam(0.05),
+              "cross_entropy", epochs=4)
+        return np.asarray(m.params["layers"][0]["w"])
+
+    w_plain, w_shuf1, w_shuf2 = run(False), run(True), run(True)
+    assert not np.allclose(w_plain, w_shuf1)          # shuffle changed math
+    np.testing.assert_array_equal(w_shuf1, w_shuf2)   # but deterministically
