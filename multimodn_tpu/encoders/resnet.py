@@ -179,7 +179,8 @@ class ResNet(MultiModEncoder):
                            jnp.concatenate([feats, state], axis=-1))
 
     # ------------------------------------------------------------------
-    def update_batch_stats(self, params, images, momentum: float = 0.9):
+    def update_batch_stats(self, params, images, momentum: float = 0.9,
+                           sample_mask=None):
         """Return params with BatchNorm running statistics EMA-updated from
         one batch (torch momentum convention: new = (1-m)*batch + m*old with
         torch's momentum=0.1 <-> momentum=0.9 here).
@@ -187,17 +188,35 @@ class ResNet(MultiModEncoder):
         The training step itself is pure (train=True normalizes with batch
         stats and never mutates); call this periodically — or per batch — on
         the side when eval-mode stats should track training data.
+        ``sample_mask`` (B,) excludes padded tail rows from the batch
+        statistics — without it, zero-image padding would drag every
+        running mean toward 0 and inflate variance (the same padded-batch
+        exactness the masked ``_bn`` path guarantees in-step).
         """
         stats = {}
+        if sample_mask is not None:
+            w = sample_mask.astype(jnp.float32)
+            denom = jnp.maximum(jnp.sum(w), 1.0)
 
-        def record(name, xs):
-            stats[name] = (jnp.mean(xs, axis=(0, 1, 2)),
-                           jnp.var(xs, axis=(0, 1, 2)))
+            def record(name, xs):
+                wm = w.reshape((-1,) + (1,) * (xs.ndim - 1))
+                # Per-channel masked mean/var over (real samples x H x W).
+                hw = xs.shape[1] * xs.shape[2]
+                mean = jnp.sum(xs * wm, axis=(0, 1, 2)) / (denom * hw)
+                var = jnp.sum(((xs - mean) ** 2) * wm,
+                              axis=(0, 1, 2)) / (denom * hw)
+                stats[name] = (mean, var)
+        else:
+            def record(name, xs):
+                stats[name] = (jnp.mean(xs, axis=(0, 1, 2)),
+                               jnp.var(xs, axis=(0, 1, 2)))
 
-        # Re-run the stem/stages capturing pre-normalization activations.
+        # Re-run the stem/stages capturing pre-normalization activations;
+        # the in-run batch normalization is masked too, so deeper layers'
+        # REAL-row activations match an unpadded run exactly.
         x = _conv(images, params["stem"]["w"], 2)
         record("stem", x)
-        x = jax.nn.relu(_bn(x, params["stem"]["bn"], True))
+        x = jax.nn.relu(_bn(x, params["stem"]["bn"], True, sample_mask))
         x = jax.lax.reduce_window(
             x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "SAME")
         for s, blocks in enumerate(params["stages"]):
@@ -205,15 +224,17 @@ class ResNet(MultiModEncoder):
                 stride = 2 if (s > 0 and b == 0) else 1
                 h = _conv(x, block["conv1"]["w"], stride)
                 record(f"{s}/{b}/conv1", h)
-                h = jax.nn.relu(_bn(h, block["conv1"]["bn"], True))
+                h = jax.nn.relu(_bn(h, block["conv1"]["bn"], True,
+                                    sample_mask))
                 h = _conv(h, block["conv2"]["w"], 1)
                 record(f"{s}/{b}/conv2", h)
-                h = _bn(h, block["conv2"]["bn"], True)
+                h = _bn(h, block["conv2"]["bn"], True, sample_mask)
                 shortcut = x
                 if "down" in block:
                     shortcut = _conv(x, block["down"]["w"], stride)
                     record(f"{s}/{b}/down", shortcut)
-                    shortcut = _bn(shortcut, block["down"]["bn"], True)
+                    shortcut = _bn(shortcut, block["down"]["bn"], True,
+                                   sample_mask)
                 x = jax.nn.relu(h + shortcut)
 
         def ema(bn, key):

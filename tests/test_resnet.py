@@ -136,3 +136,37 @@ def test_bn_train_stats_exclude_padded_rows():
     masked = _bn(jnp.asarray(x), p, True, jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(masked)[:4], np.asarray(full),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_update_batch_stats_masked_padding():
+    """Review finding: padded zero-image rows contaminated the BN EMA.
+    With sample_mask, padded rows are excluded: stats from a padded batch
+    equal stats from the unpadded batch."""
+    import jax.numpy as jnp
+    from multimodn_tpu.encoders.resnet import ResNet
+
+    enc = ResNet(state_size=4)
+    params = enc.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    imgs = rng.normal(size=(6, 32, 32, 3)).astype(np.float32)
+    padded = np.concatenate([imgs, np.zeros((2, 32, 32, 3), np.float32)])
+    mask = jnp.asarray([1, 1, 1, 1, 1, 1, 0, 0], jnp.float32)
+
+    p_clean = enc.update_batch_stats(params, jnp.asarray(imgs))
+    p_masked = enc.update_batch_stats(params, jnp.asarray(padded),
+                                      sample_mask=mask)
+    np.testing.assert_allclose(
+        np.asarray(p_clean["stem"]["bn"]["mean"]),
+        np.asarray(p_masked["stem"]["bn"]["mean"]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(p_clean["stem"]["bn"]["var"]),
+        np.asarray(p_masked["stem"]["bn"]["var"]), rtol=1e-4, atol=1e-5)
+    # Deeper layers too: the re-run normalizes with MASKED batch stats, so
+    # real-row activations (and hence all recorded stats) match unpadded.
+    deep_clean = np.asarray(p_clean["stages"][1][0]["conv2"]["bn"]["mean"])
+    deep_masked = np.asarray(p_masked["stages"][1][0]["conv2"]["bn"]["mean"])
+    np.testing.assert_allclose(deep_clean, deep_masked, rtol=1e-4, atol=1e-5)
+    # Unmasked padded stats DO differ (the original bug).
+    p_unmasked = enc.update_batch_stats(params, jnp.asarray(padded))
+    assert not np.allclose(np.asarray(p_clean["stem"]["bn"]["mean"]),
+                           np.asarray(p_unmasked["stem"]["bn"]["mean"]))
