@@ -68,6 +68,11 @@ class CheckpointManager:
 
     def save(self, model, epoch: int, score: float, **extra) -> bool:
         """Persist if the score ranks in the best-k; returns True if saved."""
+        import math
+        if math.isnan(score):
+            # NaN passes every <= gate and corrupts the sorted tracking
+            # (best_path could point at a diverged epoch).
+            return False
         signed = self.sign * score
         if len(self._tracked) >= self.keep and \
                 signed <= min(s for s, _, _ in self._tracked):

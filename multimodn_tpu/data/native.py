@@ -104,7 +104,10 @@ def pack_epoch(X: np.ndarray, order: np.ndarray, widths: Sequence[int],
     offsets = np.zeros(m, np.int64)
     np.cumsum(widths[:-1], out=offsets[1:])
     order = np.ascontiguousarray(order, dtype=np.int64)
-    total = n_batches * batch
+    if n_batches * batch < n:
+        raise ValueError(
+            f"epoch geometry too small: {n_batches} batches x {batch} holds "
+            f"{n_batches * batch} rows < {n} ordered rows")
 
     blocks = [np.empty((n_batches, batch, w), np.float32) for w in widths]
     mask = np.empty((n_batches, batch), np.float32)

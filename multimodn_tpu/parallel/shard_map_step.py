@@ -41,7 +41,6 @@ def make_shard_map_train_step(loss_fn, tx, mesh: Mesh, n_modalities: int,
     global masked mean: each shard contributes mean_local * n_valid_local /
     n_valid_global.
     """
-    n_dev = mesh.shape[data_axis]
 
     def device_step(params, opt_state, data, targets, mask, rng):
         # Global valid count via psum of the local count.

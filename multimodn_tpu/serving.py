@@ -68,13 +68,15 @@ class InferenceSession:
         probabilities for the updated state).
 
         ``nan_skip`` defaults to the MODEL's configured missingness mode
-        (True unless the model was built with nan_skip='none'), so serving
-        semantics track training semantics; pass an explicit bool to
-        override. NaN rows leave their state unchanged when skipping.
+        ('sample'/'batch'/'none' semantics exactly as in training: a
+        'batch' model skips the encoder for the WHOLE batch when any row
+        has NaN — matching the fused paths and export_compiled); pass an
+        explicit bool to override (True = per-sample, False = no skip).
+        NaN rows leave their state unchanged when skipping.
         """
-        if nan_skip is None:
-            nan_skip = self.model.nan_skip != "none"
-        key = (encoder_idx, nan_skip)
+        mode = self.model.nan_skip if nan_skip is None \
+            else ("sample" if nan_skip else "none")
+        key = (encoder_idx, mode)
         if key not in self._step_fns:
             encoder = self.model.encoders[encoder_idx]
             decoders = self.model.decoders
@@ -84,10 +86,13 @@ class InferenceSession:
             def step_fn(enc_params, dec_params, state, x):
                 xz = jnp.nan_to_num(x)
                 new_state = encoder.apply(enc_params, state, xz)
-                if nan_skip:
+                if mode == "sample":
                     has_nan = jnp.any(jnp.isnan(x),
                                       axis=tuple(range(1, x.ndim)))
                     new_state = jnp.where(has_nan[:, None], state, new_state)
+                elif mode == "batch":
+                    any_nan = jnp.any(jnp.isnan(x))
+                    new_state = jnp.where(any_nan, state, new_state)
                 outs = [dec.apply(dec_params[d], new_state)
                         for d, dec in enumerate(decoders)]
                 return new_state, outs
@@ -150,7 +155,7 @@ def export_model(model, directory: str):
         for attr in ("state_size", "n_features", "hidden_layers",
                      "dropout_rate", "n_classes", "unbatched_compat",
                      "embed_dim", "n_heads", "n_layers", "mlp_ratio",
-                     "chunk"):
+                     "chunk", "freeze"):
             if hasattr(m, attr):
                 v = getattr(m, attr)
                 spec[attr] = list(v) if isinstance(v, tuple) else v

@@ -41,7 +41,14 @@ def sync(tree) -> None:
     scalar from each leaf (robust on platforms where block_until_ready
     returns early)."""
     for leaf in jax.tree_util.tree_leaves(tree):
-        np.asarray(leaf).ravel()[:1]
+        # Slice ON DEVICE first: np.asarray(leaf) would ship the WHOLE
+        # buffer through the tunnel (~30-40 MB/s) and time the transfer,
+        # not the compute. ravel()[:1] executes device-side; one element
+        # crosses the wire (same trick as bench.py's sync()).
+        if hasattr(leaf, "ravel"):
+            np.asarray(leaf.ravel()[:1])
+        else:
+            np.asarray(leaf)
 
 
 class EpochTimer:
