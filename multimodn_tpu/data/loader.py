@@ -158,6 +158,7 @@ class ArrayLoader:
         if self.shuffle:
             self._rng.shuffle(self._order)
             self._stacks = None
+            self._host_stacks_cache = None
             self._batch_seq = None
 
     def _pad_stack(self, arr: np.ndarray) -> np.ndarray:
@@ -170,9 +171,13 @@ class ArrayLoader:
             ordered = np.concatenate([ordered, pad], axis=0)
         return ordered.reshape((self.n_batches, B) + arr.shape[1:])
 
-    def stacks(self):
-        """Return (data_tuple, targets, sample_mask) device arrays."""
-        if self._stacks is None:
+    def host_stacks(self):
+        """(data_tuple, targets, sample_mask) as HOST numpy arrays, no
+        device transfer — for consumers that restack before placement
+        (the vmapped k-fold pads and fold-stacks on host, then uploads
+        once; round-tripping device arrays back through numpy would
+        triple the transfer volume)."""
+        if getattr(self, "_host_stacks_cache", None) is None:
             packed = None
             if self._full_X is not None:
                 from multimodn_tpu.data import native
@@ -186,6 +191,13 @@ class ArrayLoader:
                 data = tuple(self._pad_stack(x) for x in self._xs)
                 mask = self._pad_stack(np.ones(self.n_samples, np.float32))
             targets = self._pad_stack(self._y)
+            self._host_stacks_cache = (data, targets, mask)
+        return self._host_stacks_cache
+
+    def stacks(self):
+        """Return (data_tuple, targets, sample_mask) device arrays."""
+        if self._stacks is None:
+            data, targets, mask = self.host_stacks()
             if self.sharding is not None:
                 put = lambda a: jax.device_put(a, self.sharding)
             else:
@@ -196,9 +208,7 @@ class ArrayLoader:
     def numpy_batches(self):
         """Host-side batch iterator (data list, targets, mask) for debugging
         and for interop with non-jitted consumers."""
-        data, targets, mask = (tuple(np.asarray(x) for x in self.stacks()[0]),
-                               np.asarray(self.stacks()[1]),
-                               np.asarray(self.stacks()[2]))
+        data, targets, mask = self.host_stacks()
         for b in range(self.n_batches):
             yield [d[b] for d in data], targets[b], mask[b]
 

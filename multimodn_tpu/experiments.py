@@ -191,9 +191,21 @@ def kfold_fit_best(
                              reshuffle=reshuffle)
 
     # In scan-chain mode the loss fn expects ONE stacked modality array
-    # (see MultiModN._place) — _place also attaches any mesh sharding.
-    train_stacks = [template._place(f[0]) for f in folds]
-    val_stacks = [template._place(f[1]) for f in folds]
+    # (see MultiModN._place). Mesh-free templates (the common case and the
+    # fold-mesh path) pad and fold-stack from the loaders' HOST arrays —
+    # placing per-fold device arrays first would round-trip the whole
+    # dataset device->host->device through _pad_batches/stack (3x the
+    # transfer volume). Model-mesh templates keep _place (it attaches the
+    # batch sharding the vmapped program relies on).
+    def _host_place(loader):
+        data, targets, mask = loader.host_stacks()
+        if template._chain_plan()[0] == "scan" and isinstance(data, tuple):
+            data = np.stack(data, axis=2)
+        return data, targets, mask
+
+    place = template._place if template.mesh is not None else _host_place
+    train_stacks = [place(f[0]) for f in folds]
+    val_stacks = [place(f[1]) for f in folds]
     max_tb = max(s[1].shape[0] for s in train_stacks)
     max_vb = max(s[1].shape[0] for s in val_stacks)
     if reshuffle and any(s[1].shape[0] != max_tb for s in train_stacks):
@@ -265,11 +277,15 @@ def kfold_fit_best(
         model.load_state_dict(fold_best)
         # Leave each fold model exactly as per-fold fit_best would: the
         # training consumed epochs*(n_train+n_val) StaticInitState cycle
-        # states in-program, and epochs rng epochs — a later test()/predict()
-        # on the returned model must continue from there.
+        # states in-program and epochs rng epochs, and the OPTIMIZER state
+        # is the fold's trained moments (load_state_dict resets it) — a
+        # later test()/predict()/continued training on the returned model
+        # must continue from there.
         model._advance_cycle(
             epochs * (folds[f][0].n_samples + folds[f][1].n_samples))
         model._epoch_counter += epochs
+        model.opt_state = jax.tree_util.tree_map(lambda x: x[f], opt_state)
+        model._opt = optimizer
         results.append({
             "model": model,
             "best_epoch": int(np.asarray(best_epoch)[f]),

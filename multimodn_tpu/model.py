@@ -231,12 +231,7 @@ class MultiModN:
         if not per_batch and chain in ("scan", "switch"):
             from multimodn_tpu.core.fusion import has_repeated_encoders
             if has_repeated_encoders(order):
-                if self.chain_mode != "auto":
-                    raise ValueError(
-                        "encoding sequences with REPEATED encoders need the "
-                        "unrolled chain (per-execution metric accumulation, "
-                        "multimodn.py:171-192); drop chain_mode="
-                        f"{self.chain_mode!r} or use 'auto'/'unrolled'.")
+                self._check_repeat_downgrade()
                 chain, shuffle = "unrolled", False
         if per_batch and chain == "unrolled":
             # Per-batch encoding sequences need a traced-order chain:
@@ -334,6 +329,19 @@ class MultiModN:
         val_seqs = self._batch_seqs(val_loader) \
             if val_loader is not None else None
         per_batch = seqs is not None or val_seqs is not None
+        if not per_batch and val_loader is not None:
+            # Train and val loaders carrying DIFFERENT uniform orders must
+            # each keep their own (looped train_epoch+test resolves per
+            # loader) — thread both as traced rows instead of silently
+            # evaluating val under the train order.
+            E = len(self.encoders)
+
+            def _uni(ldr):
+                es = getattr(ldr, "encoding_sequence", None)
+                return tuple(int(v) for v in np.asarray(es).reshape(-1)) \
+                    if es is not None else tuple(range(E))
+
+            per_batch = _uni(train_loader) != _uni(val_loader)
         if not per_batch:
             return None, None, False
         if reshuffle and seqs is not None:
@@ -357,6 +365,13 @@ class MultiModN:
             seqs = tiled_order(train_loader)
         if val_loader is not None and val_seqs is None:
             val_seqs = tiled_order(val_loader)
+        # Every row actually executed gets width-validated (and repeats
+        # rejected — traced chains cannot express per-execution
+        # accumulation); tiled train rows and ALL val rows previously
+        # bypassed _validate_pairings entirely.
+        self._validate_pairings((), train_loader, np.asarray(seqs))
+        if val_loader is not None:
+            self._validate_pairings((), val_loader, np.asarray(val_seqs))
         seqs = jnp.asarray(seqs)
         val_seqs = jnp.asarray(val_seqs) if val_seqs is not None else None
         return seqs, val_seqs, True
@@ -366,11 +381,7 @@ class MultiModN:
         if chain in ("scan", "switch"):
             from multimodn_tpu.core.fusion import has_repeated_encoders
             if has_repeated_encoders(order):
-                if self.chain_mode != "auto":
-                    raise ValueError(
-                        "encoding sequences with REPEATED encoders need the "
-                        "unrolled chain; drop chain_mode="
-                        f"{self.chain_mode!r} or use 'auto'/'unrolled'.")
+                self._check_repeat_downgrade(for_eval=True)
                 chain = "unrolled"
         key = ("fwd", order, nan_skip, chain)
         if key not in self._fn_cache:
@@ -379,6 +390,37 @@ class MultiModN:
                 nan_skip, chain=chain)
         return self._fn_cache[key]
 
+
+    def _check_repeat_downgrade(self, for_eval: bool = False):
+        """Repeated-encoder orders run through the unrolled chain; guard the
+        configurations where that downgrade would be wrong instead of
+        silently corrupting them (review findings):
+        - explicit chain_mode='scan'/'switch': honor the user's choice with
+          an error;
+        - scan-stacked parameter storage (chosen at construction): the
+          unrolled chain indexes per-encoder params and would KeyError;
+        - shuffle_mode (train only): the downgraded chain cannot shuffle
+          in-program, and silently dropping the reference's per-batch
+          redraw is worse than an error."""
+        if self.chain_mode != "auto":
+            raise ValueError(
+                "encoding sequences with REPEATED encoders need the "
+                "unrolled chain (per-execution metric accumulation, "
+                "multimodn.py:171-192); drop chain_mode="
+                f"{self.chain_mode!r} or use 'auto'/'unrolled'.")
+        if not isinstance(self.params["encoders"], (list, tuple)):
+            raise NotImplementedError(
+                "this model stores scan-stacked encoder parameters (the "
+                "homogeneous auto plan chose the scan chain at "
+                "construction); repeated encoding sequences need "
+                "per-encoder storage — construct the model with "
+                "chain_mode='unrolled'.")
+        if self.shuffle_mode and not for_eval:
+            raise NotImplementedError(
+                "shuffle_mode with a REPEATED encoding sequence cannot "
+                "shuffle in-program (traced chains reject repeats); "
+                "construct the model with chain_mode='unrolled' for the "
+                "host-side per-call shuffle cadence.")
 
     def _validate_fused_shuffle(self, reshuffle: bool, train_loader):
         """Guards for the fused multi-epoch programs' shuffle semantics."""
@@ -430,7 +472,13 @@ class MultiModN:
                         f"{widths[int(k)]}) with encoder {int(e)} "
                         f"(n_features {nf}); widths must match.")
 
-        check(order)
+        if seqs is None:
+            # The static order is only executed when no per-batch rows
+            # exist; in per-batch mode the (identity-default) order is
+            # never run, and checking it falsely rejects width-valid
+            # configurations (review finding).
+            check(order)
+            return
         if seqs is not None:
             for row in np.asarray(seqs):
                 check(list(enumerate(row)))
@@ -522,7 +570,6 @@ class MultiModN:
                             per_batch=seqs is not None)
 
         rng = jax.random.fold_in(jax.random.PRNGKey(self._seed), self._epoch_counter)
-        self._epoch_counter += 1
         off = self._cycle_base()
         kw = {} if off is None else {"offset0": off}
         if seqs is not None:
@@ -532,6 +579,9 @@ class MultiModN:
         else:
             self.params, self.opt_state, sums, batch_log = fn(
                 self.params, self.opt_state, data, targets, mask, rng, **kw)
+        # Counters advance only after the program ran: a failed call must
+        # not shift the rng stream (same invariant as _advance_cycle).
+        self._epoch_counter += 1
         self._advance_cycle(train_loader.n_samples)
 
         stats = jax.tree_util.tree_map(
@@ -581,6 +631,13 @@ class MultiModN:
         for the whole run. History receives every epoch's grids, identical to
         looped train_epoch/test calls.
         """
+        if self.dp_engine == "shard_map":
+            raise NotImplementedError(
+                "dp_engine='shard_map' implements the per-epoch explicit-"
+                "collective program (train_epoch only); the fused "
+                "multi-epoch fit/fit_best would silently run through the "
+                "auto engine instead. Loop train_epoch() or build the "
+                "model with dp_engine='auto'.")
         criterion = resolve_criterion(criterion)
         # Shuffle-enabled loaders keep their per-epoch reshuffle semantics
         # inside the fused program: an in-program sample permutation per
@@ -613,7 +670,6 @@ class MultiModN:
         fn = self._fn_cache[key]
 
         rng = jax.random.fold_in(jax.random.PRNGKey(self._seed), self._epoch_counter)
-        self._epoch_counter += epochs
         epoch_ids = jnp.arange(epochs)
 
         if with_val:
@@ -629,6 +685,7 @@ class MultiModN:
                 self.params, self.opt_state, tsums, vsums = fn(
                     self.params, self.opt_state, data, targets, mask,
                     vdata, vtargets, vmask, epoch_ids, rng, **kw)
+            self._epoch_counter += epochs
             self._advance_cycle(
                 epochs * (train_loader.n_samples + val_loader.n_samples))
         else:
@@ -642,6 +699,7 @@ class MultiModN:
                 self.params, self.opt_state, tsums = fn(
                     self.params, self.opt_state, data, targets, mask,
                     epoch_ids, rng, **kw)
+            self._epoch_counter += epochs
             self._advance_cycle(epochs * train_loader.n_samples)
             vsums = None
 
@@ -697,6 +755,12 @@ class MultiModN:
                 "fit_best requires at least one binary (n_classes==2) "
                 "decoder: the AUROC+BAC selection score is undefined "
                 "otherwise. Use fit() for non-binary models.")
+        if self.dp_engine == "shard_map":
+            raise NotImplementedError(
+                "dp_engine='shard_map' implements the per-epoch explicit-"
+                "collective program (train_epoch only); fit_best would "
+                "silently run through the auto engine instead. Loop "
+                "train_epoch() or build the model with dp_engine='auto'.")
         criterion = resolve_criterion(criterion)
         reshuffle = bool(getattr(train_loader, "shuffle", False))
         self._validate_fused_shuffle(reshuffle, train_loader)
@@ -724,7 +788,6 @@ class MultiModN:
         fn = self._fn_cache[key]
 
         rng = jax.random.fold_in(jax.random.PRNGKey(self._seed), self._epoch_counter)
-        self._epoch_counter += epochs
         extra = (seqs, val_seqs) if per_batch else ()
         off = self._cycle_base()
         kw = {} if off is None else {"offset0": off}
@@ -732,6 +795,7 @@ class MultiModN:
          best_epoch, scores) = fn(self.params, self.opt_state, data, targets,
                                   mask, vdata, vtargets, vmask,
                                   jnp.arange(epochs), rng, *extra, **kw)
+        self._epoch_counter += epochs
         self._advance_cycle(
             epochs * (train_loader.n_samples + val_loader.n_samples))
 

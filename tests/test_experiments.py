@@ -351,3 +351,26 @@ def test_kfold_fold_models_carry_cycle_phase():
     np.testing.assert_allclose(np.asarray(h1.loss["test"][0]),
                                np.asarray(h2.loss["test"][0]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_kfold_models_carry_trained_opt_state():
+    """Review finding: kfold-returned models had opt_state=None, so
+    continued training re-initialized Adam moments; now continuing equals
+    per-fold fit_best + continued training exactly."""
+    folds_a, folds_b = _folds(3), _folds(3)
+    opt = Adam(0.01)
+    results = kfold_fit_best(_factory, folds_a, opt, "cross_entropy",
+                             epochs=3)
+    km = results[0]["model"]
+    assert km.opt_state is not None
+    solo = _factory(0)
+    opt_s = Adam(0.01)
+    tr, va = folds_b[0]
+    solo.fit_best(tr, opt_s, "cross_entropy", epochs=3, val_loader=va)
+    # Continue training both for one epoch with their own optimizers.
+    km.train_epoch(folds_a[0][0], opt, "cross_entropy")
+    solo.train_epoch(tr, opt_s, "cross_entropy")
+    np.testing.assert_allclose(
+        np.asarray(km.params["encoders"][0]["layers"][0]["w"]),
+        np.asarray(solo.params["encoders"][0]["layers"][0]["w"]),
+        rtol=1e-5, atol=1e-6)

@@ -560,3 +560,77 @@ def test_adam_bf16_state_dtype():
     np.testing.assert_allclose(np.asarray(h32.loss["train"][-1]),
                                np.asarray(h16.loss["train"][-1]),
                                rtol=0.05, atol=0.02)
+
+
+def test_fused_fit_honors_val_loader_sequence():
+    """Review finding: fused fit/fit_best evaluated the val loader under
+    the TRAIN loader's encoder order. A val loader with its own uniform
+    sequence must match looped train_epoch + test exactly."""
+    import jax.numpy as jnp
+    from multimodn_tpu import MultiModN, MultiModNHistory, Adam
+    from multimodn_tpu.data import ArrayLoader, PartitionDataset
+    from multimodn_tpu.decoders import LogisticDecoder
+    from multimodn_tpu.encoders import MLPEncoder
+    from tests.test_order import SeqDataset
+
+    rng = np.random.default_rng(61)
+    X = rng.normal(size=(64, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    train_ds = PartitionDataset(X[:48], y[:48], [3, 3])       # identity
+    val_ds = SeqDataset(X[48:], y[48:], [3, 3], [1, 0])       # swapped
+
+    def build():
+        return MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                         [LogisticDecoder(3)], 0.7, 0.3)
+
+    m_loop, m_fused = build(), build()
+    h_loop, h_fused = MultiModNHistory(["t"]), MultiModNHistory(["t"])
+    opt = Adam(0.01)
+    for _ in range(3):
+        m_loop.train_epoch(ArrayLoader(train_ds, 16), opt, "cross_entropy",
+                           h_loop)
+        m_loop.test(ArrayLoader(val_ds, 16), "cross_entropy", h_loop,
+                    tag="val")
+    m_fused.fit(ArrayLoader(train_ds, 16), Adam(0.01), "cross_entropy",
+                epochs=3, history=h_fused, val_loader=ArrayLoader(val_ds, 16))
+    for e in range(3):
+        np.testing.assert_allclose(np.asarray(h_loop.loss["val"][e]),
+                                   np.asarray(h_fused.loss["val"][e]),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_per_batch_sequences_identity_order_not_falsely_rejected():
+    """Review finding: _validate_pairings checked the never-executed static
+    identity order in per-batch mode, rejecting width-valid configs."""
+    from multimodn_tpu import MultiModN, MultiModNHistory, Adam
+    from multimodn_tpu.data import ArrayLoader, PartitionDataset
+    from multimodn_tpu.decoders import LogisticDecoder
+    from multimodn_tpu.encoders import MLPEncoder
+
+    class BatchSeqDS(PartitionDataset):
+        """Rows alternate per 8-sample block between the two width-valid
+        non-identity orders; the identity order is width-INVALID."""
+        _rows = np.asarray([[0, 2, 1], [2, 0, 1]], np.int64)
+
+        def __getitem__(self, i):
+            xs, y = super().__getitem__(i)[:2]
+            return xs, y, self._rows[(i // 8) % 2]
+
+        def arrays(self):
+            xs, y = super().arrays()[:2]
+            seq = np.stack([self._rows[(i // 8) % 2]
+                            for i in range(len(self))])
+            return xs, y, seq
+
+    rng = np.random.default_rng(62)
+    X = rng.normal(size=(32, 11)).astype(np.float32)
+    y = (X @ rng.normal(size=11) > 0).astype(np.int64)[:, None]
+    ds = BatchSeqDS(X, y, [3, 3, 5])
+    # widths [3,3,5]; encoders n_features [3,5,3]: identity pairing (1->1)
+    # is invalid (3 vs 5), but both actual rows are width-valid.
+    m = MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 5, (4,)),
+                      MLPEncoder(3, 3, (4,))],
+                  [LogisticDecoder(3)], 0.7, 0.3)
+    h = MultiModNHistory(["t"])
+    m.train_epoch(ArrayLoader(ds, 8), Adam(0.01), "cross_entropy", h)
+    assert np.isfinite(np.asarray(h.loss["train"][-1])).all()
