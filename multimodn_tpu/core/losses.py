@@ -108,6 +108,14 @@ def resolve_criterion(criterion):
     reuse one compiled program."""
     if criterion is None:
         return cross_entropy_loss
+    # Torch loss-module instances (reference pipelines pass
+    # ``nn.CrossEntropyLoss()``, titanic_mlp_pipeline.py:76) map to the
+    # matching JAX loss BEFORE the generic-callable branch — calling a torch
+    # module with traced jnp arrays would fail deep inside torch.
+    from multimodn_tpu.interop import adapt_criterion
+    _torch_name = adapt_criterion(criterion)
+    if _torch_name is not None:
+        return LOSSES[_torch_name]
     if callable(criterion):
         if getattr(criterion, "_accepts_mask", None) is not None:
             return criterion

@@ -88,6 +88,17 @@ def resolve_activation(act):
     if act is None:
         return identity
     if callable(act):
+        # Torch activations (reference pipelines pass ``F.relu``,
+        # titanic_mlp_pipeline.py:69) map to the JAX twin by name — calling
+        # a torch function on traced jnp arrays would fail inside torch.
+        mod = getattr(act, "__module__", "") or ""
+        if mod.startswith("torch"):
+            name = getattr(act, "__name__", type(act).__name__).lower()
+            if name in ACTIVATIONS:
+                return ACTIVATIONS[name]
+            raise ValueError(
+                f"torch activation {name!r} has no JAX mapping; known: "
+                f"{sorted(ACTIVATIONS)}")
         return act
     try:
         return ACTIVATIONS[act]

@@ -41,6 +41,11 @@ from multimodn_tpu.core.step import (
 )
 from multimodn_tpu.decoders.base import MultiModDecoder
 from multimodn_tpu.encoders.base import MultiModEncoder
+from multimodn_tpu.interop import (
+    adapt_loader,
+    adapt_optimizer,
+    torch_parameters,
+)
 from multimodn_tpu.optim import Optimizer
 
 
@@ -540,6 +545,8 @@ class MultiModN:
     ):
         if log_interval and not logger:
             logger = print
+        train_loader = adapt_loader(train_loader)
+        optimizer = adapt_optimizer(optimizer)
         criterion = resolve_criterion(criterion)
         if self._static_cycle() and self.dp_engine == "shard_map":
             # Validate BEFORE mutating host state (loader order, program
@@ -631,6 +638,10 @@ class MultiModN:
         for the whole run. History receives every epoch's grids, identical to
         looped train_epoch/test calls.
         """
+        train_loader = adapt_loader(train_loader)
+        if val_loader is not None:
+            val_loader = adapt_loader(val_loader)
+        optimizer = adapt_optimizer(optimizer)
         if self.dp_engine == "shard_map":
             raise NotImplementedError(
                 "dp_engine='shard_map' implements the per-epoch explicit-"
@@ -745,6 +756,9 @@ class MultiModN:
         """
         if val_loader is None:
             raise ValueError("fit_best requires a val_loader")
+        train_loader = adapt_loader(train_loader)
+        val_loader = adapt_loader(val_loader)
+        optimizer = adapt_optimizer(optimizer)
         binary = [d.n_classes == 2 for d in self.decoders]
         if not any(binary):
             # The selection rule is sum(AUROC + BAC) over BINARY decoders
@@ -838,6 +852,7 @@ class MultiModN:
     ):
         if log_results and not logger:
             logger = print
+        test_loader = adapt_loader(test_loader)
         criterion = resolve_criterion(criterion)
         data, targets, mask = self._place(test_loader)
         seqs = self._batch_seqs(test_loader)
@@ -978,6 +993,7 @@ class MultiModN:
     def get_states(self, data_loader) -> List[np.ndarray]:
         """Final fusion state per sample (with NaN skip) — the
         interpretability hook (reference ``multimodn.py:460-492``)."""
+        data_loader = adapt_loader(data_loader)
         data, targets, mask = self._place(data_loader)
         seqs = self._batch_seqs(data_loader)
         order = self._resolve_order(data_loader, train=False)
@@ -1033,6 +1049,15 @@ class MultiModN:
         self.__dict__.update(state)
         self.__dict__.setdefault("_cycle_offset", 0)
         self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
+
+    def parameters(self):
+        """Torch-tensor mirrors of the parameter pytree, so reference-style
+        ``torch.optim.Adam(list(model.parameters()), lr)``
+        (``titanic_mlp_pipeline.py:74``) constructs. The torch optimizer is
+        a hyperparameter carrier only — training updates the JAX params via
+        ``interop.adapt_optimizer``; read live weights with
+        ``state_dict()``."""
+        return iter(torch_parameters(self))
 
     def state_dict(self) -> dict:
         return jax.tree_util.tree_map(np.asarray, self.params)

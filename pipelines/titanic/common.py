@@ -48,6 +48,16 @@ class TitanicConfig:
     nan_skip: str = "sample"
 
 
+def build_model(cfg: TitanicConfig, seed: int) -> MultiModN:
+    """Construct the pipeline's model exactly as ``run()`` does — exposed so
+    parity tests can capture the seed-deterministic initial weights."""
+    encoders = cfg.make_encoders(cfg.state_size, cfg.features)
+    decoders = [LogisticDecoder(cfg.state_size) for _ in cfg.targets]
+    return MultiModN(cfg.state_size, encoders, decoders, cfg.err_penalty,
+                     cfg.state_change_penalty, nan_skip=cfg.nan_skip,
+                     seed=seed)
+
+
 def run(cfg: TitanicConfig, pipeline_file: str, argv=None):
     name = utils.extract_pipeline_name(pipeline_file)
     print("Running {}...".format(utils.get_display_name(name)))
@@ -65,11 +75,7 @@ def run(cfg: TitanicConfig, pipeline_file: str, argv=None):
     train_loader = ArrayLoader(train_data, bs if bs else len(train_data))
     val_loader = ArrayLoader(val_data, bs if bs else len(val_data))
 
-    encoders = cfg.make_encoders(cfg.state_size, cfg.features)
-    decoders = [LogisticDecoder(cfg.state_size) for _ in cfg.targets]
-    model = MultiModN(cfg.state_size, encoders, decoders, cfg.err_penalty,
-                      cfg.state_change_penalty, nan_skip=cfg.nan_skip,
-                      seed=args.seed)
+    model = build_model(cfg, args.seed)
     optimizer = Adam(cfg.learning_rate)
     history = MultiModNHistory(cfg.targets)
 

@@ -9,7 +9,7 @@ from multimodn_tpu.encoders import MLPFeatureEncoder
 from pipelines.titanic.common import TitanicConfig, run
 
 CONFIG = TitanicConfig(
-    features=["Fare", "Pclass", "Age", "Sex_male", "Relatives"],
+    features=["Fare", "Pclass", "Age", "Relatives", "Embarked"],
     featurewise=True,
     state_size=5,
     make_encoders=lambda s, feats: [MLPFeatureEncoder(s, 5) for _ in feats],

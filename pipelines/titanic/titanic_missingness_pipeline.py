@@ -12,7 +12,7 @@ sys.path.append(o.abspath(o.join(o.dirname(__file__), "../..")))
 from multimodn_tpu.encoders import MLPFeatureEncoder
 from pipelines.titanic.common import TitanicConfig, run
 
-FEATURES = ["Cabin_num", "Fare", "Pclass", "Age", "Sex_male", "Relatives"]
+FEATURES = ["Fare", "Pclass", "Age", "Relatives", "Embarked", "Cabin_num"]
 
 CONFIG = TitanicConfig(
     features=FEATURES,

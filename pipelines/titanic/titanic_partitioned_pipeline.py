@@ -12,7 +12,7 @@ from pipelines.titanic.common import TitanicConfig, run
 PARTITIONS = [3, 2]
 
 CONFIG = TitanicConfig(
-    features=["Fare", "Pclass", "Age", "Sex_male", "Relatives"],
+    features=["Fare", "Pclass", "Age", "Relatives", "Embarked"],
     partitions=PARTITIONS,
     state_size=5,
     make_encoders=lambda s, feats: [MLPEncoder(s, n, (5, 5))

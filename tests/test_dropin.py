@@ -1,0 +1,137 @@
+"""True script-level drop-in: byte-identical reference pipeline bodies run
+against the repo's compat tree (VERDICT r2 next-#3).
+
+Each test execs the UNMODIFIED source of a reference pipeline script
+(``/root/reference/pipelines/titanic/*_pipeline.py``) with NO namespace
+swapping — ``multimodn`` / ``datasets`` / ``pipelines`` resolve to the
+repo's own compat packages, ``torch.optim.Adam(model.parameters(), lr)`` /
+``nn.CrossEntropyLoss()`` / ``torch.utils.data.DataLoader`` flow through
+``multimodn_tpu.interop``, and ``F.relu`` maps to the JAX relu
+(core.nn.resolve_activation). Only ``__file__``/``sys.argv`` are pointed
+into a scratch dir so artifacts don't land in the repo.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF_PATH = "/root/reference"
+
+_CAPTURE: dict = {}
+
+
+def run_dropin(pipeline: str, argv, workdir: str) -> dict:
+    """Exec the reference script source against the repo packages and call
+    its main(); returns captured {"models": [...], "histories": [...]}."""
+    with open(os.path.join(REF_PATH, "pipelines", "titanic",
+                           pipeline + ".py")) as f:
+        src = f.read()
+    fake_file = os.path.join(workdir, "pipelines", "titanic",
+                             pipeline + ".py")
+    os.makedirs(os.path.dirname(fake_file), exist_ok=True)
+
+    _CAPTURE.clear()
+    _CAPTURE.update({"models": [], "histories": []})
+
+    mod = types.ModuleType("_dropin_main")
+    mod.__file__ = fake_file
+    argv_snapshot, path_snapshot = sys.argv, list(sys.path)
+    sys.modules["_dropin_main"] = mod
+    sys.argv = [fake_file] + list(argv)
+    try:
+        exec(compile(src, fake_file, "exec"), mod.__dict__)
+        # Wrap the classes in the SCRIPT's namespace (not the packages') so
+        # the objects main() creates but never returns are observable.
+        model_cls, hist_cls = mod.MultiModN, mod.MultiModNHistory
+
+        def capturing_model(*a, **k):
+            m = model_cls(*a, **k)
+            _CAPTURE["models"].append(m)
+            return m
+
+        def capturing_history(*a, **k):
+            h = hist_cls(*a, **k)
+            _CAPTURE["histories"].append(h)
+            return h
+
+        mod.MultiModN = capturing_model
+        mod.MultiModNHistory = capturing_history
+        mod.main()
+    finally:
+        sys.argv = argv_snapshot
+        sys.path[:] = path_snapshot
+        sys.modules.pop("_dropin_main", None)
+    return dict(_CAPTURE)
+
+
+def test_mlp_dropin_full_artifacts(tmp_path):
+    """The canonical quick-start script (titanic_mlp_pipeline.py:19-127)
+    runs unmodified with every save flag ON: model/history pickles, plot
+    PNG, results CSV all appear; the pickled model round-trips."""
+    cap = run_dropin("titanic_mlp_pipeline", ["-e", "3"], str(tmp_path))
+    base = tmp_path / "pipelines" / "titanic"
+    assert (base / "models" / "titanic_mlp_model.pkl").exists()
+    assert (base / "models" / "titanic_mlp_history.pkl").exists()
+    assert (base / "plots" / "titanic_mlp.png").exists()
+    assert (base / "results" / "titanic_mlp.csv").exists()
+    with open(base / "models" / "titanic_mlp_model.pkl", "rb") as f:
+        loaded = pickle.load(f)
+    preds = loaded.predict([np.zeros((4, 6), np.float32)])
+    assert preds.shape == (2, 1, 4)
+    hist = cap["histories"][0]
+    assert len(hist.loss["train"]) == 3 and len(hist.loss["val"]) == 3
+
+
+def test_mlp_dropin_matches_native_pipeline(tmp_path):
+    """The drop-in script's torch-object path (torch Adam + CE loss + torch
+    DataLoader + looped train_epoch/test) produces the same trajectory as
+    the repo-native pipeline (JAX optimizer + ArrayLoader + fused fit) at
+    the same seed."""
+    from pipelines.titanic.titanic_mlp_pipeline import main as native_main
+
+    cap = run_dropin(
+        "titanic_mlp_pipeline",
+        ["-e", "3", "-m", "false", "-y", "false", "-p", "false",
+         "-r", "false"], str(tmp_path))
+    _, native_hist = native_main(["-e", "3", "-m", "false", "-y", "false",
+                                  "-p", "false", "-r", "false"])
+    dropin_hist = cap["histories"][0]
+    for field in ("loss", "accuracy", "sensitivity", "specificity",
+                  "balanced_accuracy"):
+        ours, theirs = getattr(dropin_hist, field), getattr(native_hist,
+                                                            field)
+        assert set(ours) == set(theirs)
+        for tag in theirs:
+            np.testing.assert_allclose(
+                np.asarray(ours[tag], np.float64),
+                np.asarray(theirs[tag], np.float64),
+                rtol=1e-5, atol=1e-6, err_msg=f"{field}[{tag}]")
+    np.testing.assert_allclose(
+        np.asarray(dropin_hist.state_change_loss, np.float64),
+        np.asarray(native_hist.state_change_loss, np.float64),
+        rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("pipeline,epochs", [
+    ("titanic_featurewise_pipeline", 2),
+    ("titanic_partitioned_pipeline", 2),
+    ("titanic_lstm_pipeline", 2),
+    ("titanic_rnn_pipeline", 2),
+    ("titanic_missingness_pipeline", 1),
+])
+def test_other_scripts_dropin(pipeline, epochs, tmp_path):
+    """Every remaining Titanic reference script executes unmodified against
+    the compat tree (encoder-constructor signatures incl. positional
+    ``F.relu``, batch_size=1 missingness, LSTM/RNN quirk-8 encoders)."""
+    cap = run_dropin(
+        pipeline, ["-e", str(epochs), "-m", "false", "-y", "false",
+                   "-p", "false", "-r", "false"], str(tmp_path))
+    hist = cap["histories"][0]
+    assert len(hist.loss["train"]) == epochs
+    assert len(hist.loss["val"]) == epochs
+    assert np.isfinite(np.asarray(hist.loss["train"])).all()
