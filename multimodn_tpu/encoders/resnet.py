@@ -47,8 +47,15 @@ def _bn_init(c):
 
 
 def _conv(x, w, stride):
+    # Torch-exact symmetric padding ((k-1)//2 per side — torchvision uses
+    # padding=3/1/0 for the 7x7/3x3/1x1 convs). For stride 1 this equals
+    # XLA's SAME; for the strided convs SAME would pad asymmetrically
+    # ((2,3) instead of (3,3)) and diverge numerically from converted
+    # torchvision checkpoints (tools/convert_resnet18.py golden test).
+    kh, kw = int(w.shape[0]), int(w.shape[1])
+    pad = (((kh - 1) // 2,) * 2, ((kw - 1) // 2,) * 2)
     return jax.lax.conv_general_dilated(
-        x, w, window_strides=(stride, stride), padding="SAME",
+        x, w, window_strides=(stride, stride), padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
@@ -154,8 +161,10 @@ class ResNet(MultiModEncoder):
         """(B, H, W, 3) -> (B, 512) global-average-pooled features."""
         x = _conv(images, params["stem"]["w"], 2)
         x = jax.nn.relu(_bn(x, params["stem"]["bn"], train, mask))
+        # torch MaxPool2d(3, stride=2, padding=1): symmetric -inf padding.
         x = jax.lax.reduce_window(
-            x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "SAME")
+            x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            ((0, 0), (1, 1), (1, 1), (0, 0)))
         for s, blocks in enumerate(params["stages"]):
             for b, block in enumerate(blocks):
                 stride = 2 if (s > 0 and b == 0) else 1
@@ -218,7 +227,8 @@ class ResNet(MultiModEncoder):
         record("stem", x)
         x = jax.nn.relu(_bn(x, params["stem"]["bn"], True, sample_mask))
         x = jax.lax.reduce_window(
-            x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "SAME")
+            x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            ((0, 0), (1, 1), (1, 1), (0, 0)))
         for s, blocks in enumerate(params["stages"]):
             for b, block in enumerate(blocks):
                 stride = 2 if (s > 0 and b == 0) else 1

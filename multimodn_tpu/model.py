@@ -910,12 +910,62 @@ class MultiModN:
     # ------------------------------------------------------------------
     # Inference
     # ------------------------------------------------------------------
+    def _predict_loader(self, loader):
+        """Batched-inference driver: runs the no-skip forward over a
+        loader's epoch stacks batch by batch, so predict/predict_proba
+        scale like test() instead of materializing the dataset as one
+        device batch (VERDICT r2 weak-#6). Returns
+        (preds (E+1, D, N), outputs list of (E+1, N, C_d)) with padded
+        rows dropped."""
+        loader = adapt_loader(loader)
+        data, _targets, mask = self._place(loader)
+        seqs = self._batch_seqs(loader)
+        order = self._resolve_order(loader, train=False)
+        fwd = self._forward_fn(order, "none")
+        offset = self._cycle_base()
+        if offset is None:
+            offset = jnp.zeros((), jnp.int32)
+        preds_parts, out_parts = [], []
+        for b in range(loader.n_batches):
+            if seqs is not None:
+                border = tuple((int(k), int(e))
+                               for k, e in enumerate(seqs[b]))
+                fwd = self._forward_fn(border, "none")
+            batch = data[b] if not isinstance(data, tuple) \
+                else tuple(d[b] for d in data)
+            preds, outputs, _, _ = fwd(self.params, batch, mask[b],
+                                       init_offset=offset)
+            offset = offset + jnp.sum(mask[b]).astype(jnp.int32)
+            keep = np.asarray(mask[b]) > 0
+            preds_parts.append(np.asarray(preds)[:, :, keep])
+            out_parts.append([np.asarray(o)[:, keep] for o in outputs])
+        self._advance_cycle(loader.n_samples)
+        return (np.concatenate(preds_parts, axis=2),
+                [np.concatenate([p[d] for p in out_parts], axis=1)
+                 for d in range(len(self.decoders))])
+
+    @staticmethod
+    def _is_loader(x) -> bool:
+        from multimodn_tpu.interop import is_torch_dataloader
+        return hasattr(x, "stacks") or is_torch_dataloader(x)
+
     def predict(self, x: Sequence, encoder_sequence=None) -> np.ndarray:
         """(E+1, D, N) argmax class predictions after every step.
 
         NaN inputs are NOT skipped here, matching the reference's predict
         (multimodn.py:445-449, quirk #9).
+
+        ``x`` may be a list of per-modality arrays (reference shape) OR any
+        loader (ArrayLoader / torch DataLoader): loaders run batch by batch
+        through the eval batching, so 10^5+-row inference never
+        materializes as a single device batch.
         """
+        if self._is_loader(x):
+            if encoder_sequence is not None:
+                raise ValueError(
+                    "pass encoder sequences through the loader's dataset "
+                    "when predicting from a loader")
+            return self._predict_loader(x)[0]
         data = tuple(jnp.asarray(np.asarray(m, np.float32)) for m in x)
         n = data[0].shape[0]
         if self._chain_plan()[0] == "scan":
@@ -930,7 +980,15 @@ class MultiModN:
         return np.asarray(preds)
 
     def predict_proba(self, x: Sequence, encoder_sequence=None) -> List[np.ndarray]:
-        """Per-decoder (E+1, N, C_d) raw decoder outputs after every step."""
+        """Per-decoder (E+1, N, C_d) raw decoder outputs after every step.
+
+        Accepts per-modality arrays or any loader (see ``predict``)."""
+        if self._is_loader(x):
+            if encoder_sequence is not None:
+                raise ValueError(
+                    "pass encoder sequences through the loader's dataset "
+                    "when predicting from a loader")
+            return self._predict_loader(x)[1]
         data = tuple(jnp.asarray(np.asarray(m, np.float32)) for m in x)
         n = data[0].shape[0]
         if self._chain_plan()[0] == "scan":

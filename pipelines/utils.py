@@ -45,3 +45,30 @@ def extract_pipeline_name(filename: str) -> str:
 
 def get_display_name(name: str) -> str:
     return name.replace("_", " ").capitalize()
+
+
+def get_logger(name: str, log_dir: str = "logs"):
+    """File (DEBUG) + console (INFO) logger, surface-compatible with the
+    reference's ``get_logger`` (``pipelines/utils.py:88-116``). The
+    reference defines it but never calls it from any pipeline; kept for
+    users who do. Handlers are attached once per name (repeat calls return
+    the same logger without duplicating output)."""
+    import logging
+    import os
+
+    logger = logging.getLogger(name)
+    logger.setLevel(logging.DEBUG)
+    if logger.handlers:
+        return logger
+    os.makedirs(log_dir, exist_ok=True)
+    fmt = logging.Formatter(
+        "%(asctime)s - %(name)s - %(levelname)s - %(message)s")
+    fh = logging.FileHandler(os.path.join(log_dir, f"{name}.log"))
+    fh.setLevel(logging.DEBUG)
+    fh.setFormatter(fmt)
+    ch = logging.StreamHandler()
+    ch.setLevel(logging.INFO)
+    ch.setFormatter(fmt)
+    logger.addHandler(fh)
+    logger.addHandler(ch)
+    return logger

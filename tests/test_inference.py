@@ -100,3 +100,48 @@ def test_history_get_results_eval_only():
     df = h.get_results()
     assert "Val loss" in df.columns
     assert not any("Train" in c for c in df.columns)
+
+
+def test_predict_loader_matches_arrays():
+    """Loader-based predict/predict_proba == array-based on the same rows,
+    including a padded tail batch (n=40, batch 16 -> 3 batches, 8 pad
+    rows) — VERDICT r2 weak-#6/next-#8."""
+    ds, model, _ = _pair(seed=3)
+    xs = [ds.X[0], ds.X[1]]
+    want_preds = model.predict(xs)
+    want_proba = model.predict_proba(xs)
+    loader = ArrayLoader(ds, 16)
+    got_preds = model.predict(loader)
+    got_proba = model.predict_proba(loader)
+    np.testing.assert_array_equal(got_preds, want_preds)
+    for g, w in zip(got_proba, want_proba):
+        np.testing.assert_allclose(g, w, atol=1e-6)
+
+
+def test_predict_torch_dataloader():
+    """predict() accepts a real torch DataLoader (interop adapter)."""
+    from torch.utils.data import DataLoader as TorchDataLoader
+
+    ds, model, _ = _pair(seed=4)
+    want = model.predict([ds.X[0], ds.X[1]])
+    got = model.predict(TorchDataLoader(ds, batch_size=16))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_predict_loader_large_batched():
+    """10^5-row inference runs through the batched path (the array path
+    would materialize one (100000, F) device batch per modality)."""
+    rng = np.random.default_rng(0)
+    n = 100_000
+    X = rng.normal(size=(n, 6)).astype(np.float32)
+    y = (X[:, 0] > 0).astype(np.int64)[:, None]
+    big = PartitionDataset(X, y, [3, 3])
+    model = MultiModN(3, [MLPEncoder(3, 3, (4,)) for _ in range(2)],
+                      [LogisticDecoder(3)], 0.7, 0.3)
+    preds = model.predict(ArrayLoader(big, 4096))
+    assert preds.shape == (3, 1, n)
+    proba = model.predict_proba(ArrayLoader(big, 4096))
+    assert proba[0].shape == (3, n, 2)
+    # Spot-check equality on a slice vs the array path.
+    want = model.predict([X[:100, :3], X[:100, 3:]])
+    np.testing.assert_array_equal(preds[:, :, :100], want)

@@ -170,3 +170,134 @@ def test_update_batch_stats_masked_padding():
     p_unmasked = enc.update_batch_stats(params, jnp.asarray(padded))
     assert not np.allclose(np.asarray(p_clean["stem"]["bn"]["mean"]),
                            np.asarray(p_unmasked["stem"]["bn"]["mean"]))
+
+
+# ---------------------------------------------------------------------------
+# torchvision-checkpoint converter (VERDICT r2 missing-#3 / next-#7)
+# ---------------------------------------------------------------------------
+
+def _random_resnet18_state_dict(seed=0):
+    """Random-weight state_dict with torchvision resnet18's exact keys and
+    shapes (torchvision itself is not installed here; the layout is the
+    documented one tools/convert_resnet18.py maps)."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    sd = {}
+
+    def conv(key, o, i, k):
+        sd[key] = torch.randn((o, i, k, k), generator=g) * 0.05
+
+    def bn(prefix, c):
+        sd[f"{prefix}.weight"] = torch.rand((c,), generator=g) + 0.5
+        sd[f"{prefix}.bias"] = torch.randn((c,), generator=g) * 0.1
+        sd[f"{prefix}.running_mean"] = torch.randn((c,), generator=g) * 0.1
+        sd[f"{prefix}.running_var"] = torch.rand((c,), generator=g) + 0.5
+        sd[f"{prefix}.num_batches_tracked"] = torch.tensor(0)
+
+    conv("conv1.weight", 64, 3, 7)
+    bn("bn1", 64)
+    cin = 64
+    for s, cout in enumerate((64, 128, 256, 512)):
+        for b in range(2):
+            pre = f"layer{s + 1}.{b}"
+            conv(f"{pre}.conv1.weight", cout, cin, 3)
+            bn(f"{pre}.bn1", cout)
+            conv(f"{pre}.conv2.weight", cout, cout, 3)
+            bn(f"{pre}.bn2", cout)
+            if b == 0 and (s > 0):
+                conv(f"{pre}.downsample.0.weight", cout, cin, 1)
+                bn(f"{pre}.downsample.1", cout)
+            cin = cout
+    sd["fc.weight"] = torch.randn((1000, 512), generator=g) * 0.05
+    sd["fc.bias"] = torch.zeros((1000,))
+    return sd
+
+
+def _torch_resnet18_features(sd, x_nchw):
+    """Functional eval-mode torchvision-resnet18 forward straight off the
+    state_dict tensors (conv7x7/2 pad3 stem, maxpool3/2 pad1, 4 stages of 2
+    basic blocks, global average pool) — independent torch mirror for the
+    converter's numerics golden."""
+    import torch
+    import torch.nn.functional as F
+
+    def bn(x, p):
+        return F.batch_norm(x, sd[f"{p}.running_mean"],
+                            sd[f"{p}.running_var"], sd[f"{p}.weight"],
+                            sd[f"{p}.bias"], training=False, eps=1e-5)
+
+    with torch.no_grad():
+        x = F.conv2d(x_nchw, sd["conv1.weight"], stride=2, padding=3)
+        x = F.relu(bn(x, "bn1"))
+        x = F.max_pool2d(x, 3, 2, padding=1)
+        for s in range(1, 5):
+            for b in range(2):
+                pre = f"layer{s}.{b}"
+                stride = 2 if (s > 1 and b == 0) else 1
+                h = F.conv2d(x, sd[f"{pre}.conv1.weight"], stride=stride,
+                             padding=1)
+                h = F.relu(bn(h, f"{pre}.bn1"))
+                h = F.conv2d(h, sd[f"{pre}.conv2.weight"], stride=1,
+                             padding=1)
+                h = bn(h, f"{pre}.bn2")
+                sc = x
+                if f"{pre}.downsample.0.weight" in sd:
+                    sc = F.conv2d(x, sd[f"{pre}.downsample.0.weight"],
+                                  stride=stride)
+                    sc = bn(sc, f"{pre}.downsample.1")
+                x = F.relu(h + sc)
+        return x.mean(dim=(2, 3)).numpy()
+
+
+def test_convert_resnet18_numerics_golden(tmp_path):
+    """torch.save(state_dict) -> convert_file -> ResNet(pretrained_path):
+    eval-mode features match the torch forward on random images."""
+    import torch
+
+    from tools.convert_resnet18 import convert_file
+
+    sd = _random_resnet18_state_dict(seed=3)
+    ckpt = str(tmp_path / "resnet18.pth")
+    torch.save(sd, ckpt)
+    npz = str(tmp_path / "resnet18.npz")
+    flat = convert_file(ckpt, npz)
+    # Every conv/bn tensor mapped; fc dropped.
+    assert "stem/w" in flat and "stages/3/1/conv2/bn/var" in flat
+    assert not any(k.startswith("fc") for k in flat)
+    assert flat["stem/w"].shape == (7, 7, 3, 64)
+
+    enc = ResNet(state_size=S, pretrained_path=npz)
+    params = enc.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    imgs = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    ours = np.asarray(enc.features(params, jnp.asarray(imgs), train=False))
+    theirs = _torch_resnet18_features(
+        sd, torch.from_numpy(imgs.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
+def test_convert_resnet18_checkpoint_wrapper(tmp_path):
+    """Checkpoint dicts wrapping the state_dict (reference
+    resnet_encoder.py:24-33 loads such files) unwrap transparently."""
+    import torch
+
+    from tools.convert_resnet18 import convert_file
+
+    sd = _random_resnet18_state_dict(seed=4)
+    ckpt = str(tmp_path / "ckpt.pth")
+    torch.save({"epoch": 7, "model_state_dict": sd}, ckpt)
+    flat = convert_file(ckpt, str(tmp_path / "out.npz"))
+    np.testing.assert_array_equal(
+        flat["stages/1/0/down/w"],
+        np.asarray(sd["layer2.0.downsample.0.weight"]).transpose(2, 3, 1, 0))
+
+
+def test_convert_resnet18_rejects_non_resnet(tmp_path):
+    import torch
+
+    from tools.convert_resnet18 import convert_file
+
+    torch.save({"foo.weight": torch.zeros(3)}, str(tmp_path / "bad.pth"))
+    with pytest.raises(KeyError):
+        convert_file(str(tmp_path / "bad.pth"), str(tmp_path / "out.npz"))

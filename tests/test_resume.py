@@ -234,3 +234,92 @@ def test_fit_best_resumable_equals_single_fit_best(tmp_path):
                     jax.tree_util.tree_leaves(m_b.state_dict())):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# OrbaxCheckpointer (VERDICT r2 weak-#2 / next-#5: test it or cut it)
+# ---------------------------------------------------------------------------
+
+def _trained_model(tmp_seed=0):
+    rng = np.random.default_rng(tmp_seed)
+    X = rng.normal(size=(48, 6)).astype(np.float32)
+    y = rng.integers(0, 2, size=(48, 1))
+    loader = ArrayLoader(PartitionDataset(X, y), 16)
+    m = _make(seed=tmp_seed)
+    m.train_epoch(loader, Adam(0.01), "cross_entropy")
+    return m
+
+
+def test_orbax_roundtrip_matches_pickle_checkpoint(tmp_path):
+    """Orbax save -> wait -> restore reproduces the exact params, and the
+    restored tree equals the pickle-based save_checkpoint payload leaf for
+    leaf (the two persistence paths agree)."""
+    from multimodn_tpu.checkpoint import OrbaxCheckpointer
+
+    m = _trained_model(0)
+    want = m.state_dict()
+    save_checkpoint(str(tmp_path / "pickle.pkl"), m, epoch=1)
+    pickled = load_checkpoint(str(tmp_path / "pickle.pkl"))
+
+    ck = OrbaxCheckpointer(str(tmp_path / "orbax"))
+    ck.save(m, step=1)
+    ck.wait()          # async save must be committed after wait()
+    ck.wait()          # idempotent
+
+    m2 = _make(seed=99)  # different init; restore must overwrite fully
+    ck.restore(m2, step=1)
+    got = m2.state_dict()
+    for a, b, c in zip(jax.tree_util.tree_leaves(want),
+                       jax.tree_util.tree_leaves(got),
+                       jax.tree_util.tree_leaves(
+                           pickled["model_state_dict"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_orbax_save_overwrites_step(tmp_path):
+    """Re-saving the same step (force=True) persists the NEWER params."""
+    from multimodn_tpu.checkpoint import OrbaxCheckpointer
+
+    m = _trained_model(1)
+    ck = OrbaxCheckpointer(str(tmp_path / "orbax"))
+    ck.save(m, step=3)
+    ck.wait()
+    rng = np.random.default_rng(2)
+    X = rng.normal(size=(48, 6)).astype(np.float32)
+    y = rng.integers(0, 2, size=(48, 1))
+    m.train_epoch(ArrayLoader(PartitionDataset(X, y), 16), Adam(0.01),
+                  "cross_entropy")
+    newer = m.state_dict()
+    ck.save(m, step=3)
+    ck.wait()
+    m2 = _make(seed=5)
+    ck.restore(m2, step=3)
+    for a, b in zip(jax.tree_util.tree_leaves(newer),
+                    jax.tree_util.tree_leaves(m2.state_dict())):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_restore_into_sharded_model(tmp_path):
+    """Restore into a mesh-constructed model: params come back sharded
+    (load_state_dict re-applies the mesh placement) and numerically equal."""
+    from multimodn_tpu.checkpoint import OrbaxCheckpointer
+    from multimodn_tpu.parallel import make_mesh
+
+    m = _trained_model(2)
+    want = m.state_dict()
+    ck = OrbaxCheckpointer(str(tmp_path / "orbax"))
+    ck.save(m, step=0)
+    ck.wait()
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    m_sharded = MultiModN(2, [MLPEncoder(2, 6, (4,))], [LogisticDecoder(2)],
+                          0.7, 0.3, seed=7, mesh=mesh)
+    ck.restore(m_sharded, step=0)
+    for a, b in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(m_sharded.state_dict())):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Live params actually carry mesh shardings.
+    leaf = jax.tree_util.tree_leaves(m_sharded.params)[0]
+    assert getattr(leaf, "sharding", None) is not None
+    assert getattr(leaf.sharding, "mesh", None) is not None
