@@ -299,6 +299,169 @@ def kfold_fit_best(
     return results
 
 
+def sweep_fit_best(
+    model_factory: Callable[[int], "MultiModN"],
+    train_loader,
+    val_loader,
+    optimizer: Optimizer,
+    criterion=None,
+    epochs: int = 1,
+    seeds: Sequence[int] = (0,),
+    mesh=None,
+    sweep_axis: str = "fold",
+) -> List[dict]:
+    """Seed-replicate axis: N independent inits of ONE (train, val) workload
+    train in a single dispatch (VERDICT r2 next-#4).
+
+    ``kfold_fit_best`` vmaps over per-fold DATA; here the data is broadcast
+    (``in_axes=None``) and only params/opt-state/rng streams carry the
+    vmapped seed axis — N seeds cost one upload of the dataset and one
+    fused program whose matmuls batch over seeds. Results are bit-identical
+    to running ``MultiModN.fit_best`` once per seed
+    (tests/test_experiments.py).
+
+    Crossing axes: for targets x folds x seeds, call this per fold (seeds
+    ride the cheap axis), or expand folds x seeds pairs through
+    ``kfold_fit_best(folds=[pair for pair in folds for _ in seeds],
+    seeds=seeds * len(folds))`` when fold data is small enough to replicate.
+
+    ``mesh``: optional — shards the seed axis over ``sweep_axis`` exactly
+    like kfold's fold axis (data replicated; zero cross-seed collectives).
+
+    Returns per-seed dicts shaped like ``kfold_fit_best``'s.
+    """
+    criterion = resolve_criterion(criterion)
+    seeds = list(seeds)
+    n_real = len(seeds)
+    if mesh is not None:
+        if sweep_axis not in mesh.axis_names:
+            raise ValueError(
+                f"mesh has no '{sweep_axis}' axis (axes: {mesh.axis_names})")
+        seeds += [seeds[-1]] * ((-n_real) % mesh.shape[sweep_axis])
+    models = [model_factory(s) for s in seeds]
+    template = models[0]
+    if mesh is not None and template.mesh is not None:
+        raise ValueError(
+            "seed-axis sharding and a model-owned mesh are mutually "
+            "exclusive (same rule as kfold_fit_best): model_factory must "
+            "build mesh-free models.")
+    binary = [d.n_classes == 2 for d in template.decoders]
+    if not any(binary):
+        raise ValueError(
+            "sweep_fit_best requires at least one binary (n_classes==2) "
+            "decoder: the AUROC+BAC selection score is undefined otherwise "
+            "(same contract as MultiModN.fit_best).")
+    reshuffle = bool(getattr(train_loader, "shuffle", False))
+    if reshuffle:
+        template._validate_fused_shuffle(True, train_loader)
+    if template.shuffle_mode and not template._chain_plan()[1]:
+        raise NotImplementedError(
+            "sweep_fit_best supports shuffle_mode only for chains that "
+            "shuffle in-program (same rule as kfold_fit_best).")
+
+    # Sequence resolution over the SHARED loader pair — same rules as
+    # MultiModN._fused_seqs, shared verbatim since there is one loader pair.
+    seqs, val_seqs, per_batch = template._fused_seqs(
+        train_loader, val_loader, reshuffle)
+    order = template._resolve_order(train_loader, train=True)
+    template._validate_pairings(order, train_loader,
+                                template._batch_seqs(train_loader))
+
+    loss_fn = template._loss_fn(criterion, order, template.nan_skip,
+                                per_batch)
+    fit = make_select_fit_fn(loss_fn, optimizer.tx, binary,
+                             scan_unroll=template.scan_unroll,
+                             reshuffle=reshuffle)
+
+    def _host_place(loader):
+        d, t, m = loader.host_stacks()
+        if template._chain_plan()[0] == "scan" and isinstance(d, tuple):
+            d = np.stack(d, axis=2)
+        return (tuple(jnp.asarray(x) for x in d) if isinstance(d, tuple)
+                else jnp.asarray(d)), jnp.asarray(t), jnp.asarray(m)
+
+    place = template._place if template.mesh is not None else _host_place
+    data, targets, mask = place(train_loader)
+    vdata, vtargets, vmask = place(val_loader)
+
+    params = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[m.params for m in models])
+    opt_state = jax.vmap(optimizer.tx.init)(params)
+    rngs = jnp.stack([jax.random.fold_in(jax.random.PRNGKey(m._seed), 0)
+                      for m in models])
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        seed_shard = NamedSharding(mesh, PartitionSpec(sweep_axis))
+        repl = NamedSharding(mesh, PartitionSpec())
+        put = lambda t, s: jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, s), t)
+        params, opt_state, rngs = (put(params, seed_shard),
+                                   put(opt_state, seed_shard),
+                                   put(rngs, seed_shard))
+        data, targets, mask = (put(data, repl), put(targets, repl),
+                               put(mask, repl))
+        vdata, vtargets, vmask = (put(vdata, repl), put(vtargets, repl),
+                                  put(vmask, repl))
+
+    # The shared data gets a leading seed axis via jnp.broadcast_to INSIDE
+    # the jitted program: lazy under XLA (no HBM duplication — the broadcast
+    # fuses into consumers), and the vmapped program then has exactly
+    # kfold_fit_best's batched shapes, which measure bit-identical to
+    # per-seed fit_best. Passing the data with in_axes=None instead changes
+    # the dot_general batching and rounds differently (one threshold flip
+    # observed in AUROC scores at fp32).
+    def sweep_prog(params, opt_state, *rest):
+        if per_batch:
+            (data, targets, mask, vdata, vtargets, vmask, epoch_ids, rngs,
+             seqs, val_seqs) = rest
+        else:
+            (data, targets, mask, vdata, vtargets, vmask, epoch_ids,
+             rngs) = rest
+        S = rngs.shape[0]
+        bc = lambda tree: jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (S,) + x.shape), tree)
+        if per_batch:
+            return jax.vmap(fit, in_axes=(0,) * 8 + (None, 0, 0, 0))(
+                params, opt_state, bc(data), bc(targets), bc(mask),
+                bc(vdata), bc(vtargets), bc(vmask), epoch_ids, rngs,
+                bc(seqs), bc(val_seqs))
+        return jax.vmap(fit, in_axes=(0,) * 8 + (None, 0))(
+            params, opt_state, bc(data), bc(targets), bc(mask), bc(vdata),
+            bc(vtargets), bc(vmask), epoch_ids, rngs)
+
+    args = (params, opt_state, data, targets, mask, vdata, vtargets, vmask,
+            jnp.arange(epochs), rngs)
+    if per_batch:
+        args += (seqs, val_seqs)
+    (params, opt_state, tsums, vsums, best_params, best_score,
+     best_epoch, scores) = jax.jit(sweep_prog)(*args)
+
+    results = []
+    best_params = jax.tree_util.tree_map(np.asarray, best_params)
+    tsums = jax.tree_util.tree_map(np.asarray, tsums)
+    vsums = jax.tree_util.tree_map(np.asarray, vsums)
+    for i, model in enumerate(models[:n_real]):
+        model.load_state_dict(
+            jax.tree_util.tree_map(lambda x: x[i], best_params))
+        model._advance_cycle(
+            epochs * (train_loader.n_samples + val_loader.n_samples))
+        model._epoch_counter += epochs
+        model.opt_state = jax.tree_util.tree_map(lambda x: x[i], opt_state)
+        model._opt = optimizer
+        results.append({
+            "model": model,
+            "best_epoch": int(np.asarray(best_epoch)[i]),
+            "best_score": float(np.asarray(best_score)[i]),
+            "scores": np.asarray(scores)[i],
+            "train_sums": jax.tree_util.tree_map(lambda x: x[i], tsums),
+            "val_sums": jax.tree_util.tree_map(lambda x: x[i], vsums),
+            "n_train_batches": train_loader.n_batches,
+            "n_val_batches": val_loader.n_batches,
+        })
+    return results
+
+
 def fold_history(result: dict, targets: List[str],
                  ones_initialized_counts: bool = True):
     """Rebuild a MultiModNHistory from a kfold_fit_best result."""

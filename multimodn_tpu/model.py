@@ -427,6 +427,40 @@ class MultiModN:
                 "construct the model with chain_mode='unrolled' for the "
                 "host-side per-call shuffle cadence.")
 
+    def _shard_map_fused_guards(self, reshuffle: bool, *loaders):
+        """Validations for the fused shard_map fit/fit_best programs (the
+        explicit engine supports the same envelope as its train_epoch path,
+        plus multi-epoch scans). Runs BEFORE _place so a rejected call gets
+        the actionable error (not device_put's sharding complaint) and
+        uploads nothing."""
+        if self._static_cycle():
+            raise ValueError(
+                "dp_engine='shard_map' cannot serve a StaticInitState bank: "
+                "each shard would index the bank by LOCAL batch positions, "
+                "not the global round-robin. Use the auto engine.")
+        if reshuffle:
+            raise NotImplementedError(
+                "dp_engine='shard_map' fused fit cannot honor shuffle=True "
+                "loaders: the in-program per-epoch permutation would act on "
+                "each device's LOCAL shard — a different sample geometry "
+                "than the auto engine's global permutation. Use the auto "
+                "engine or shuffle=False.")
+        n_dev = self.mesh.shape.get("data", 1)
+        for ldr in loaders:
+            if ldr is not None and ldr.batch_size % n_dev != 0:
+                raise ValueError(
+                    f"dp_engine='shard_map' needs the batch size "
+                    f"({ldr.batch_size}) to divide the data mesh axis "
+                    f"({n_dev}); pick a divisible batch_size or use the "
+                    f"auto engine.")
+
+    def _shard_map_reject_per_batch(self, per_batch: bool):
+        if per_batch:
+            raise ValueError(
+                "dp_engine='shard_map' does not support per-batch encoding "
+                "sequences; use the auto engine (the explicit engine would "
+                "otherwise be silently swapped out).")
+
     def _validate_fused_shuffle(self, reshuffle: bool, train_loader):
         """Guards for the fused multi-epoch programs' shuffle semantics."""
         chain, in_prog = self._chain_plan()
@@ -642,13 +676,6 @@ class MultiModN:
         if val_loader is not None:
             val_loader = adapt_loader(val_loader)
         optimizer = adapt_optimizer(optimizer)
-        if self.dp_engine == "shard_map":
-            raise NotImplementedError(
-                "dp_engine='shard_map' implements the per-epoch explicit-"
-                "collective program (train_epoch only); the fused "
-                "multi-epoch fit/fit_best would silently run through the "
-                "auto engine instead. Loop train_epoch() or build the "
-                "model with dp_engine='auto'.")
         criterion = resolve_criterion(criterion)
         # Shuffle-enabled loaders keep their per-epoch reshuffle semantics
         # inside the fused program: an in-program sample permutation per
@@ -656,6 +683,8 @@ class MultiModN:
         # epoch on one frozen order.
         reshuffle = bool(getattr(train_loader, "shuffle", False))
         self._validate_fused_shuffle(reshuffle, train_loader)
+        if self.dp_engine == "shard_map":
+            self._shard_map_fused_guards(reshuffle, train_loader, val_loader)
         data, targets, mask = self._place(train_loader)
         order = self._resolve_order(train_loader, train=True)
         with_val = val_loader is not None
@@ -663,6 +692,8 @@ class MultiModN:
             train_loader, val_loader if with_val else None, reshuffle)
         self._validate_pairings(order, train_loader,
                                 self._batch_seqs(train_loader))
+        if self.dp_engine == "shard_map":
+            self._shard_map_reject_per_batch(per_batch)
         # Optimizer-state swap only after every validation passed: a
         # rejected call must not discard live Adam moments.
         if self._opt is not optimizer or self.opt_state is None:
@@ -670,14 +701,23 @@ class MultiModN:
             self.opt_state = optimizer.init(self.params)
 
         key = ("fit", _cache_key(criterion), order, self.nan_skip,
-               _cache_key(optimizer.tx), with_val, reshuffle, per_batch)
+               _cache_key(optimizer.tx), with_val, reshuffle, per_batch,
+               self.dp_engine)
         if key not in self._fn_cache:
             loss_fn = self._loss_fn(criterion, order, self.nan_skip,
                                     per_batch)
-            self._fn_cache[key] = make_fit_fn(loss_fn, optimizer.tx,
-                                              with_val,
-                                              scan_unroll=self.scan_unroll,
-                                              reshuffle=reshuffle)
+            if self.dp_engine == "shard_map":
+                from multimodn_tpu.parallel.shard_map_step import \
+                    make_shard_map_fit_fn
+                n_mod = None if self._chain_plan()[0] == "scan" \
+                    else len(self.encoders)
+                self._fn_cache[key] = make_shard_map_fit_fn(
+                    loss_fn, optimizer.tx, self.mesh, with_val, n_mod,
+                    scan_unroll=self.scan_unroll)
+            else:
+                self._fn_cache[key] = make_fit_fn(
+                    loss_fn, optimizer.tx, with_val,
+                    scan_unroll=self.scan_unroll, reshuffle=reshuffle)
         fn = self._fn_cache[key]
 
         rng = jax.random.fold_in(jax.random.PRNGKey(self._seed), self._epoch_counter)
@@ -769,15 +809,11 @@ class MultiModN:
                 "fit_best requires at least one binary (n_classes==2) "
                 "decoder: the AUROC+BAC selection score is undefined "
                 "otherwise. Use fit() for non-binary models.")
-        if self.dp_engine == "shard_map":
-            raise NotImplementedError(
-                "dp_engine='shard_map' implements the per-epoch explicit-"
-                "collective program (train_epoch only); fit_best would "
-                "silently run through the auto engine instead. Loop "
-                "train_epoch() or build the model with dp_engine='auto'.")
         criterion = resolve_criterion(criterion)
         reshuffle = bool(getattr(train_loader, "shuffle", False))
         self._validate_fused_shuffle(reshuffle, train_loader)
+        if self.dp_engine == "shard_map":
+            self._shard_map_fused_guards(reshuffle, train_loader, val_loader)
         data, targets, mask = self._place(train_loader)
         vdata, vtargets, vmask = self._place(val_loader)
         order = self._resolve_order(train_loader, train=True)
@@ -785,6 +821,8 @@ class MultiModN:
             train_loader, val_loader, reshuffle)
         self._validate_pairings(order, train_loader,
                                 self._batch_seqs(train_loader))
+        if self.dp_engine == "shard_map":
+            self._shard_map_reject_per_batch(per_batch)
         # Optimizer-state swap only after every validation passed: a
         # rejected call must not discard live Adam moments.
         if self._opt is not optimizer or self.opt_state is None:
@@ -792,13 +830,23 @@ class MultiModN:
             self.opt_state = optimizer.init(self.params)
 
         key = ("fit_best", _cache_key(criterion), order, self.nan_skip,
-               _cache_key(optimizer.tx), reshuffle, per_batch)
+               _cache_key(optimizer.tx), reshuffle, per_batch,
+               self.dp_engine)
         if key not in self._fn_cache:
             loss_fn = self._loss_fn(criterion, order, self.nan_skip,
                                     per_batch)
-            self._fn_cache[key] = make_select_fit_fn(
-                loss_fn, optimizer.tx, binary, scan_unroll=self.scan_unroll,
-                reshuffle=reshuffle)
+            if self.dp_engine == "shard_map":
+                from multimodn_tpu.parallel.shard_map_step import \
+                    make_shard_map_select_fit_fn
+                n_mod = None if self._chain_plan()[0] == "scan" \
+                    else len(self.encoders)
+                self._fn_cache[key] = make_shard_map_select_fit_fn(
+                    loss_fn, optimizer.tx, self.mesh, binary, n_mod,
+                    scan_unroll=self.scan_unroll)
+            else:
+                self._fn_cache[key] = make_select_fit_fn(
+                    loss_fn, optimizer.tx, binary,
+                    scan_unroll=self.scan_unroll, reshuffle=reshuffle)
         fn = self._fn_cache[key]
 
         rng = jax.random.fold_in(jax.random.PRNGKey(self._seed), self._epoch_counter)

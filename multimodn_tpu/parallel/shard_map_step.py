@@ -165,3 +165,236 @@ def make_shard_map_epoch_fn(loss_fn, tx, mesh: Mesh, n_modalities: int,
                           out_specs=out_specs, check_vma=False)
     donate_argnums = (0, 1) if donate else ()
     return jax.jit(epoch, donate_argnums=donate_argnums)
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-epoch explicit-DP programs (VERDICT r2 next-#6): the epoch
+# scan above lifted into a multi-epoch scan, all inside ONE shard_map
+# region — N epochs of train(+val) with exactly one grad psum + one metric
+# psum per batch step, and (for select-fit) one val all_gather per epoch.
+# ---------------------------------------------------------------------------
+
+def _sm_train_scan(loss_fn, tx, data_axis, scan_unroll):
+    """Per-device one-epoch training scan with explicit collectives; the
+    shard_map twin of core.step._train_scan_body's epoch loop."""
+
+    def run(params, opt_state, data, targets, sample_mask, erng):
+        n_batches = targets.shape[0]
+
+        def body(carry, xs):
+            params, opt_state = carry
+            bd, bt, bm, bi = xs
+            brng = jax.random.fold_in(erng, bi)
+            local_valid = jnp.sum(bm)
+            global_valid = jax.lax.psum(local_valid, data_axis)
+            scale = jnp.where(global_valid > 0,
+                              local_valid / jnp.maximum(global_valid, 1.0),
+                              0.0)
+
+            def scaled_loss(p):
+                loss, aux = loss_fn(p, bd, bt, bm, brng, jnp.zeros(()), True)
+                return loss * scale, aux
+
+            (_, aux), grads = jax.value_and_grad(
+                scaled_loss, has_aux=True)(params)
+            grads = jax.lax.psum(grads, data_axis)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params,
+                                            updates)
+            ys = {}
+            for k in _GRID_KEYS:
+                v = aux[k]
+                if k in ("err_loss", "state_change"):
+                    v = v * scale
+                ys[k] = jax.lax.psum(v, data_axis)
+            return (params, opt_state), ys
+
+        from multimodn_tpu.core.step import resolve_unroll
+        xs = (data, targets, sample_mask, jnp.arange(n_batches))
+        (params, opt_state), ys = jax.lax.scan(
+            body, (params, opt_state), xs,
+            unroll=resolve_unroll(scan_unroll, n_batches))
+        return params, opt_state, {k: jnp.sum(v, axis=0)
+                                   for k, v in ys.items()}
+
+    return run
+
+
+def _sm_eval_scan(loss_fn, data_axis, scan_unroll,
+                  with_final_outputs: bool = False):
+    """Per-device one-epoch eval scan with psum'd metric grids (and,
+    optionally, the per-batch final-row decoder outputs kept LOCAL for the
+    selection all_gather)."""
+
+    def run(params, data, targets, sample_mask, erng):
+        n_batches = targets.shape[0]
+
+        def body(carry, xs):
+            bd, bt, bm, bi = xs
+            brng = jax.random.fold_in(erng, bi)
+            local_valid = jnp.sum(bm)
+            global_valid = jax.lax.psum(local_valid, data_axis)
+            scale = jnp.where(global_valid > 0,
+                              local_valid / jnp.maximum(global_valid, 1.0),
+                              0.0)
+            _, aux = loss_fn(params, bd, bt, bm, brng, jnp.zeros(()), False)
+            ys = {}
+            for k in _GRID_KEYS:
+                v = aux[k]
+                if k in ("err_loss", "state_change"):
+                    v = v * scale
+                ys[k] = jax.lax.psum(v, data_axis)
+            if with_final_outputs:
+                ys["final_outputs"] = aux["final_outputs"]
+            return carry, ys
+
+        from multimodn_tpu.core.step import resolve_unroll
+        xs = (data, targets, sample_mask, jnp.arange(n_batches))
+        _, ys = jax.lax.scan(body, (), xs,
+                             unroll=resolve_unroll(scan_unroll, n_batches))
+        sums = {k: jnp.sum(ys[k], axis=0) for k in _GRID_KEYS}
+        if with_final_outputs:
+            outputs = [o.reshape(-1, o.shape[-1])
+                       for o in ys["final_outputs"]]
+            return sums, outputs
+        return sums
+
+    return run
+
+
+def _fit_specs(n_modalities, data_axis, with_val: bool, extra_out: int):
+    dspec = P(None, data_axis) if n_modalities is None else \
+        tuple(P(None, data_axis) for _ in range(n_modalities))
+    in_specs = [P(), P(), dspec, P(None, data_axis), P(None, data_axis)]
+    if with_val:
+        in_specs += [dspec, P(None, data_axis), P(None, data_axis)]
+    in_specs += [P(), P()]                      # epoch_ids, rng
+    out_specs = (P(),) * extra_out
+    return tuple(in_specs), out_specs
+
+
+def make_shard_map_fit_fn(loss_fn, tx, mesh: Mesh, with_val: bool,
+                          n_modalities, data_axis: str = "data",
+                          scan_unroll=None):
+    """Explicit-collective twin of ``core.step.make_fit_fn``: N epochs
+    (optionally each followed by a validation sweep) inside ONE shard_map
+    region. Signature matches make_fit_fn's (without seqs/offset0 — the
+    shard_map engine rejects per-batch sequences and StaticInitState at the
+    model layer). Numerically equivalent to the auto engine
+    (tests/test_shard_map.py)."""
+    train_epoch = _sm_train_scan(loss_fn, tx, data_axis, scan_unroll)
+    eval_epoch = _sm_eval_scan(loss_fn, data_axis, scan_unroll)
+
+    if with_val:
+        def device_fit(params, opt_state, data, targets, mask,
+                       vdata, vtargets, vmask, epoch_ids, rng):
+            def epoch_body(carry, eid):
+                params, opt_state = carry
+                erng = jax.random.fold_in(rng, eid)
+                params, opt_state, tsums = train_epoch(
+                    params, opt_state, data, targets, mask, erng)
+                vsums = eval_epoch(params, vdata, vtargets, vmask, erng)
+                return (params, opt_state), (tsums, vsums)
+
+            (params, opt_state), (tsums, vsums) = jax.lax.scan(
+                epoch_body, (params, opt_state), epoch_ids)
+            return params, opt_state, tsums, vsums
+
+        in_specs, out_specs = _fit_specs(n_modalities, data_axis, True, 4)
+    else:
+        def device_fit(params, opt_state, data, targets, mask,
+                       epoch_ids, rng):
+            def epoch_body(carry, eid):
+                params, opt_state = carry
+                erng = jax.random.fold_in(rng, eid)
+                params, opt_state, tsums = train_epoch(
+                    params, opt_state, data, targets, mask, erng)
+                return (params, opt_state), tsums
+
+            (params, opt_state), tsums = jax.lax.scan(
+                epoch_body, (params, opt_state), epoch_ids)
+            return params, opt_state, tsums
+
+        in_specs, out_specs = _fit_specs(n_modalities, data_axis, False, 3)
+
+    fit = jax.shard_map(device_fit, mesh=mesh, in_specs=in_specs,
+                        out_specs=out_specs, check_vma=False)
+    return jax.jit(fit, donate_argnums=(0, 1))
+
+
+def make_shard_map_select_fit_fn(loss_fn, tx, mesh: Mesh, binary_decoders,
+                                 n_modalities, data_axis: str = "data",
+                                 scan_unroll=None):
+    """Explicit-collective twin of ``core.step.make_select_fit_fn`` (the
+    fused MIMIC protocol: train + val + on-device AUROC+BAC best-checkpoint
+    selection). The per-epoch selection score needs GLOBAL validation
+    outputs; each device ``all_gather``s the final-row outputs/targets/mask
+    over the data axis once per epoch and computes the (replicated) score —
+    AUROC (rank-based) and BAC (count-based) are sample-order-invariant, so
+    gather order is immaterial. Signature matches make_select_fit_fn's
+    (without seqs/offset0)."""
+    from multimodn_tpu.core.metrics import masked_binary_auroc, safe_div
+
+    train_epoch = _sm_train_scan(loss_fn, tx, data_axis, scan_unroll)
+    eval_epoch = _sm_eval_scan(loss_fn, data_axis, scan_unroll,
+                               with_final_outputs=True)
+
+    def selection_score(outputs, val_targets, val_mask):
+        # Gather the LOCAL flattened outputs/targets/mask across devices;
+        # flatten the device axis back out. Mirrors
+        # core.step.make_select_fit_fn.selection_score on the global arrays.
+        flat_t = val_targets.reshape(-1, val_targets.shape[-1])
+        flat_m = val_mask.reshape(-1)
+        g_t = jax.lax.all_gather(flat_t, data_axis).reshape(
+            -1, flat_t.shape[-1])
+        g_m = jax.lax.all_gather(flat_m, data_axis).reshape(-1)
+        score = jnp.zeros(())
+        for d, is_binary in enumerate(binary_decoders):
+            if not is_binary:
+                continue
+            out = jax.lax.all_gather(outputs[d], data_axis).reshape(
+                -1, outputs[d].shape[-1])
+            s = jnp.sum(out, axis=1, keepdims=True)
+            norm = out / jnp.where(jnp.abs(s) < 1e-12, 1e-12, s)
+            auc = masked_binary_auroc(norm[:, 1], g_t[:, d], g_m)
+            pred = jnp.argmax(norm, axis=1)
+            tp = jnp.sum(g_m * ((pred == 1) & (g_t[:, d] == 1)))
+            tn = jnp.sum(g_m * ((pred == 0) & (g_t[:, d] == 0)))
+            fp = jnp.sum(g_m * ((pred == 1) & (g_t[:, d] == 0)))
+            fn = jnp.sum(g_m * ((pred == 0) & (g_t[:, d] == 1)))
+            sens = safe_div(tp, tp + fn)
+            spec = safe_div(tn, tn + fp)
+            score = score + auc + (sens + spec) / 2.0
+        return jnp.where(jnp.isnan(score), -jnp.inf, score)
+
+    def device_fit(params, opt_state, data, targets, mask,
+                   vdata, vtargets, vmask, epoch_ids, rng):
+        best0 = (jax.tree_util.tree_map(lambda x: x, params),
+                 jnp.full((), -jnp.inf), jnp.asarray(-1, jnp.int32))
+
+        def epoch_body(carry, eid):
+            params, opt_state, best = carry
+            erng = jax.random.fold_in(rng, eid)
+            params, opt_state, tsums = train_epoch(
+                params, opt_state, data, targets, mask, erng)
+            vsums, outputs = eval_epoch(params, vdata, vtargets, vmask, erng)
+            score = selection_score(outputs, vtargets, vmask)
+            best_params, best_score, best_epoch = best
+            improved = score > best_score
+            best_params = jax.tree_util.tree_map(
+                lambda b, p: jnp.where(improved, p, b), best_params, params)
+            best = (best_params,
+                    jnp.where(improved, score, best_score),
+                    jnp.where(improved, eid.astype(jnp.int32), best_epoch))
+            return (params, opt_state, best), (tsums, vsums, score)
+
+        (params, opt_state, best), (tsums, vsums, scores) = jax.lax.scan(
+            epoch_body, (params, opt_state, best0), epoch_ids)
+        best_params, best_score, best_epoch = best
+        return (params, opt_state, tsums, vsums,
+                best_params, best_score, best_epoch, scores)
+
+    in_specs, out_specs = _fit_specs(n_modalities, data_axis, True, 8)
+    fit = jax.shard_map(device_fit, mesh=mesh, in_specs=in_specs,
+                        out_specs=out_specs, check_vma=False)
+    return jax.jit(fit, donate_argnums=(1,))

@@ -374,3 +374,85 @@ def test_kfold_models_carry_trained_opt_state():
         np.asarray(km.params["encoders"][0]["layers"][0]["w"]),
         np.asarray(solo.params["encoders"][0]["layers"][0]["w"]),
         rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# sweep_fit_best: seed-replicate axis (VERDICT r2 next-#4)
+# ---------------------------------------------------------------------------
+
+def _one_pair(seed=0, n=72, shuffle=False):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = PartitionDataset(X, y, [3, 3])
+    tr = ArrayLoader(Subset(ds, list(range(0, 56))), 16, shuffle=shuffle,
+                     seed=7)
+    va = ArrayLoader(Subset(ds, list(range(56, n))), 16)
+    return tr, va
+
+
+def test_sweep_matches_sequential_fit_best():
+    """N seeds in one dispatch == N looped fit_best runs, bit-for-bit per
+    seed (scores, best epoch, restored params, trained opt state)."""
+    from multimodn_tpu.experiments import sweep_fit_best
+
+    epochs, seeds = 4, [0, 3, 11]
+    tr, va = _one_pair()
+    results = sweep_fit_best(_factory, tr, va, Adam(0.01), "cross_entropy",
+                             epochs=epochs, seeds=seeds)
+    assert len(results) == len(seeds)
+    for s, res in zip(seeds, results):
+        tr2, va2 = _one_pair()
+        m = _factory(s)
+        info = m.fit_best(tr2, Adam(0.01), "cross_entropy", epochs=epochs,
+                          val_loader=va2)
+        assert info["best_epoch"] == res["best_epoch"]
+        # Bit-equal: the in-program broadcast gives the sweep exactly the
+        # kfold-shaped batched program (see sweep_fit_best internals).
+        np.testing.assert_array_equal(info["scores"], res["scores"])
+        np.testing.assert_allclose(
+            np.asarray(m.params["encoders"][0]["layers"][0]["w"]),
+            np.asarray(res["model"].params["encoders"][0]["layers"][0]["w"]),
+            rtol=1e-5, atol=1e-6)
+        # Trained optimizer moments ride along (continued training works).
+        assert res["model"].opt_state is not None
+
+
+def test_sweep_shuffle_true_matches_sequential():
+    """shuffle=True loaders: each seed's in-program permutations derive from
+    its own rng stream, exactly like per-seed fit_best."""
+    from multimodn_tpu.experiments import sweep_fit_best
+
+    epochs, seeds = 3, [2, 5]
+    tr, va = _one_pair(shuffle=True)
+    results = sweep_fit_best(_factory, tr, va, Adam(0.01), "cross_entropy",
+                             epochs=epochs, seeds=seeds)
+    for s, res in zip(seeds, results):
+        tr2, va2 = _one_pair(shuffle=True)
+        m = _factory(s)
+        info = m.fit_best(tr2, Adam(0.01), "cross_entropy", epochs=epochs,
+                          val_loader=va2)
+        np.testing.assert_allclose(info["scores"], res["scores"],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_sweep_mesh_sharded_matches_plain():
+    """Seed axis sharded over a 4-device mesh == unsharded sweep, including
+    the replicate-padding of a non-divisible seed count (3 -> 4)."""
+    from multimodn_tpu.experiments import sweep_fit_best
+    from multimodn_tpu.parallel import make_mesh
+
+    seeds = [0, 1, 2]
+    tr, va = _one_pair()
+    plain = sweep_fit_best(_factory, tr, va, Adam(0.01), "cross_entropy",
+                           epochs=3, seeds=seeds)
+    tr2, va2 = _one_pair()
+    mesh = make_mesh((4,), ("fold",))
+    sharded = sweep_fit_best(_factory, tr2, va2, Adam(0.01),
+                             "cross_entropy", epochs=3, seeds=seeds,
+                             mesh=mesh)
+    assert len(sharded) == len(seeds)
+    for p, s in zip(plain, sharded):
+        np.testing.assert_allclose(p["scores"], s["scores"],
+                                   rtol=1e-5, atol=1e-6)
+        assert p["best_epoch"] == s["best_epoch"]

@@ -112,3 +112,87 @@ def test_shard_map_engine_validation():
         MultiModN(3, [MLPEncoder(3, 3, (4,))], [LogisticDecoder(3)],
                   1.0, 0.0, mesh=make_mesh(axis_names=("data",)),
                   dp_engine="shard_map", nan_skip="batch")
+
+
+def _dp_pair(engine, seed=5, n_mult=8):
+    """(model, train_loader, val_loader) on the full-device data mesh."""
+    from multimodn_tpu.data import ArrayLoader, PartitionDataset
+    from multimodn_tpu.data.dataset import Subset
+
+    rng = np.random.default_rng(seed)
+    n = n_mult * len(jax.devices())
+    X = rng.normal(size=(n + 16, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = PartitionDataset(X, y, [3, 3])
+    mesh = make_mesh(axis_names=("data",)) if engine == "shard_map" else None
+    model = MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                      [LogisticDecoder(3)], 1.0, 0.0, seed=0,
+                      mesh=mesh, dp_engine=engine)
+    bs = len(jax.devices()) * 4
+    tr = ArrayLoader(Subset(ds, list(range(n))), bs)
+    va = ArrayLoader(Subset(ds, list(range(n, n + 16))), 16)
+    return model, tr, va
+
+
+def test_shard_map_fused_fit_matches_auto():
+    """Fused multi-epoch fit through the explicit engine == auto engine:
+    params and full train/val history grids (VERDICT r2 next-#6)."""
+    from multimodn_tpu import MultiModNHistory
+
+    hists, params = [], []
+    for engine in ("auto", "shard_map"):
+        model, tr, va = _dp_pair(engine)
+        h = MultiModNHistory(["t"])
+        model.fit(tr, Adam(0.01), "cross_entropy", epochs=4, history=h,
+                  val_loader=va)
+        hists.append(h)
+        params.append(np.asarray(model.params["encoders"][0]["layers"][0]["w"]))
+    np.testing.assert_allclose(params[0], params[1], rtol=1e-5, atol=1e-6)
+    for field in ("loss", "accuracy", "sensitivity", "specificity"):
+        for tag in ("train", "val"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(hists[0], field)[tag]),
+                np.asarray(getattr(hists[1], field)[tag]),
+                rtol=1e-5, atol=1e-6, err_msg=f"{field}[{tag}]")
+
+
+def test_shard_map_fused_fit_best_matches_auto():
+    """Fused select-fit (train + val + AUROC/BAC best-checkpoint selection
+    with the per-epoch val all_gather) == auto engine."""
+    results = []
+    for engine in ("auto", "shard_map"):
+        model, tr, va = _dp_pair(engine, seed=6)
+        res = model.fit_best(tr, Adam(0.01), "cross_entropy", epochs=4,
+                             val_loader=va)
+        results.append((res, np.asarray(
+            model.params["encoders"][0]["layers"][0]["w"])))
+    (a, pa), (b, pb) = results
+    assert a["best_epoch"] == b["best_epoch"]
+    np.testing.assert_allclose(a["scores"], b["scores"], rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(a["best_score"], b["best_score"], rtol=1e-5)
+    np.testing.assert_allclose(pa, pb, rtol=1e-5, atol=1e-6)
+
+
+def test_shard_map_fused_guards():
+    """The fused shard_map programs reject what they cannot express, before
+    touching optimizer state."""
+    import pytest
+
+    from multimodn_tpu.data import ArrayLoader, PartitionDataset
+
+    model, tr, va = _dp_pair("shard_map", seed=7)
+    # Indivisible batch size.
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(30, 6)).astype(np.float32)
+    y = rng.integers(0, 2, size=(30, 1))
+    odd = ArrayLoader(PartitionDataset(X, y, [3, 3]),
+                      len(jax.devices()) * 4 + 1)
+    with pytest.raises(ValueError, match="divide the data mesh axis"):
+        model.fit(odd, Adam(0.01), "cross_entropy", epochs=2)
+    assert model.opt_state is None  # rejected call left no state behind
+    # shuffle=True loader.
+    sh = ArrayLoader(PartitionDataset(X, y, [3, 3]), len(jax.devices()),
+                     shuffle=True)
+    with pytest.raises(NotImplementedError, match="shuffle=True"):
+        model.fit(sh, Adam(0.01), "cross_entropy", epochs=2)
