@@ -95,8 +95,13 @@ def _resolve_cache_root(cache_root: str, synthetic_kwargs) -> str:
     sized synthetic datasets never alias (real-CSV caches use the root)."""
     if os.environ.get("MULTIMODN_MIMIC_EMBED_PATH"):
         return cache_root
+    from multimodn_tpu.data.synth import SYNTH_MIMIC_VERSION
     kw = dict(synthetic_kwargs or {})
-    tag = (f"synth_p{kw.get('n_patients', 200)}"
+    # The generator version invalidates caches whenever the synthetic
+    # distribution itself changes (a stale cache once silently served an
+    # old generator to the MNAR protocol).
+    tag = (f"synth_v{SYNTH_MIMIC_VERSION}"
+           f"_p{kw.get('n_patients', 200)}"
            f"_s{kw.get('seed', 2023)}"
            f"_m{kw.get('max_stays_per_patient', 3)}")
     if kw.get("sources"):

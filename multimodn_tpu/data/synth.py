@@ -20,6 +20,10 @@ MIMIC_SOURCE_DICT = dict(zip(MIMIC_SOURCE_NAMES, MIMIC_SOURCE_SIZE))
 
 MIMIC_DEFAULT_TARGETS = ["Enlarged Cardiomediastinum", "Cardiomegaly"]
 
+# Bump when synthetic_mimic_embeddings' distribution changes — keys the
+# MIMIC on-disk cache (data/mimic.py) so stale frames never get served.
+SYNTH_MIMIC_VERSION = 2
+
 
 def synthetic_titanic(n: int = 891, seed: int = 1912) -> pd.DataFrame:
     """Titanic-schema DataFrame with realistic missingness and a learnable
@@ -104,12 +108,27 @@ def synthetic_mimic_embeddings(
     for j in range(1, 6):
         frame[f"de_{j}"] = rng.integers(0, 3, size=n_rows)
 
+    # Per-source realism, matching two properties of the real HAIM file
+    # that the MNAR protocol depends on (nips/run_mnar_protocol.py):
+    # - the neural-embedding blocks (vd/vmd/n_*) are post-ReLU network
+    #   activations: non-negative with positive per-feature means, so a
+    #   zero-imputed block sits far outside their support (zero-fill is
+    #   VISIBLE to a parallel-fusion model — the HAIM-shortcut regime);
+    # - those blocks are weakly label-informative relative to the clinical
+    #   time-series sources (heterogeneous SNR, like image embeddings vs
+    #   charted vitals/labs for these targets).
+    _EMBED_BLOCKS = {"vd", "vmd", "n_ecg", "n_ech", "n_rad"}
     for src in sources:
         if src == "de":
             continue
         width = MIMIC_SOURCE_DICT[src]
         proj = rng.normal(size=(8, width)) / np.sqrt(8)
-        block = row_latent @ proj + 0.5 * rng.normal(size=(n_rows, width))
+        gain = 0.25 if src in _EMBED_BLOCKS else 1.0
+        block = gain * (row_latent @ proj) \
+            + 0.5 * rng.normal(size=(n_rows, width))
+        if src in _EMBED_BLOCKS:
+            block = np.maximum(
+                block + rng.uniform(0.5, 1.5, size=width), 0.0)
         for i in range(width):
             frame[f"{src}_{i}"] = block[:, i].astype(np.float32)
 
@@ -122,7 +141,12 @@ def synthetic_mimic_embeddings(
         t_rng = np.random.default_rng(
             (seed * 1_000_003 + zlib.crc32(target.encode())) % 2**63)
         w = t_rng.normal(size=8)
-        score = row_latent @ w + 0.5 * t_rng.normal(size=n_rows)
+        # Label noise sized so the Bayes-optimal AUROC sits in the real
+        # protocol's band (~0.8, the paper's clean-test regime) instead of
+        # saturating near 1.0: with saturated content signal neither model
+        # ever feels gradient pressure toward the missingness shortcuts the
+        # MNAR experiment measures.
+        score = row_latent @ w + 1.6 * t_rng.normal(size=n_rows)
         frame[target] = (score > np.median(score)).astype(int)
 
     return pd.DataFrame(frame)

@@ -52,6 +52,15 @@ class MimicConfig:
     batch_size: int = 16
     nfold: int = 5
     miss_perc: float = 0.0
+    # NaN-skip granularity for the MultiModN models ('sample' generalizes;
+    # 'batch' is the reference's exact semantics — quirk #2. The MNAR
+    # protocol's published robustness curves use 'batch': under it, any
+    # realistic missingness rate means nearly every batch of 16 contains a
+    # missing row, so the degraded modality is skipped for ALL batches —
+    # the mechanism behind the paper's flat MultiModN curve. 'sample'
+    # exposes a per-row presence channel that MNAR training can exploit;
+    # see RESULTS.md.)
+    nan_skip: str = "sample"
     # Synthetic data size when no real embeddings CSV is configured.
     synthetic_patients: int = 120
     # Train all folds of a target simultaneously via jax.vmap (one device
@@ -134,7 +143,8 @@ def build_modn(cfg: MimicConfig, partitions: List[int], targets: List[str],
                            (cfg.decoder_hidd_units, cfg.decoder_hidd_units), 2)
                 for _ in targets]
     return MultiModN(cfg.state_size, encoders, decoders, cfg.err_penalty,
-                     cfg.state_change_penalty, seed=seed)
+                     cfg.state_change_penalty, nan_skip=cfg.nan_skip,
+                     seed=seed)
 
 
 def run_fold_modn(cfg: MimicConfig, dataset_modn, partitions, targets,
