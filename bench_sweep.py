@@ -83,6 +83,30 @@ def main():
         seq_times.append(time.perf_counter() - t0)
     t_seq = float(np.median(seq_times))
 
+    # Warm-sequential arm: ONE model re-used across seeds (per-seed
+    # load_state_dict resets params+opt state; the fused program cache
+    # hits, so no per-seed retrace). This isolates DEVICE-time batching
+    # gains from the fresh-model trace amortization the plain sequential
+    # arm also includes.
+    m_warm = factory(0)
+    opt_warm = Adam(1e-3)
+    m_warm.fit_best(tr, opt_warm, "cross_entropy", epochs=EPOCHS,
+                    val_loader=va)
+    sync(m_warm)
+    warm_inits = [factory(s).state_dict() for s in range(max(SWEEP_SIZES))]
+
+    def warm_seq(S):
+        t0 = time.perf_counter()
+        for k in range(S):
+            m_warm.load_state_dict(warm_inits[k])
+            m_warm.fit_best(tr, opt_warm, "cross_entropy", epochs=EPOCHS,
+                            val_loader=va)
+        sync(m_warm)
+        return time.perf_counter() - t0
+
+    warm_seq(2)  # dry
+    t_warm_per_seed = warm_seq(8) / 8.0
+
     rows = []
     for S in SWEEP_SIZES:
         seeds = list(range(S))
@@ -99,28 +123,32 @@ def main():
         rows.append({
             "seeds": S,
             "t_sweep_s": t_sweep,
-            "t_sequential_s": t_seq * S,
-            "speedup_vs_sequential": t_seq * S / t_sweep,
-            "seeds_for_price_of_one": t_seq * S / t_sweep,
+            "t_sequential_fresh_s": t_seq * S,
+            "t_sequential_warm_s": t_warm_per_seed * S,
+            "speedup_vs_fresh_models": t_seq * S / t_sweep,
+            "speedup_vs_warm_sequential": t_warm_per_seed * S / t_sweep,
             "per_seed_ms": 1000 * t_sweep / S,
         })
-        print(f"S={S}: sweep {t_sweep:.2f}s vs sequential {t_seq * S:.2f}s "
-              f"-> {t_seq * S / t_sweep:.1f}x", flush=True)
+        print(f"S={S}: sweep {t_sweep:.2f}s vs fresh-seq {t_seq * S:.2f}s "
+              f"({t_seq * S / t_sweep:.1f}x) vs warm-seq "
+              f"{t_warm_per_seed * S:.2f}s "
+              f"({t_warm_per_seed * S / t_sweep:.1f}x)", flush=True)
 
     detail = {
         "platform": str(jax.devices()[0]),
         "epochs": EPOCHS,
-        "t_fit_best_single_s": t_seq,
+        "t_fit_best_fresh_model_s": t_seq,
+        "t_fit_best_warm_per_seed_s": t_warm_per_seed,
         "sweeps": rows,
     }
     with open(os.path.join(REPO, "bench_sweep.json"), "w") as f:
         json.dump(detail, f, indent=2)
-    best = max(rows, key=lambda r: r["speedup_vs_sequential"])
+    best = max(rows, key=lambda r: r["speedup_vs_warm_sequential"])
     print(json.dumps({
         "metric": "seed_sweep_speedup",
-        "value": round(best["speedup_vs_sequential"], 2),
-        "unit": f"x vs sequential at {best['seeds']} seeds",
-        "vs_baseline": round(best["speedup_vs_sequential"], 2),
+        "value": round(best["speedup_vs_warm_sequential"], 2),
+        "unit": f"x vs warm sequential at {best['seeds']} seeds",
+        "vs_baseline": round(best["speedup_vs_warm_sequential"], 2),
     }))
 
 

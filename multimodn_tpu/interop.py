@@ -36,23 +36,28 @@ import sys
 from typing import Any
 
 
-class _IdKey:
-    """Identity-hashed strong-ref cache key (same pattern as model._IdKey)."""
+import weakref
 
-    __slots__ = ("obj",)
-
-    def __init__(self, obj):
-        self.obj = obj
-
-    def __hash__(self):
-        return id(self.obj)
-
-    def __eq__(self, other):
-        return isinstance(other, _IdKey) and other.obj is self.obj
-
-
+# id(torch_obj) -> (weakref(torch_obj), adapted). The weakref's finalizer
+# evicts the entry when the torch object dies, so (a) the caches never grow
+# past the set of LIVE torch objects, and (b) a recycled id can never alias
+# a dead key (the stored weakref is checked for identity on every hit).
 _OPT_CACHE: dict = {}
 _LOADER_CACHE: dict = {}
+
+
+def _cache_lookup(cache: dict, obj):
+    entry = cache.get(id(obj))
+    if entry is not None and entry[0]() is obj:
+        return entry[1]
+    return None
+
+
+def _cache_store(cache: dict, obj, value):
+    key = id(obj)
+    cache[key] = (weakref.ref(obj, lambda _r, k=key, c=cache:
+                              c.pop(k, None)), value)
+    return value
 
 
 def _torch_mod(obj: Any, prefix: str) -> bool:
@@ -91,8 +96,7 @@ def adapt_optimizer(opt: Any):
     per instance (state continuity across train_epoch calls)."""
     if not is_torch_optimizer(opt):
         return opt
-    key = _IdKey(opt)
-    cached = _OPT_CACHE.get(key)
+    cached = _cache_lookup(_OPT_CACHE, opt)
     if cached is not None:
         return cached
     import torch.optim as topt
@@ -116,8 +120,7 @@ def adapt_optimizer(opt: Any):
         raise NotImplementedError(
             f"no JAX-native mapping for torch optimizer "
             f"{type(opt).__name__}; use multimodn_tpu.optim directly")
-    _OPT_CACHE[key] = ours
-    return ours
+    return _cache_store(_OPT_CACHE, opt, ours)
 
 
 def adapt_criterion(criterion: Any):
@@ -150,8 +153,7 @@ def adapt_loader(loader: Any):
     same batch geometry, memoized per DataLoader instance."""
     if not is_torch_dataloader(loader):
         return loader
-    key = _IdKey(loader)
-    cached = _LOADER_CACHE.get(key)
+    cached = _cache_lookup(_LOADER_CACHE, loader)
     if cached is not None:
         return cached
     import torch.utils.data as tud
@@ -170,8 +172,7 @@ def adapt_loader(loader: Any):
     shuffle = isinstance(getattr(loader, "sampler", None), tud.RandomSampler)
     batch_size = loader.batch_size or len(loader.dataset)
     ours = ArrayLoader(loader.dataset, batch_size, shuffle=shuffle)
-    _LOADER_CACHE[key] = ours
-    return ours
+    return _cache_store(_LOADER_CACHE, loader, ours)
 
 
 def torch_parameters(model):

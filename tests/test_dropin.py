@@ -135,3 +135,35 @@ def test_other_scripts_dropin(pipeline, epochs, tmp_path):
     assert len(hist.loss["train"]) == epochs
     assert len(hist.loss["val"]) == epochs
     assert np.isfinite(np.asarray(hist.loss["train"])).all()
+
+
+def test_interop_caches_stable_and_weak():
+    """Adapter memoization: the same torch optimizer/DataLoader maps to the
+    SAME adapted object on every call (optimizer-state continuity across a
+    300-epoch train_epoch loop), and dead torch objects evict their cache
+    entries (no unbounded growth in long-lived processes)."""
+    import gc
+
+    import torch
+    from torch.utils.data import DataLoader as TorchDataLoader
+
+    from multimodn_tpu import interop
+    from multimodn_tpu.data import PartitionDataset
+
+    ds = PartitionDataset(np.zeros((8, 4), np.float32),
+                          np.zeros((8, 1), np.int64))
+    model_params = [torch.nn.Parameter(torch.zeros(2))]
+
+    n_opt0 = len(interop._OPT_CACHE)
+    n_ldr0 = len(interop._LOADER_CACHE)
+    opt = torch.optim.Adam(model_params, 1e-3)
+    ldr = TorchDataLoader(ds, batch_size=4)
+    a1, a2 = interop.adapt_optimizer(opt), interop.adapt_optimizer(opt)
+    l1, l2 = interop.adapt_loader(ldr), interop.adapt_loader(ldr)
+    assert a1 is a2 and l1 is l2
+    assert len(interop._OPT_CACHE) == n_opt0 + 1
+    assert len(interop._LOADER_CACHE) == n_ldr0 + 1
+    del opt, ldr, a1, a2, l1, l2
+    gc.collect()
+    assert len(interop._OPT_CACHE) == n_opt0
+    assert len(interop._LOADER_CACHE) == n_ldr0
