@@ -115,8 +115,16 @@ def _load_resume_payload(state_path, model, optimizer, history):
         payload = pickle.load(f)
     model.load_state_dict(payload["model_state_dict"])
     if payload.get("opt_state") is not None:
-        model.opt_state = jax.tree_util.tree_map(
+        opt_state = jax.tree_util.tree_map(
             jnp.asarray, payload["opt_state"])
+        if getattr(model, "mesh", None) is not None:
+            # Elastic rescaling: the checkpoint is a mesh-free numpy
+            # pytree, so a run interrupted on one device topology resumes
+            # on ANY other — load_state_dict already re-placed the params
+            # on the new mesh; mirror that for the optimizer moments.
+            from multimodn_tpu.parallel.sharding import shard_opt_state
+            opt_state = shard_opt_state(opt_state, model.mesh)
+        model.opt_state = opt_state
         model._opt = optimizer        # keep the restored opt_state live
     model._epoch_counter = payload.get("epoch_counter", payload["epoch"])
     model._cycle_offset = payload.get("cycle_offset", 0)

@@ -51,3 +51,19 @@ def shard_params(params, mesh: Mesh, model_axis: str = "model"):
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(place, params)
+
+
+def shard_opt_state(opt_state, mesh: Mesh, model_axis: str = "model"):
+    """Place a RESTORED optimizer state on a (possibly different) mesh —
+    the elastic-rescaling path: checkpoints are mesh-free numpy pytrees, so
+    a run interrupted on N devices resumes on M by re-placing params
+    (model.load_state_dict -> shard_params) and optimizer state (here).
+    The torch-Adam state's moment trees mirror the parameter tree and shard
+    identically; step counts (and any non-dict optax state) replicate."""
+    if isinstance(opt_state, dict) and "m" in opt_state and "v" in opt_state:
+        out = {k: jax.device_put(v, replicate(mesh))
+               for k, v in opt_state.items() if k not in ("m", "v")}
+        out["m"] = shard_params(opt_state["m"], mesh, model_axis)
+        out["v"] = shard_params(opt_state["v"], mesh, model_axis)
+        return out
+    return jax.device_put(opt_state, replicate(mesh))

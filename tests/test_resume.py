@@ -323,3 +323,101 @@ def test_orbax_restore_into_sharded_model(tmp_path):
     leaf = jax.tree_util.tree_leaves(m_sharded.params)[0]
     assert getattr(leaf, "sharding", None) is not None
     assert getattr(leaf.sharding, "mesh", None) is not None
+
+
+# ---------------------------------------------------------------------------
+# Elastic rescaling: resume an interrupted run on a DIFFERENT device
+# topology (SURVEY §2.4 row 37 — the checkpoint is a mesh-free numpy
+# pytree; params AND optimizer moments re-place on whatever mesh the
+# resuming process builds).
+# ---------------------------------------------------------------------------
+
+def test_elastic_resume_across_mesh_sizes(tmp_path):
+    """6 epochs trained as 2 on an 8-way DP mesh + 2 resumed on a 4-way
+    mesh + 2 resumed on a single device equal one uninterrupted
+    single-device run (params and full history)."""
+    from multimodn_tpu.checkpoint import fit_resumable
+    from multimodn_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(48, 6)).astype(np.float32)
+    y = rng.integers(0, 2, size=(48, 1))
+
+    def loader():
+        return ArrayLoader(PartitionDataset(X, y), 8)
+
+    def build(mesh):
+        return MultiModN(2, [MLPEncoder(2, 6, (4,))], [LogisticDecoder(2)],
+                         0.7, 0.3, seed=0, mesh=mesh)
+
+    # Uninterrupted single-device baseline.
+    m_ref = _make(seed=0)
+    opt = Adam(0.01)
+    h_ref = MultiModNHistory(["t"])
+    m_ref.fit(loader(), opt, "cross_entropy", epochs=6, history=h_ref)
+
+    ckpt = str(tmp_path / "elastic")
+    meshes = [make_mesh((8,), ("data",)), make_mesh((4,), ("data",)), None]
+    for stage, mesh in enumerate(meshes, start=1):
+        model = build(mesh)          # a fresh "process" on a new topology
+        # Stage 1 starts a fresh history; later stages pass None and ADOPT
+        # the checkpointed history, like a genuinely restarted process.
+        h, ran = fit_resumable(model, loader(), Adam(0.01),
+                               "cross_entropy", epochs=2 * stage,
+                               checkpoint_dir=ckpt, chunk_epochs=2,
+                               history=MultiModNHistory(["t"])
+                               if stage == 1 else None)
+        assert ran == 2
+        if mesh is not None:
+            # Params actually live on the stage's mesh.
+            leaf = jax.tree_util.tree_leaves(model.params)[0]
+            assert leaf.sharding.mesh.shape == mesh.shape
+
+    assert len(h.loss["train"]) == 6
+    np.testing.assert_allclose(
+        np.asarray(h.loss["train"], np.float64),
+        np.asarray(h_ref.loss["train"], np.float64), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(model.params["encoders"][0]["layers"][0]["w"]),
+        np.asarray(m_ref.params["encoders"][0]["layers"][0]["w"]),
+        rtol=1e-5, atol=1e-6)
+
+
+def test_elastic_resume_dp_tp_to_single(tmp_path):
+    """fit_best_resumable interrupted on a DP2xTP2 mesh resumes on a single
+    device with identical continuation (best selection included)."""
+    from multimodn_tpu.checkpoint import fit_best_resumable
+    from multimodn_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(64, 6)).astype(np.float32)
+    y = (X[:, 0] > 0).astype(np.int64)[:, None]
+
+    def loaders():
+        ds = PartitionDataset(X, y)
+        from multimodn_tpu.data.dataset import Subset
+        return (ArrayLoader(Subset(ds, list(range(48))), 8),
+                ArrayLoader(Subset(ds, list(range(48, 64))), 8))
+
+    def build(mesh):
+        return MultiModN(4, [MLPEncoder(4, 6, (8,))], [LogisticDecoder(4)],
+                         0.7, 0.3, seed=1, mesh=mesh)
+
+    # Uninterrupted single-device run.
+    tr, va = loaders()
+    ref = build(None).fit_best(tr, Adam(0.01), "cross_entropy", epochs=4,
+                               val_loader=va)
+
+    ckpt = str(tmp_path / "elastic_best")
+    tr, va = loaders()
+    m1 = build(make_mesh((2, 2), ("data", "model")))
+    fit_best_resumable(m1, tr, Adam(0.01), "cross_entropy", epochs=2,
+                       checkpoint_dir=ckpt, val_loader=va, chunk_epochs=2)
+    tr, va = loaders()
+    m2 = build(None)
+    res = fit_best_resumable(m2, tr, Adam(0.01), "cross_entropy", epochs=4,
+                             checkpoint_dir=ckpt, val_loader=va,
+                             chunk_epochs=2)
+    np.testing.assert_allclose(res["scores"], np.asarray(ref["scores"]),
+                               rtol=1e-5, atol=1e-6)
+    assert res["best_epoch"] == ref["best_epoch"]
