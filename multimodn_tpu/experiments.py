@@ -26,6 +26,94 @@ from multimodn_tpu.core.step import epoch_reduction, make_select_fit_fn
 from multimodn_tpu.optim import Optimizer
 
 
+# ---------------------------------------------------------------------------
+# Structural program cache: kfold/sweep calls in a protocol loop (e.g. the
+# MNAR grid — 12 kfold calls) build identical select-fit programs from
+# fresh model/optimizer objects; re-TRACING each costs ~15 s at the bench's
+# unroll-32 config. Two models whose encoder/decoder/init-state structure,
+# loss configuration, and optimizer hyperparameters are identical produce
+# identical traced programs (parameters are ARGUMENTS, not constants), so
+# the jitted program is cached under an exact structural signature.
+# Caching is conservative: any component outside this package's own
+# encoder/decoder/state classes (or an optimizer without a ``signature``)
+# disables it for that call.
+# ---------------------------------------------------------------------------
+
+_SIG_MODULES = ("multimodn_tpu.encoders", "multimodn_tpu.decoders",
+                "multimodn_tpu.core.state")
+_FIT_PROGRAM_CACHE: dict = {}
+
+
+def _sig_value(v):
+    if isinstance(v, (str, int, float, bool, type(None))):
+        return v
+    if isinstance(v, (list, tuple)):
+        return ("seq", tuple(_sig_value(x) for x in v))
+    if isinstance(v, dict):
+        return ("map", tuple(sorted((k, _sig_value(x))
+                                    for k, x in v.items())))
+    if callable(v):
+        # Identity-keyed: two distinct callables never share a cache entry
+        # even with equal names (conservative against closures).
+        return ("fn", getattr(v, "__name__", type(v).__name__), id(v))
+    try:
+        arr = np.asarray(v)
+    except Exception:
+        return ("id", id(v))
+    import hashlib
+    return ("arr", arr.shape, str(arr.dtype),
+            hashlib.sha1(np.ascontiguousarray(arr).tobytes()).hexdigest())
+
+
+def _component_sig(obj):
+    mod = type(obj).__module__ or ""
+    if not any(mod == m or mod.startswith(m + ".") for m in _SIG_MODULES):
+        return None
+    return (type(obj).__qualname__,
+            tuple((k, _sig_value(v)) for k, v in sorted(vars(obj).items())))
+
+
+def _model_signature(model):
+    parts = ([_component_sig(e) for e in model.encoders]
+             + [_component_sig(d) for d in model.decoders]
+             + [_component_sig(model.init_state)])
+    if any(p is None for p in parts):
+        return None
+    return (model.state_size, model.err_penalty,
+            model.state_change_penalty, model.nan_skip, model.chain_mode,
+            model._chain_plan(), str(model.compute_dtype),
+            model.scan_unroll, model.shuffle_mode, tuple(parts))
+
+
+def _cached_select_fit(template, criterion, optimizer, order, per_batch,
+                       binary, gate_empty: bool, reshuffle: bool):
+    """Return the fused select-fit program for this configuration, reusing
+    a structurally-identical previously-traced one when safe."""
+    sig = _model_signature(template)
+    opt_sig = getattr(optimizer, "signature", None)
+    key = None
+    if sig is not None and opt_sig is not None and \
+            (isinstance(criterion, str) or
+             getattr(criterion, "__module__", "").startswith(
+                 "multimodn_tpu.")):
+        crit_key = criterion if isinstance(criterion, str) \
+            else ("fn", criterion.__name__, id(criterion))
+        key = (sig, crit_key, opt_sig, tuple(order), per_batch,
+               tuple(binary), gate_empty, reshuffle)
+        cached = _FIT_PROGRAM_CACHE.get(key)
+        if cached is not None:
+            return cached
+    loss_fn = template._loss_fn(criterion, order, template.nan_skip,
+                                per_batch)
+    fit = make_select_fit_fn(loss_fn, optimizer.tx, binary,
+                             gate_empty_batches=gate_empty,
+                             scan_unroll=template.scan_unroll,
+                             reshuffle=reshuffle)
+    if key is not None:
+        _FIT_PROGRAM_CACHE[key] = fit
+    return fit
+
+
 def _pad_batches(stacks, max_nb: int):
     """Pad (data, targets, mask) epoch stacks to ``max_nb`` batches. ``data``
     is a tuple of per-modality arrays (unrolled chain) or one stacked array
@@ -181,13 +269,10 @@ def kfold_fit_best(
             rows = np.concatenate([rows, pad], axis=0)
         return rows
 
-    loss_fn = template._loss_fn(criterion, order, template.nan_skip,
-                                per_batch)
     # Folds get padded to a common batch count -> empty batches exist, so the
     # exact-skip gating must be on here.
-    fit = make_select_fit_fn(loss_fn, optimizer.tx, binary,
-                             gate_empty_batches=True,
-                             scan_unroll=template.scan_unroll,
+    fit = _cached_select_fit(template, criterion, optimizer, order,
+                             per_batch, binary, gate_empty=True,
                              reshuffle=reshuffle)
 
     # In scan-chain mode the loss fn expects ONE stacked modality array
@@ -367,10 +452,8 @@ def sweep_fit_best(
     template._validate_pairings(order, train_loader,
                                 template._batch_seqs(train_loader))
 
-    loss_fn = template._loss_fn(criterion, order, template.nan_skip,
-                                per_batch)
-    fit = make_select_fit_fn(loss_fn, optimizer.tx, binary,
-                             scan_unroll=template.scan_unroll,
+    fit = _cached_select_fit(template, criterion, optimizer, order,
+                             per_batch, binary, gate_empty=False,
                              reshuffle=reshuffle)
 
     def _host_place(loader):

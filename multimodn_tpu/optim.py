@@ -177,6 +177,12 @@ class Adam(Optimizer):
                  eps: float = 1e-8, state_dtype=None):
         super().__init__(_torch_adam(learning_rate, betas[0], betas[1], eps,
                                      state_dtype=state_dtype))
+        # Structural signature: two Adam(0.01) instances build IDENTICAL
+        # update programs, so experiment-level program caches
+        # (experiments._cached_select_fit) may share traces across
+        # same-hyperparameter optimizer objects.
+        self.signature = ("adam", learning_rate, tuple(betas), eps,
+                          str(state_dtype))
 
 
 class AdamW(Optimizer):
@@ -184,8 +190,11 @@ class AdamW(Optimizer):
                  eps: float = 1e-8, weight_decay: float = 0.01):
         super().__init__(optax.adamw(learning_rate, b1=betas[0], b2=betas[1], eps=eps,
                                      weight_decay=weight_decay))
+        self.signature = ("adamw", learning_rate, tuple(betas), eps,
+                          weight_decay)
 
 
 class SGD(Optimizer):
     def __init__(self, learning_rate: float, momentum: float = 0.0):
         super().__init__(optax.sgd(learning_rate, momentum=momentum or None))
+        self.signature = ("sgd", learning_rate, momentum)

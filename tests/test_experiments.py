@@ -456,3 +456,46 @@ def test_sweep_mesh_sharded_matches_plain():
         np.testing.assert_allclose(p["scores"], s["scores"],
                                    rtol=1e-5, atol=1e-6)
         assert p["best_epoch"] == s["best_epoch"]
+
+
+def test_structural_program_cache(monkeypatch):
+    """Protocol loops (e.g. the MNAR grid) rebuild models/optimizers per
+    call; structurally identical calls must reuse ONE traced program, and
+    any structural/hyperparameter change must miss."""
+    from multimodn_tpu import experiments
+
+    calls = []
+    orig = experiments.make_select_fit_fn
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(experiments, "make_select_fit_fn", counting)
+    experiments._FIT_PROGRAM_CACHE.clear()
+
+    r1 = kfold_fit_best(_factory, _folds(), Adam(0.01), "cross_entropy",
+                        epochs=2)
+    r2 = kfold_fit_best(_factory, _folds(), Adam(0.01), "cross_entropy",
+                        epochs=2)
+    assert len(calls) == 1, "second structurally-identical call re-traced"
+    for a, b in zip(r1, r2):
+        np.testing.assert_array_equal(a["scores"], b["scores"])
+
+    def factory_wider(seed):
+        return MultiModN(4, [MLPEncoder(4, 3, (4,)), MLPEncoder(4, 3, (4,))],
+                         [LogisticDecoder(4)], 1.0, 0.0, seed=seed)
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(40, 6)).astype(np.float32)
+    y = rng.integers(0, 2, size=(40, 1))
+    ds = PartitionDataset(X, y, [3, 3])
+    folds_w = [(ArrayLoader(Subset(ds, list(range(24))), 8),
+                ArrayLoader(Subset(ds, list(range(24, 40))), 8))]
+    kfold_fit_best(factory_wider, folds_w, Adam(0.01), "cross_entropy",
+                   epochs=2)
+    assert len(calls) == 2, "different structure must rebuild"
+
+    kfold_fit_best(_factory, _folds(), Adam(0.02), "cross_entropy",
+                   epochs=2)
+    assert len(calls) == 3, "different optimizer hyperparameters must rebuild"
