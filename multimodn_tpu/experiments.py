@@ -53,13 +53,16 @@ def _sig_value(v):
         return ("map", tuple(sorted((k, _sig_value(x))
                                     for k, x in v.items())))
     if callable(v):
-        # Identity-keyed: two distinct callables never share a cache entry
-        # even with equal names (conservative against closures).
-        return ("fn", getattr(v, "__name__", type(v).__name__), id(v))
+        # Keyed by the OBJECT (identity hash): two distinct callables never
+        # share a cache entry even with equal names (conservative against
+        # closures), and the key tuple's strong reference pins the object so
+        # a freed callable's address can never alias a new one into a stale
+        # cache hit (the raw-id pitfall).
+        return ("fn", v)
     try:
         arr = np.asarray(v)
     except Exception:
-        return ("id", id(v))
+        return ("obj", v)
     import hashlib
     return ("arr", arr.shape, str(arr.dtype),
             hashlib.sha1(np.ascontiguousarray(arr).tobytes()).hexdigest())
@@ -97,10 +100,13 @@ def _cached_select_fit(template, criterion, optimizer, order, per_batch,
              getattr(criterion, "__module__", "").startswith(
                  "multimodn_tpu.")):
         crit_key = criterion if isinstance(criterion, str) \
-            else ("fn", criterion.__name__, id(criterion))
+            else ("fn", criterion)
         key = (sig, crit_key, opt_sig, tuple(order), per_batch,
                tuple(binary), gate_empty, reshuffle)
-        cached = _FIT_PROGRAM_CACHE.get(key)
+        try:
+            cached = _FIT_PROGRAM_CACHE.get(key)
+        except TypeError:  # unhashable component value -> uncacheable
+            key, cached = None, None
         if cached is not None:
             return cached
     loss_fn = template._loss_fn(criterion, order, template.nan_skip,
