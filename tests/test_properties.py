@@ -173,3 +173,79 @@ def test_randomized_fused_equals_looped_soak():
                 f"batch={batch} n={n} nan={nan_frac} skip={nan_skip} "
                 f"chain={chain} mimic={use_mimic} static={use_static} "
                 f"seed={seed}\n{err}") from err
+
+
+def test_randomized_sweep_equals_looped_fit_best_soak():
+    """Cross-path soak for the seed-sweep axis (round 3): for random
+    configurations, ``experiments.sweep_fit_best`` (N seeds vmapped in one
+    program, data broadcast in-program) must reproduce N looped
+    ``MultiModN.fit_best`` runs — same per-epoch score trajectories, same
+    best epoch/score, same selected parameters."""
+    import jax
+
+    from multimodn_tpu.data.dataset import Subset
+    from multimodn_tpu.encoders import MIMICMLPEncoder
+    from multimodn_tpu.experiments import sweep_fit_best
+
+    rng = np.random.default_rng(777)
+    for trial in range(4):
+        E = int(rng.integers(1, 4))
+        widths = [int(rng.integers(2, 6)) for _ in range(E)]
+        state = int(rng.integers(2, 5))
+        batch = int(rng.choice([8, 16, 11]))
+        n = int(rng.integers(40, 70))
+        nan_frac = float(rng.choice([0.0, 0.3]))
+        nan_skip = str(rng.choice(["sample", "batch"]))
+        use_mimic = bool(rng.integers(0, 2))
+        n_seeds = int(rng.integers(2, 4))
+        seeds = [int(s) for s in rng.integers(0, 1000, size=n_seeds)]
+        epochs = int(rng.integers(2, 4))
+
+        X = rng.normal(size=(n, sum(widths))).astype(np.float32)
+        y = (X @ rng.normal(size=sum(widths)) > 0).astype(np.int64)[:, None]
+        if nan_frac > 0:
+            rows = rng.random(n) < nan_frac
+            X[rows, :widths[0]] = np.nan
+        ds = PartitionDataset(X, y, widths)
+        n_tr = (n * 3) // 4
+        tr = ArrayLoader(Subset(ds, list(range(n_tr))), batch)
+        va = ArrayLoader(Subset(ds, list(range(n_tr, n))), batch)
+
+        def factory(seed, _w=tuple(widths), _s=state, _m=use_mimic,
+                    _k=nan_skip):
+            enc = (lambda w: MIMICMLPEncoder(_s, w, (4,), dropout=0.0)) \
+                if _m else (lambda w: MLPEncoder(_s, w, (4,)))
+            return MultiModN(_s, [enc(w) for w in _w],
+                             [LogisticDecoder(_s)], 0.7, 0.3, seed=seed,
+                             nan_skip=_k)
+
+        swept = sweep_fit_best(factory, tr, va, Adam(0.01), "cross_entropy",
+                               epochs=epochs, seeds=seeds)
+        try:
+            assert len(swept) == n_seeds
+            for seed, res in zip(seeds, swept):
+                ref = factory(seed).fit_best(
+                    ArrayLoader(Subset(ds, list(range(n_tr))), batch),
+                    Adam(0.01), "cross_entropy", epochs=epochs,
+                    val_loader=ArrayLoader(Subset(ds, list(range(n_tr, n))),
+                                           batch))
+                np.testing.assert_allclose(
+                    np.asarray(res["scores"]), np.asarray(ref["scores"]),
+                    rtol=1e-5, atol=1e-6)
+                assert res["best_epoch"] == ref["best_epoch"]
+                np.testing.assert_allclose(res["best_score"],
+                                           np.asarray(ref["best_score"]),
+                                           rtol=1e-5, atol=1e-6)
+                # sweep results carry the model; fit_best returns the
+                # selected params directly.
+                for a, b in zip(
+                        jax.tree_util.tree_leaves(res["model"].state_dict()),
+                        jax.tree_util.tree_leaves(ref["best_params"])):
+                    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                               rtol=1e-5, atol=1e-6)
+        except AssertionError as err:
+            raise AssertionError(
+                f"trial {trial}: E={E} widths={widths} state={state} "
+                f"batch={batch} n={n} nan={nan_frac} skip={nan_skip} "
+                f"mimic={use_mimic} seeds={seeds} epochs={epochs}\n{err}"
+            ) from err

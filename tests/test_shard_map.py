@@ -196,3 +196,72 @@ def test_shard_map_fused_guards():
                      shuffle=True)
     with pytest.raises(NotImplementedError, match="shuffle=True"):
         model.fit(sh, Adam(0.01), "cross_entropy", epochs=2)
+
+
+def test_randomized_shard_map_fused_soak():
+    """Cross-engine soak: for random configurations (encoder counts/widths,
+    state sizes, divisible batch sizes, NaN patterns, epochs), the fused
+    fit_best through dp_engine='shard_map' must match the auto engine —
+    score trajectories, selection, and final params."""
+    import pytest
+
+    from multimodn_tpu.data import ArrayLoader, PartitionDataset
+    from multimodn_tpu.data.dataset import Subset
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs a multi-device mesh")
+    rng = np.random.default_rng(31337)
+    for trial in range(4):
+        E = int(rng.integers(1, 4))
+        widths = [int(rng.integers(2, 6)) for _ in range(E)]
+        state = int(rng.integers(2, 5))
+        batch = n_dev * int(rng.choice([1, 2, 4]))
+        n = batch * int(rng.integers(3, 6)) + int(rng.integers(0, batch))
+        nan_frac = float(rng.choice([0.0, 0.3]))
+        epochs = int(rng.integers(2, 5))
+        seed = int(rng.integers(0, 1000))
+
+        X = rng.normal(size=(n, sum(widths))).astype(np.float32)
+        y = (X @ rng.normal(size=sum(widths)) > 0).astype(np.int64)[:, None]
+        if nan_frac > 0:
+            rows = rng.random(n) < nan_frac
+            X[rows, :widths[0]] = np.nan
+        ds = PartitionDataset(X, y, widths)
+        # Padded tail batches are fine under both engines (mask-weighted);
+        # only batch_size % n_dev == 0 is required.
+        n_tr = max(batch, n * 3 // 4)
+        n_va = n - n_tr
+
+        def build(engine):
+            mesh = make_mesh(axis_names=("data",)) \
+                if engine == "shard_map" else None
+            return MultiModN(state, [MLPEncoder(state, w, (4,))
+                                     for w in widths],
+                             [LogisticDecoder(state)], 0.7, 0.3, seed=seed,
+                             nan_skip="sample", mesh=mesh, dp_engine=engine)
+
+        results = {}
+        for engine in ("auto", "shard_map"):
+            m = build(engine)
+            tr = ArrayLoader(Subset(ds, list(range(n_tr))), batch)
+            va = ArrayLoader(Subset(ds, list(range(n_tr, n))), batch)
+            res = m.fit_best(tr, Adam(0.01), "cross_entropy", epochs=epochs,
+                             val_loader=va)
+            results[engine] = (res, m.state_dict())
+        (ra, pa), (rs, ps) = results["auto"], results["shard_map"]
+        try:
+            np.testing.assert_allclose(np.asarray(ra["scores"]),
+                                       np.asarray(rs["scores"]),
+                                       rtol=1e-5, atol=1e-6)
+            assert ra["best_epoch"] == rs["best_epoch"]
+            for a, b in zip(jax.tree_util.tree_leaves(pa),
+                            jax.tree_util.tree_leaves(ps)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-5, atol=1e-6)
+        except AssertionError as err:
+            raise AssertionError(
+                f"trial {trial}: E={E} widths={widths} state={state} "
+                f"batch={batch} n={n} (tr={n_tr}, va={n_va}) "
+                f"nan={nan_frac} epochs={epochs} seed={seed}\n{err}"
+            ) from err
