@@ -80,6 +80,19 @@ class MimicConfig:
     transformer_chunk: int = 64
 
 
+def storage_root() -> str:
+    """Root directory for pipeline artifacts (``nips/results`` CSVs, saved
+    models). Defaults to the repo root — where the PUBLISHED protocol CSVs
+    live (``nips/results/*.csv``, tracked in git). The results files are
+    append-only across runs (reference ``save_results`` semantics), so tests
+    and smoke runs MUST NOT use the default: they set ``MULTIMODN_STORAGE``
+    to a scratch dir (tests/conftest.py does this for the whole suite,
+    pipelines/test_all_pipelines.sh per run) or they would append junk rows
+    to the tracked deliverables."""
+    return os.environ.get("MULTIMODN_STORAGE") or os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", ".."))
+
+
 def _metric_scalars(metrics_tuple):
     """15-tuple -> CSV-writable values (curves become lists, like the
     reference's .numpy() conversion leaves arrays)."""
@@ -108,13 +121,18 @@ def patient_kfold_splits(dataset: MIMICDataset, nfold: int, seed: int):
     labels = patient["label"].values
     rows_haim = dataset.haim_ids()
     skf = StratifiedKFold(n_splits=nfold, shuffle=True, random_state=seed)
-    for id_train, id_test_val in skf.split(haim_id, labels):
+    for i, (id_train, id_test_val) in enumerate(skf.split(haim_id, labels)):
         train_patients = set(haim_id[id_train])
         test_val_patients = haim_id[id_test_val]
         labels_tv = labels[id_test_val]
+        # The reference increments its running ``seed`` at the END of each
+        # fold body (``mimic_single_task_pipeline.py:97,114,246``), so fold
+        # i's val/test patient split uses random_state = seed + i — NOT the
+        # fixed fold-0 seed (the StratifiedKFold itself is built once from
+        # the base seed before the loop).
         id_test, id_val = train_test_split(
             test_val_patients, test_size=0.5, stratify=labels_tv,
-            random_state=seed)[:2]
+            random_state=seed + i)[:2]
         val_p, test_p = set(id_val), set(id_test)
         train_ind = np.where(np.isin(rows_haim, list(train_patients)))[0]
         val_ind = np.where(np.isin(rows_haim, list(val_p)))[0]

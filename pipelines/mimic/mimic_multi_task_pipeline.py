@@ -11,6 +11,7 @@ sys.path.append(o.abspath(o.join(o.dirname(__file__), "../..")))
 from multimodn_tpu.data import MIMICDataset
 from pipelines import utils
 from pipelines.mimic.common import (
+    storage_root,
     MimicConfig,
     _metric_scalars,
     append_result_row,
@@ -20,7 +21,6 @@ from pipelines.mimic.common import (
     run_fold_modn,
 )
 
-STORAGE = o.abspath(o.join(o.dirname(__file__), "../.."))
 
 
 def main(argv=None, cfg: MimicConfig = None):
@@ -30,7 +30,7 @@ def main(argv=None, cfg: MimicConfig = None):
     if args.epoch:
         cfg.epochs = args.epoch
 
-    results_dir = os.path.join(STORAGE, "nips", "results")
+    results_dir = os.path.join(storage_root(), "nips", "results")
     os.makedirs(results_dir, exist_ok=True)
     results_file = os.path.join(results_dir, name + "_(auc + bac).csv")
 
@@ -55,7 +55,7 @@ def main(argv=None, cfg: MimicConfig = None):
         else:
             artifacts = None
             if args.save_model:
-                artifacts = os.path.join(STORAGE, "models", "multi_task",
+                artifacts = os.path.join(storage_root(), "models", "multi_task",
                                          "_".join(cfg.sources))
             _, _, info, test_modn = run_fold_modn(
                 cfg, part_modn, partitions, cfg.targets, tr, va, te, seed,

@@ -22,6 +22,7 @@ from multimodn_tpu.data import ArrayLoader, MIMICDataset
 from multimodn_tpu.data.dataset import Subset
 from pipelines import utils
 from pipelines.mimic.common import (
+    storage_root,
     MimicConfig,
     _metric_scalars,
     append_result_row,
@@ -31,7 +32,6 @@ from pipelines.mimic.common import (
 )
 from multimodn_tpu.core.metrics import performance_metrics
 
-STORAGE = o.abspath(o.join(o.dirname(__file__), "../.."))
 
 HYPERPARAMETERS = ["model", "target", "both", "fold", "miss_perc", "seed",
                    "state_size", "batch_size", "encoder_hidd_units",
@@ -72,7 +72,7 @@ def main(argv=None, cfg: MimicConfig = None):
     vd_features = [f"vd_{k}" for k in range(1024)]
     synth = {"n_patients": cfg.synthetic_patients}
 
-    results_dir = os.path.join(STORAGE, "nips", "results")
+    results_dir = os.path.join(storage_root(), "nips", "results")
     os.makedirs(results_dir, exist_ok=True)
     results_file = os.path.join(results_dir, name + "_(auc + bac).csv")
 

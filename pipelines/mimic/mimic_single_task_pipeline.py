@@ -12,6 +12,7 @@ sys.path.append(o.abspath(o.join(o.dirname(__file__), "../..")))
 from multimodn_tpu.data import MIMICDataset
 from pipelines import utils
 from pipelines.mimic.common import (
+    storage_root,
     MimicConfig,
     _metric_scalars,
     append_result_row,
@@ -21,7 +22,6 @@ from pipelines.mimic.common import (
     run_fold_modn,
 )
 
-STORAGE = o.abspath(o.join(o.dirname(__file__), "../.."))
 
 
 def main(argv=None, cfg: MimicConfig = None):
@@ -31,7 +31,7 @@ def main(argv=None, cfg: MimicConfig = None):
     if args.epoch:
         cfg.epochs = args.epoch
 
-    results_dir = os.path.join(STORAGE, "nips", "results")
+    results_dir = os.path.join(storage_root(), "nips", "results")
     os.makedirs(results_dir, exist_ok=True)
     results_file = os.path.join(results_dir, name + "_(auc + bac).csv")
 
@@ -69,7 +69,7 @@ def main(argv=None, cfg: MimicConfig = None):
             else:
                 artifacts = None
                 if args.save_model:
-                    artifacts = os.path.join(STORAGE, "models", target,
+                    artifacts = os.path.join(storage_root(), "models", target,
                                              "_".join(cfg.sources))
                 _, _, info, test_modn = run_fold_modn(
                     cfg, part_modn, partitions, [target], tr, va, te, seed,

@@ -5,6 +5,9 @@
 # unlike the reference which requires the private HAIM CSV).
 set -e
 cd "$(dirname "$0")/.."
+# Smoke runs must never append rows to the tracked protocol CSVs under
+# nips/results/ — redirect pipeline artifact writes to a scratch root.
+export MULTIMODN_STORAGE="${MULTIMODN_STORAGE:-$(mktemp -d)}"
 for pipeline in pipelines/titanic/*_pipeline.py; do
     echo "=== $pipeline ==="
     python "$pipeline" -e 5 -m false -y false -p false -r false
