@@ -120,6 +120,7 @@ def build_mimic_cache(
 ) -> str:
     """Materialize (or reuse) the per-(targets, sources) cache directory with
     ``data.csv`` and patient-level ``how_to_split.csv``; returns its path."""
+    orig_root = cache_root
     cache_root = _resolve_cache_root(cache_root, synthetic_kwargs)
     pathologies = "_".join(targets)
     source_spec = "_".join(sources)
@@ -141,7 +142,17 @@ def build_mimic_cache(
     from multimodn_tpu.data.synth import MIMIC_DEFAULT_TARGETS
     nips_src = os.path.join(cache_root, "_".join(MIMIC_DEFAULT_TARGETS),
                             source_spec, "data.csv")
-    if len(targets) == 1 and os.path.exists(nips_src):
+    if len(targets) == 1 and targets[0] in MIMIC_DEFAULT_TARGETS:
+        # The reference's single-target loader ALWAYS reads the canonical
+        # two-pathology data.csv (``mimic_get_nips_pathology_data``,
+        # mimic_dataset.py:96-99 — the path is hardcoded), so single-target
+        # row sets are the JOINT-filtered rows (rows valid for BOTH
+        # pathologies), never a per-target re-filter of the raw embeddings.
+        # Build the canonical cache first when absent — deriving from raw
+        # embeddings here would keep rows where only this target is valid.
+        if not os.path.exists(nips_src):
+            build_mimic_cache(list(MIMIC_DEFAULT_TARGETS), sources,
+                              orig_root, synthetic_kwargs)
         df = _read_numeric_csv(nips_src)  # already deduped/filtered/one-hot
         df = df.assign(Agg=df[targets[0]].astype(int))
     else:

@@ -111,12 +111,35 @@ def append_result_row(results_file_path: str, row: list, columns=None):
         df.to_csv(results_file_path, mode="w", index=False)
 
 
-def patient_kfold_splits(dataset: MIMICDataset, nfold: int, seed: int):
+def joint_split_table(cfg: MimicConfig) -> pd.DataFrame:
+    """Patient split table of the JOINT pathologies cache.
+
+    Every reference MIMIC pipeline stratifies its folds on the how_to_split
+    table of ``datasets/mimic/<'_'.join(targets)>/<sources>/`` with targets
+    = the FULL experiment target list — even the per-target loops of the
+    single-task and MNAR pipelines (``mimic_single_task_pipeline.py:88-94``,
+    ``mnar_missingness_pipeline.py:108-113``). Its patient label is the
+    multi-target Agg majority vote, NOT the per-target label, so per-target
+    datasets' own split tables must not be used for fold geometry."""
+    from multimodn_tpu.data.mimic import build_mimic_cache
+    cache_dir = build_mimic_cache(
+        list(cfg.targets), list(cfg.sources),
+        synthetic_kwargs={"n_patients": cfg.synthetic_patients})
+    return pd.read_csv(os.path.join(cache_dir, "how_to_split.csv"))
+
+
+def patient_kfold_splits(dataset: MIMICDataset, nfold: int, seed: int,
+                         patient: pd.DataFrame = None):
     """Yield (train_ind, val_ind, test_ind) row-index arrays with patient-level
-    stratified folds (reference ``mimic_single_task_pipeline.py:98-116``)."""
+    stratified folds (reference ``mimic_single_task_pipeline.py:98-116``).
+
+    ``patient``: the how_to_split table to stratify on. Reference-protocol
+    callers pass ``joint_split_table(cfg)`` (see its docstring); the default
+    is the dataset's own table."""
     from sklearn.model_selection import StratifiedKFold, train_test_split
 
-    patient = dataset.patient_split_table()
+    if patient is None:
+        patient = dataset.patient_split_table()
     haim_id = patient["haim_id"].values
     labels = patient["label"].values
     rows_haim = dataset.haim_ids()

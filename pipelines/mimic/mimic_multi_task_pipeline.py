@@ -15,6 +15,7 @@ from pipelines.mimic.common import (
     MimicConfig,
     _metric_scalars,
     append_result_row,
+    joint_split_table,
     patient_kfold_splits,
     run_all_folds_modn,
     run_fold_haim,
@@ -41,7 +42,8 @@ def main(argv=None, cfg: MimicConfig = None):
     part_modn = dataset_modn.partition_dataset(partitions)
 
     fold_indices = list(
-        patient_kfold_splits(dataset_modn, cfg.nfold, args.seed))
+        patient_kfold_splits(dataset_modn, cfg.nfold, args.seed,
+                             patient=joint_split_table(cfg)))
     fold_runs = None
     if cfg.vmap_folds and not cfg.resume_dir:
         fold_runs = run_all_folds_modn(cfg, part_modn, partitions,

@@ -26,6 +26,7 @@ from pipelines.mimic.common import (
     MimicConfig,
     _metric_scalars,
     append_result_row,
+    joint_split_table,
     patient_kfold_splits,
     run_fold_haim,
     run_fold_modn,
@@ -76,12 +77,17 @@ def main(argv=None, cfg: MimicConfig = None):
     os.makedirs(results_dir, exist_ok=True)
     results_file = os.path.join(results_dir, name + "_(auc + bac).csv")
 
+    # One JOINT-pathologies split table for every target's folds
+    # (reference semantics — see joint_split_table).
+    split_table = joint_split_table(cfg)
+
     all_results = []
     for target in cfg.targets:
         base = MIMICDataset(cfg.sources, targets=[target],
                             synthetic_kwargs=synth)
         partitions = base.partitions
-        fold_indices = list(patient_kfold_splits(base, cfg.nfold, args.seed))
+        fold_indices = list(patient_kfold_splits(
+            base, cfg.nfold, args.seed, patient=split_table))
 
         # Per-fold MNAR-degraded datasets (the injected rows depend on each
         # fold's train/val split).

@@ -16,6 +16,7 @@ from pipelines.mimic.common import (
     MimicConfig,
     _metric_scalars,
     append_result_row,
+    joint_split_table,
     patient_kfold_splits,
     run_all_folds_modn,
     run_fold_haim,
@@ -35,6 +36,10 @@ def main(argv=None, cfg: MimicConfig = None):
     os.makedirs(results_dir, exist_ok=True)
     results_file = os.path.join(results_dir, name + "_(auc + bac).csv")
 
+    # One JOINT-pathologies split table for every target's folds
+    # (reference semantics — see joint_split_table).
+    split_table = joint_split_table(cfg)
+
     all_results = []
     for target in cfg.targets:
         dataset_modn = MIMICDataset(
@@ -48,7 +53,8 @@ def main(argv=None, cfg: MimicConfig = None):
         part_haim = dataset_haim.partition_dataset()
 
         fold_indices = list(
-            patient_kfold_splits(dataset_modn, cfg.nfold, args.seed))
+            patient_kfold_splits(dataset_modn, cfg.nfold, args.seed,
+                                 patient=split_table))
 
         if cfg.vmap_folds and not cfg.resume_dir:
             # All folds in one vmapped dispatch (bit-identical to the

@@ -239,3 +239,45 @@ def test_mimic_features_to_nan_single_string(tmp_path):
 
 def features_to_nan_name():
     return "ts_ce_0"
+
+
+def test_single_target_cache_always_derives_from_canonical(tmp_path,
+                                                           monkeypatch):
+    """The reference's single-target loader reads the canonical
+    two-pathology data.csv UNCONDITIONALLY (``mimic_get_nips_pathology_data``,
+    mimic_dataset.py:96-99), so single-target row sets are the JOINT-filtered
+    rows. A single-target cache built FIRST (no canonical on disk) must
+    build the canonical cache and derive from it — not re-filter the raw
+    embeddings per-target."""
+    import os
+
+    from multimodn_tpu.data.mimic import _read_numeric_csv, build_mimic_cache
+    from multimodn_tpu.data.synth import (
+        MIMIC_DEFAULT_TARGETS,
+        synthetic_mimic_embeddings,
+    )
+
+    tgt0, tgt1 = MIMIC_DEFAULT_TARGETS
+    df = synthetic_mimic_embeddings(n_patients=12, seed=3,
+                                    sources=["de", "ts_ce"])
+    # Corrupt one row's OTHER target to an invalid label: joint filtering
+    # must drop the row even from single-target data.
+    df.loc[df.index[2], tgt1] = 2
+    csv = tmp_path / "cxr_ic_fusion_1103.csv"
+    df.to_csv(csv, index=False)
+    monkeypatch.setenv("MULTIMODN_MIMIC_EMBED_PATH", str(csv))
+
+    root = str(tmp_path / "cache")
+    single_dir = build_mimic_cache([tgt0], ["de", "ts_ce"], cache_root=root)
+    canon_path = os.path.join(root, "_".join(MIMIC_DEFAULT_TARGETS),
+                              "de_ts_ce", "data.csv")
+    assert os.path.exists(canon_path), "canonical cache not auto-built"
+    single = _read_numeric_csv(os.path.join(single_dir, "data.csv"))
+    canon = _read_numeric_csv(canon_path)
+
+    dedup = df.drop_duplicates(subset=["img_id", "img_charttime"])
+    expect = dedup[dedup[tgt0].isin([0, 1]) & dedup[tgt1].isin([0, 1])]
+    assert len(expect) < len(dedup)  # the corrupted row really was dropped
+    assert len(single) == len(canon) == len(expect)
+    np.testing.assert_array_equal(single["haim_id"].values,
+                                  canon["haim_id"].values)

@@ -136,3 +136,52 @@ def test_mimic_multi_task_resumable(tmp_path):
     m1 = [r for r in res1 if r[0] == "modn"]
     m2 = [r for r in res2 if r[0] == "modn"]
     assert [r[3] for r in m1] == [r[3] for r in m2]
+
+
+def test_patient_kfold_matches_reference_fold_geometry(tmp_path):
+    """Fold geometry vs an independent mirror of the reference fold loop
+    (``mimic_single_task_pipeline.py:97-116``): StratifiedKFold built once
+    on the JOINT pathologies split table (multi-target Agg majority label),
+    per-fold val/test patient split at ``random_state = seed + i`` (the
+    reference increments its running seed at the end of each fold body,
+    line 246). Also pins that the per-target split table — the old repo
+    behavior — produces DIFFERENT folds, i.e. the table choice matters."""
+    import numpy as np
+    from sklearn.model_selection import StratifiedKFold, train_test_split
+
+    from multimodn_tpu.data import MIMICDataset
+    from pipelines.mimic.common import (
+        MimicConfig,
+        joint_split_table,
+        patient_kfold_splits,
+    )
+
+    cfg = MimicConfig(sources=["de", "ts_ce"], synthetic_patients=40,
+                      nfold=3)
+    synth = {"n_patients": cfg.synthetic_patients}
+    dataset = MIMICDataset(cfg.sources, targets=[cfg.targets[0]],
+                           synthetic_kwargs=synth)
+    table = joint_split_table(cfg)
+    folds = list(patient_kfold_splits(dataset, cfg.nfold, 0, patient=table))
+
+    haim_id = table["haim_id"].values
+    labels = table["label"].values
+    rows = dataset.haim_ids()
+    skf = StratifiedKFold(n_splits=cfg.nfold, shuffle=True, random_state=0)
+    for i, (id_train, id_tv) in enumerate(skf.split(haim_id, labels)):
+        id_test, id_val = train_test_split(
+            haim_id[id_tv], test_size=0.5, stratify=labels[id_tv],
+            random_state=0 + i)[:2]
+        np.testing.assert_array_equal(
+            folds[i][0], np.where(np.isin(rows, haim_id[id_train]))[0])
+        np.testing.assert_array_equal(
+            folds[i][1], np.where(np.isin(rows, id_val))[0])
+        np.testing.assert_array_equal(
+            folds[i][2], np.where(np.isin(rows, id_test))[0])
+
+    per_target = dataset.patient_split_table()
+    assert (per_target["label"].values != labels).any(), \
+        "synthetic labels degenerate: joint Agg == per-target labels"
+    folds_pt = list(patient_kfold_splits(dataset, cfg.nfold, 0))
+    assert any(not np.array_equal(a[0], b[0])
+               for a, b in zip(folds, folds_pt))
