@@ -32,9 +32,11 @@ from __future__ import annotations
 
 import contextlib
 import os
+import re
+import shutil
 import sys
 import types
-from typing import List, Optional
+from typing import List, Optional, Sequence
 
 from tests import ref_oracle
 
@@ -180,3 +182,150 @@ def run_reference_pipeline(
             td_mod.DATA_ABS_PATH = orig_data_path
             sys.modules.pop("_ref_pipeline_main", None)
     return dict(_CAPTURE)
+
+
+def _load_ref_mimic_dataset(workdir: str, mods) -> None:
+    """(Re)load the reference ``datasets.mimic`` package with its redacted
+    ``embed_path =`` line (mimic_dataset.py:16 — a SyntaxError as shipped,
+    quirk #12) patched to an empty string, and ``__file__`` faked inside
+    ``workdir`` so the module's ``base_path`` (``mimic_dataset.py:25``)
+    resolves there: the cached-data branch then reads/writes
+    ``<workdir>/datasets/mimic/<pathologies>/<sources>/``. Reloaded per run
+    (base_path is baked in at exec), overwriting any module a previous run
+    parked in ``_REF_EXTRA``."""
+    name = "datasets.mimic.mimic_dataset"
+    with open(os.path.join(REF_PATH, "datasets", "mimic",
+                           "mimic_dataset.py")) as f:
+        src = f.read()
+    src, n = re.subn(r"^embed_path *= *$", "embed_path = ''", src,
+                     count=1, flags=re.M)
+    assert n == 1, "expected the redacted embed_path line (quirk #12)"
+    mod = types.ModuleType(name)
+    mod.__file__ = os.path.join(workdir, "datasets", "mimic",
+                                "mimic_dataset.py")
+    sys.modules[name] = mod
+    exec(compile(src, mod.__file__, "exec"), mod.__dict__)
+    pkg = types.ModuleType("datasets.mimic")
+    pkg.__file__ = os.path.join(workdir, "datasets", "mimic", "__init__.py")
+    pkg.__path__ = []
+    # Reference __init__ does ``from .mimic_dataset import *``.
+    for attr in dir(mod):
+        if not attr.startswith("_"):
+            setattr(pkg, attr, getattr(mod, attr))
+    sys.modules["datasets.mimic"] = pkg
+    setattr(mods["datasets"], "mimic", pkg)
+
+
+def run_reference_mimic_pipeline(
+    pipeline: str,
+    workdir: str,
+    cache_dir: str,
+    targets: Sequence[str],
+    sources: Sequence[str],
+    epochs: int,
+    modn_inits: Optional[List[dict]] = None,
+    haim_inits: Optional[List[dict]] = None,
+    zero_dropout: bool = True,
+    argv: Sequence[str] = (),
+) -> dict:
+    """Run ``/root/reference/pipelines/mimic/<pipeline>.py``'s ``main()``.
+
+    ``cache_dir`` must hold ``data.csv`` + ``how_to_split.csv`` for the
+    JOINT pathologies (a repo ``build_mimic_cache`` dir); they are staged at
+    ``<workdir>/datasets/mimic/<'_'.join(targets)>/<'_'.join(sources)>/``,
+    exactly where both the pipeline (``mimic_single_task_pipeline.py:88-94``)
+    and the dataset's cached branch read them. The script's hardcoded
+    ``epochs = 100`` is capped by substituting ``trange`` in the exec'd
+    module namespace (both training loops iterate ``trange(epochs)``).
+    ``modn_inits`` / ``haim_inits``: repo ``state_dict()``s / HAIM params,
+    transplanted into each constructed reference model in construction
+    order (one per (target, fold)). ``zero_dropout`` wraps the script's
+    module-level ``MIMIC_MLPEncoder`` to force ``dropout=0`` — the only
+    RNG in the training path, which no cross-framework run can match.
+
+    Returns captured ``{"models", "haims", "histories", "results_csv"}``.
+    """
+    src_path = os.path.join(REF_PATH, "pipelines", "mimic", pipeline + ".py")
+    with open(src_path) as f:
+        src = f.read()
+    fake_file = os.path.join(workdir, "pipelines", "mimic", pipeline + ".py")
+    os.makedirs(os.path.dirname(fake_file), exist_ok=True)
+
+    stage_dir = os.path.join(workdir, "datasets", "mimic",
+                             "_".join(targets), "_".join(sources))
+    os.makedirs(stage_dir, exist_ok=True)
+    for name in ("data.csv", "how_to_split.csv"):
+        dst = os.path.join(stage_dir, name)
+        if not os.path.exists(dst):
+            shutil.copy(os.path.join(cache_dir, name), dst)
+
+    _CAPTURE.clear()
+    _CAPTURE.update({"models": [], "haims": [], "histories": []})
+    modn_queue = list(modn_inits or [])
+    haim_queue = list(haim_inits or [])
+
+    with reference_namespace() as mods:
+        _load_ref_mimic_dataset(workdir, mods)
+        orig_model_cls = mods["multimodn.multimodn"].MultiModN
+        orig_hist_cls = mods["multimodn.history"].MultiModNHistory
+
+        mimic_dir = os.path.join(REF_PATH, "pipelines", "mimic")
+        path_snapshot = list(sys.path)
+        argv_snapshot = sys.argv
+        mod = types.ModuleType("_ref_pipeline_main")
+        mod.__file__ = fake_file
+        sys.modules["_ref_pipeline_main"] = mod
+        sys.argv = [fake_file] + list(argv)
+        # ``import haim_api`` resolves next to the reference pipeline.
+        sys.path.insert(0, mimic_dir)
+        try:
+            code = compile(src, fake_file, "exec")
+            exec(code, mod.__dict__)
+
+            def capturing_model(*a, **k):
+                m = orig_model_cls(*a, **k)
+                if modn_queue:
+                    ref_oracle.transplant_reference(m, modn_queue.pop(0))
+                _CAPTURE["models"].append(m)
+                return m
+
+            def capturing_history(*a, **k):
+                h = orig_hist_cls(*a, **k)
+                _CAPTURE["histories"].append(h)
+                return h
+
+            orig_haim_cls = mod.HAIM
+
+            def capturing_haim(*a, **k):
+                m = orig_haim_cls(*a, **k)
+                if haim_queue:
+                    ref_oracle._load_linears(
+                        list(m.decoder.layers),
+                        haim_queue.pop(0)["layers"])
+                _CAPTURE["haims"].append(m)
+                return m
+
+            mod.MultiModN = capturing_model
+            mod.MultiModNHistory = capturing_history
+            mod.HAIM = capturing_haim
+            if zero_dropout:
+                orig_enc_cls = mod.MIMIC_MLPEncoder
+                mod.MIMIC_MLPEncoder = lambda *a, **k: orig_enc_cls(
+                    *a, **{**k, "dropout": 0.0})
+            cap = epochs
+            mod.trange = lambda n: range(min(n, cap))
+            mod.main()
+        finally:
+            sys.argv = argv_snapshot
+            sys.path[:] = path_snapshot
+            sys.modules.pop("_ref_pipeline_main", None)
+    out = dict(_CAPTURE)
+    out["modn_inits_left"] = len(modn_queue)
+    out["haim_inits_left"] = len(haim_queue)
+    # The script names its CSV via extract_pipeline_name (strips the
+    # ``_pipeline`` suffix) + the criterion tag; locate what it wrote.
+    results_dir = os.path.join(workdir, "nips", "results")
+    csvs = sorted(os.listdir(results_dir)) if os.path.isdir(results_dir) \
+        else []
+    out["results_csv"] = os.path.join(results_dir, csvs[0]) if csvs else None
+    return out
