@@ -122,7 +122,8 @@ class HAIM:
         decoder = self.decoder
 
         @jax.jit
-        def fit(params, opt_state, x, t, m, vx, vt, vm, epoch_ids, rng):
+        def fit(params, opt_state, x, t, m, vx, vt, vm, epoch_ids, rng,
+                select_limit):
             def score(params):
                 out = decoder.apply(params, vx)          # (nb, B, C)
                 out = out.reshape(-1, out.shape[-1])
@@ -160,7 +161,9 @@ class HAIM:
                     body, (params, opt_state), (xd, td, md))
                 s = score(params)
                 best_params, best_score, best_epoch = best
-                improved = s > best_score
+                # Epochs at/after select_limit train but can never win the
+                # selection (the skip_last_val quirk — see fit_best).
+                improved = jnp.logical_and(s > best_score, eid < select_limit)
                 best_params = jax.tree_util.tree_map(
                     lambda b, p: jnp.where(improved, p, b), best_params,
                     params)
@@ -183,9 +186,20 @@ class HAIM:
 
     def fit_best(self, train_loader, optimizer: Optimizer, criterion=None,
                  epochs: int = 1, val_loader=None,
-                 restore_best: bool = True) -> dict:
+                 restore_best: bool = True,
+                 skip_last_val: bool = False) -> dict:
         """Fused multi-epoch training with on-device best-epoch selection on
-        validation AUROC + balanced accuracy."""
+        validation AUROC + balanced accuracy.
+
+        ``skip_last_val`` reproduces the reference MNAR script's HAIM loop
+        quirk: its val evaluation is indented inside the non-last-epoch
+        branch (``mnar_missingness_pipeline.py:300-303``), so the LAST
+        epoch's val score is never computed and the final comparison re-uses
+        the stale previous score (strictly-greater -> never wins) —
+        selection effectively runs over the first ``epochs - 1`` epochs
+        only. With ``epochs == 1`` the reference NameErrors on the unbound
+        val score; here selection simply never fires (initial params are
+        restored, ``best_epoch == -1``)."""
         if val_loader is None:
             raise ValueError("fit_best requires a val_loader")
         criterion = resolve_criterion(criterion)
@@ -199,9 +213,11 @@ class HAIM:
         rng = jax.random.fold_in(jax.random.PRNGKey(self._seed),
                                  self._epoch_counter)
         self._epoch_counter += epochs
+        limit = jnp.asarray(epochs - 1 if skip_last_val else epochs,
+                            jnp.int32)
         (self.params, self.opt_state, best_params, best_score, best_epoch,
          scores) = fit(self.params, self.opt_state, x, t, m, vx, vt, vm,
-                       jnp.arange(epochs), rng)
+                       jnp.arange(epochs), rng, limit)
         if restore_best:
             self.params = best_params
         return {

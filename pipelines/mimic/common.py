@@ -261,13 +261,16 @@ def run_all_folds_modn(cfg: MimicConfig, dataset_modn, partitions, targets,
 
 
 def run_fold_haim(cfg: MimicConfig, dataset_haim, train_ind, val_ind,
-                  test_ind, seed):
+                  test_ind, seed, skip_last_val: bool = False):
     """Train the HAIM baseline on the same fold with the same best-epoch
     selection rule (host loop — HAIM epochs are one matmul stack, cheap).
 
     ``dataset_haim``: a single-partition PartitionDataset over the zero-filled
     (nanfill) feature matrix — the reference feeds HAIM the raw concatenated
     features (``mimic_single_task_pipeline.py:200-204``).
+
+    ``skip_last_val``: the MNAR pipeline passes True — the reference MNAR
+    script never evaluates HAIM's last epoch on val (see HAIM.fit_best).
     """
     train_loader = ArrayLoader(Subset(dataset_haim, train_ind), cfg.batch_size)
     val_loader = ArrayLoader(Subset(dataset_haim, val_ind), cfg.batch_size)
@@ -279,5 +282,5 @@ def run_fold_haim(cfg: MimicConfig, dataset_haim, train_ind, val_ind,
         seed=seed)
     model.fit_best(train_loader, Adam(cfg.learning_rate), "cross_entropy",
                    epochs=cfg.epochs, val_loader=val_loader,
-                   restore_best=True)
+                   restore_best=True, skip_last_val=skip_last_val)
     return model, model.test(test_loader, "cross_entropy")

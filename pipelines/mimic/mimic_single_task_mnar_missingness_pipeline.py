@@ -168,7 +168,12 @@ def main(argv=None, cfg: MimicConfig = None):
                       f"test auc {float(test_modn[0][1]):.4f}")
 
             # HAIM on the zero-filled data, same folds, same dual test.
-            haim_model, _ = run_fold_haim(cfg, dataset_haim, tr, va, te, seed)
+            # skip_last_val: the reference MNAR script's HAIM loop never
+            # evaluates the last epoch on val (the val call is indented into
+            # the non-last-epoch branch, mnar_missingness_pipeline.py:300-303)
+            # — selection runs over the first epochs-1 epochs only.
+            haim_model, _ = run_fold_haim(cfg, dataset_haim, tr, va, te, seed,
+                                          skip_last_val=True)
             for both in ([True, False] if put_none else [None]):
                 if both:
                     test_idx = _mnar_indices(base, te, target,

@@ -235,8 +235,10 @@ def run_reference_mimic_pipeline(
     ``<workdir>/datasets/mimic/<'_'.join(targets)>/<'_'.join(sources)>/``,
     exactly where both the pipeline (``mimic_single_task_pipeline.py:88-94``)
     and the dataset's cached branch read them. The script's hardcoded
-    ``epochs = 100`` is capped by substituting ``trange`` in the exec'd
-    module namespace (both training loops iterate ``trange(epochs)``).
+    ``epochs = 100`` is rewritten to ``epochs`` in the source (so
+    epoch-indexed branches like the MNAR last-epoch quirk run
+    authentically); the ``trange`` substitution remains as a cap/safety
+    net (both training loops iterate ``trange(epochs)``).
     ``modn_inits`` / ``haim_inits``: repo ``state_dict()``s / HAIM params,
     transplanted into each constructed reference model in construction
     order (one per (target, fold)). ``zero_dropout`` wraps the script's
@@ -248,6 +250,14 @@ def run_reference_mimic_pipeline(
     src_path = os.path.join(REF_PATH, "pipelines", "mimic", pipeline + ".py")
     with open(src_path) as f:
         src = f.read()
+    # Rewrite the script-local ``epochs = 100`` to the requested count so
+    # epoch-indexed branches run authentically — in particular the MNAR
+    # script's ``if epoch == epochs - 1`` last-epoch branch
+    # (mnar_missingness_pipeline.py:297-303), whose indented-val HAIM quirk
+    # never engages if only ``trange`` is capped while ``epochs`` stays 100.
+    src, n_sub = re.subn(r"epochs\s*=\s*100\b", f"epochs = {epochs}", src,
+                         count=1)
+    assert n_sub == 1, f"no 'epochs = 100' assignment found in {pipeline}"
     fake_file = os.path.join(workdir, "pipelines", "mimic", pipeline + ".py")
     os.makedirs(os.path.dirname(fake_file), exist_ok=True)
 

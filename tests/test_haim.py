@@ -91,3 +91,35 @@ def test_haim_fit_honors_loader_shuffle():
     w_plain, w_shuf1, w_shuf2 = run(False), run(True), run(True)
     assert not np.allclose(w_plain, w_shuf1)          # shuffle changed math
     np.testing.assert_array_equal(w_shuf1, w_shuf2)   # but deterministically
+
+
+def test_haim_fit_best_skip_last_val_quirk():
+    """skip_last_val reproduces the reference MNAR script's HAIM loop: the
+    last epoch's val is never evaluated (the call is indented into the
+    non-last-epoch branch, mnar_missingness_pipeline.py:300-303), so
+    selection runs over the first epochs-1 epochs only."""
+    def run(skip):
+        tr, va = _loaders(3)
+        m = HAIM(HAIMDecoder(10, (8,)), seed=0)
+        info = m.fit_best(tr, Adam(0.01), "cross_entropy", epochs=6,
+                          val_loader=va, skip_last_val=skip)
+        return m, info
+
+    _, full = run(False)
+    _, quirk = run(True)
+    np.testing.assert_allclose(full["scores"], quirk["scores"])  # same math
+    scores = full["scores"]
+    # Strictly-greater selection == first argmax.
+    assert full["best_epoch"] == int(np.argmax(scores))
+    assert quirk["best_epoch"] == int(np.argmax(scores[:-1]))
+    assert quirk["best_epoch"] <= 4
+
+    # epochs=1: no epoch is eligible; initial params restored (the
+    # reference NameErrors here — divergence documented in fit_best).
+    tr, va = _loaders(3)
+    m = HAIM(HAIMDecoder(10, (8,)), seed=0)
+    w0 = np.asarray(m.params["layers"][0]["w"]).copy()
+    info = m.fit_best(tr, Adam(0.01), "cross_entropy", epochs=1,
+                      val_loader=va, skip_last_val=True)
+    assert info["best_epoch"] == -1
+    np.testing.assert_array_equal(np.asarray(m.params["layers"][0]["w"]), w0)
