@@ -62,8 +62,6 @@ def main():
             [MLPDecoder(BENCH_STATE, (BENCH_HIDDEN, BENCH_HIDDEN), 2)],
             1.0, 0.0, seed=seed, scan_unroll=32)
 
-    probe = factory(0)
-
     def sync(model):
         return float(np.asarray(model.params["init_state"]["value"])[0, 0])
 

@@ -512,54 +512,32 @@ def make_fit_fn(loss_fn, tx, with_val: bool,
     return jax.jit(fit, donate_argnums=(0, 1))
 
 
-def make_select_fit_fn(loss_fn, tx, binary_decoders,
-                       gate_empty_batches: bool = False,
-                       scan_unroll=None, reshuffle: bool = False):
-    """Fused multi-epoch training WITH on-device best-checkpoint selection.
+def make_selection_score(binary_decoders, gather=None):
+    """Per-epoch checkpoint-selection score: sum over binary decoders of
+    (validation AUROC + balanced accuracy) on the final encoder row's
+    epoch-concatenated outputs — the reference MIMIC rule
+    (``mimic_single_task_pipeline.py:141-158``).
 
-    Reproduces the reference MIMIC experiment loop's per-epoch rule
-    (``mimic_single_task_pipeline.py:141-158``): after each epoch, score =
-    sum over decoders of (validation AUROC + balanced accuracy) on the
-    final-encoder-row outputs; keep the parameters of the best epoch
-    (strictly-greater update, like the reference's ``>`` comparison).
+    ``gather``: optional collective that turns shard-LOCAL flattened arrays
+    into global ones (the shard_map engine passes an all_gather; the
+    single-program engines pass nothing). AUROC (rank-based) and BAC
+    (count-based) are sample-order-invariant, so gather order is immaterial.
 
-    Unlike the reference — which round-trips to the host and torch.saves a
-    checkpoint file every improvement — the best parameter pytree rides the
-    ``lax.scan`` carry on device; the whole (train + val + select) x N-epochs
-    run is ONE dispatch.
-
-    ``binary_decoders``: list of bool per decoder (AUROC/BAC need binary).
-    """
+    Shared by ``make_select_fit_fn`` and the shard_map twin so the
+    normalization/NaN guards can never diverge between engines."""
     from multimodn_tpu.core.metrics import masked_binary_auroc
 
-    def run_train_epoch(params, opt_state, data, targets, sample_mask, rng,
-                        seqs, offset):
-        body = _train_scan_body(loss_fn, tx, gate_empty_batches, rng)
-        xs = _scan_inputs(data, targets, sample_mask, seqs)
-        (params, opt_state, offset), ys = jax.lax.scan(
-            body, (params, opt_state, offset), xs,
-            unroll=resolve_unroll(scan_unroll, targets.shape[0]))
-        return (params, opt_state, offset,
-                {k: jnp.sum(v, axis=0) for k, v in ys.items()})
+    if gather is None:
+        gather = lambda x: x
 
-    def run_eval_epoch(params, data, targets, sample_mask, rng, seqs, offset):
-        body = _eval_scan_body(loss_fn, rng, params, with_final_outputs=True)
-        xs = _scan_inputs(data, targets, sample_mask, seqs)
-        offset, ys = jax.lax.scan(body, offset, xs,
-                                  unroll=resolve_unroll(scan_unroll, targets.shape[0]))
-        sums = {k: jnp.sum(ys[k], axis=0) for k in _GRID_KEYS}
-        outputs = [o.reshape(-1, o.shape[-1]) for o in ys["final_outputs"]]
-        return offset, sums, outputs
-
-    def selection_score(vsums, outputs, val_targets, val_mask):
-        """sum_d (AUROC_d + BAC_d) on the final encoder row."""
-        flat_t = val_targets.reshape(-1, val_targets.shape[-1])
-        flat_m = val_mask.reshape(-1)
+    def selection_score(outputs, val_targets, val_mask):
+        flat_t = gather(val_targets.reshape(-1, val_targets.shape[-1]))
+        flat_m = gather(val_mask.reshape(-1))
         score = jnp.zeros(())
         for d, is_binary in enumerate(binary_decoders):
             if not is_binary:
                 continue
-            out = outputs[d]
+            out = gather(outputs[d])
             # Row-sum normalization like the reference's test()
             # (multimodn.py:415) before taking the positive-class column.
             # Sign-preserving zero guard: the reference divides by the true
@@ -581,6 +559,48 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
         # NaN-diverged epochs must never win the strictly-greater update
         # (the reference's host-side NaN comparison is always False).
         return jnp.where(jnp.isnan(score), -jnp.inf, score)
+
+    return selection_score
+
+
+def make_select_fit_fn(loss_fn, tx, binary_decoders,
+                       gate_empty_batches: bool = False,
+                       scan_unroll=None, reshuffle: bool = False):
+    """Fused multi-epoch training WITH on-device best-checkpoint selection.
+
+    Reproduces the reference MIMIC experiment loop's per-epoch rule
+    (``mimic_single_task_pipeline.py:141-158``): after each epoch, score =
+    sum over decoders of (validation AUROC + balanced accuracy) on the
+    final-encoder-row outputs; keep the parameters of the best epoch
+    (strictly-greater update, like the reference's ``>`` comparison).
+
+    Unlike the reference — which round-trips to the host and torch.saves a
+    checkpoint file every improvement — the best parameter pytree rides the
+    ``lax.scan`` carry on device; the whole (train + val + select) x N-epochs
+    run is ONE dispatch.
+
+    ``binary_decoders``: list of bool per decoder (AUROC/BAC need binary).
+    """
+    selection_score = make_selection_score(binary_decoders)
+
+    def run_train_epoch(params, opt_state, data, targets, sample_mask, rng,
+                        seqs, offset):
+        body = _train_scan_body(loss_fn, tx, gate_empty_batches, rng)
+        xs = _scan_inputs(data, targets, sample_mask, seqs)
+        (params, opt_state, offset), ys = jax.lax.scan(
+            body, (params, opt_state, offset), xs,
+            unroll=resolve_unroll(scan_unroll, targets.shape[0]))
+        return (params, opt_state, offset,
+                {k: jnp.sum(v, axis=0) for k, v in ys.items()})
+
+    def run_eval_epoch(params, data, targets, sample_mask, rng, seqs, offset):
+        body = _eval_scan_body(loss_fn, rng, params, with_final_outputs=True)
+        xs = _scan_inputs(data, targets, sample_mask, seqs)
+        offset, ys = jax.lax.scan(body, offset, xs,
+                                  unroll=resolve_unroll(scan_unroll, targets.shape[0]))
+        sums = {k: jnp.sum(ys[k], axis=0) for k in _GRID_KEYS}
+        outputs = [o.reshape(-1, o.shape[-1]) for o in ys["final_outputs"]]
+        return offset, sums, outputs
 
     def fit(params, opt_state, data, targets, mask,
             val_data, val_targets, val_mask, epoch_ids, rng,
@@ -604,7 +624,7 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
             offset, vsums, outputs = run_eval_epoch(
                 params, val_data, val_targets, val_mask, erng, val_seqs,
                 offset)
-            score = selection_score(vsums, outputs, val_targets, val_mask)
+            score = selection_score(outputs, val_targets, val_mask)
             best_params, best_score, best_epoch = best
             improved = score > best_score
             best_params = jax.tree_util.tree_map(

@@ -42,6 +42,11 @@ from multimodn_tpu.optim import Optimizer
 _SIG_MODULES = ("multimodn_tpu.encoders", "multimodn_tpu.decoders",
                 "multimodn_tpu.core.state")
 _FIT_PROGRAM_CACHE: dict = {}
+# sweep_fit_best's outer jit wrapper, keyed on the (cached) fit program it
+# wraps: jitting a fresh closure per call re-traced the whole fused program
+# every call (~15 s at the bench config), defeating the structural cache
+# (review finding). Entries are added only for cache-eligible fit programs.
+_SWEEP_PROGRAM_CACHE: dict = {}
 
 
 def _sig_value(v):
@@ -115,6 +120,10 @@ def _cached_select_fit(template, criterion, optimizer, order, per_batch,
                              gate_empty_batches=gate_empty,
                              scan_unroll=template.scan_unroll,
                              reshuffle=reshuffle)
+    # Mark cache-eligible programs so derived wrappers (the sweep jit) can
+    # key their own caches on the fit object without growing unboundedly
+    # when structural caching is disabled for a call.
+    fit._mmtpu_cached = key is not None
     if key is not None:
         _FIT_PROGRAM_CACHE[key] = fit
     return fit
@@ -195,6 +204,12 @@ def kfold_fit_best(
             "exclusive: model_factory must build mesh-free models (the fold "
             "axis is the parallel axis here; batch/TP sharding would nest "
             "meshes). Drop mesh= from the factory or from kfold_fit_best.")
+    if template.dp_engine == "shard_map":
+        raise NotImplementedError(
+            "kfold_fit_best builds the auto-engine fused program; a "
+            "dp_engine='shard_map' model would silently train without its "
+            "explicit collectives (the swap MultiModN.fit refuses). Build "
+            "auto-engine models in model_factory or loop fit_best per fold.")
     binary = [d.n_classes == 2 for d in template.decoders]
     if not any(binary):
         raise ValueError(
@@ -436,6 +451,11 @@ def sweep_fit_best(
             "seed-axis sharding and a model-owned mesh are mutually "
             "exclusive (same rule as kfold_fit_best): model_factory must "
             "build mesh-free models.")
+    if template.dp_engine == "shard_map":
+        raise NotImplementedError(
+            "sweep_fit_best builds the auto-engine fused program; a "
+            "dp_engine='shard_map' model would silently train without its "
+            "explicit collectives (same rule as kfold_fit_best).")
     binary = [d.n_classes == 2 for d in template.decoders]
     if not any(binary):
         raise ValueError(
@@ -500,31 +520,38 @@ def sweep_fit_best(
     # per-seed fit_best. Passing the data with in_axes=None instead changes
     # the dot_general batching and rounds differently (one threshold flip
     # observed in AUROC scores at fp32).
-    def sweep_prog(params, opt_state, *rest):
-        if per_batch:
-            (data, targets, mask, vdata, vtargets, vmask, epoch_ids, rngs,
-             seqs, val_seqs) = rest
-        else:
-            (data, targets, mask, vdata, vtargets, vmask, epoch_ids,
-             rngs) = rest
-        S = rngs.shape[0]
-        bc = lambda tree: jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x, (S,) + x.shape), tree)
-        if per_batch:
-            return jax.vmap(fit, in_axes=(0,) * 8 + (None, 0, 0, 0))(
-                params, opt_state, bc(data), bc(targets), bc(mask),
-                bc(vdata), bc(vtargets), bc(vmask), epoch_ids, rngs,
-                bc(seqs), bc(val_seqs))
-        return jax.vmap(fit, in_axes=(0,) * 8 + (None, 0))(
-            params, opt_state, bc(data), bc(targets), bc(mask), bc(vdata),
-            bc(vtargets), bc(vmask), epoch_ids, rngs)
+    sweep_key = (fit, per_batch)
+    sweep_jit = _SWEEP_PROGRAM_CACHE.get(sweep_key)
+    if sweep_jit is None:
+        def sweep_prog(params, opt_state, *rest):
+            if per_batch:
+                (data, targets, mask, vdata, vtargets, vmask, epoch_ids,
+                 rngs, seqs, val_seqs) = rest
+            else:
+                (data, targets, mask, vdata, vtargets, vmask, epoch_ids,
+                 rngs) = rest
+            S = rngs.shape[0]
+            bc = lambda tree: jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (S,) + x.shape), tree)
+            if per_batch:
+                return jax.vmap(fit, in_axes=(0,) * 8 + (None, 0, 0, 0))(
+                    params, opt_state, bc(data), bc(targets), bc(mask),
+                    bc(vdata), bc(vtargets), bc(vmask), epoch_ids, rngs,
+                    bc(seqs), bc(val_seqs))
+            return jax.vmap(fit, in_axes=(0,) * 8 + (None, 0))(
+                params, opt_state, bc(data), bc(targets), bc(mask), bc(vdata),
+                bc(vtargets), bc(vmask), epoch_ids, rngs)
+
+        sweep_jit = jax.jit(sweep_prog)
+        if getattr(fit, "_mmtpu_cached", False):
+            _SWEEP_PROGRAM_CACHE[sweep_key] = sweep_jit
 
     args = (params, opt_state, data, targets, mask, vdata, vtargets, vmask,
             jnp.arange(epochs), rngs)
     if per_batch:
         args += (seqs, val_seqs)
     (params, opt_state, tsums, vsums, best_params, best_score,
-     best_epoch, scores) = jax.jit(sweep_prog)(*args)
+     best_epoch, scores) = sweep_jit(*args)
 
     results = []
     best_params = jax.tree_util.tree_map(np.asarray, best_params)

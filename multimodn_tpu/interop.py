@@ -78,7 +78,12 @@ def is_torch_loss(obj: Any) -> bool:
 
 
 def is_torch_dataloader(obj: Any) -> bool:
-    return _torch_mod(obj, "torch.utils.data")
+    # Match the DataLoader class specifically: the broader "torch.utils.data"
+    # prefix also matches Dataset/TensorDataset/Subset/Sampler, misrouting
+    # them into the loader-adaptation path (review finding — they then die
+    # on `.batch_size` with an opaque AttributeError instead of the clear
+    # loader duck-typing error).
+    return _torch_mod(obj, "torch.utils.data.dataloader")
 
 
 def _reject(name: str, **nondefault):

@@ -966,9 +966,13 @@ class MultiModN:
         (preds (E+1, D, N), outputs list of (E+1, N, C_d)) with padded
         rows dropped."""
         loader = adapt_loader(loader)
-        data, _targets, mask = self._place(loader)
         seqs = self._batch_seqs(loader)
         order = self._resolve_order(loader, train=False)
+        # Same up-front width check test() applies (review finding): a
+        # loader pairing a modality with a wrong-width encoder must be
+        # rejected, not silently sliced into garbage predictions.
+        self._validate_pairings(order, loader, seqs)
+        data, _targets, mask = self._place(loader)
         fwd = self._forward_fn(order, "none")
         offset = self._cycle_base()
         if offset is None:

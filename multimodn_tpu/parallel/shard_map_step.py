@@ -20,13 +20,59 @@ valid-sample count, not per-device means of means).
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from multimodn_tpu.core.step import _GRID_KEYS
+
+
+def _global_scale(mask, data_axis):
+    """(global_valid, scale): psum the shard's valid-sample count; ``scale``
+    converts a shard-local masked MEAN into its contribution to the global
+    mean (sum over shards of local_mean * n_local / N)."""
+    local_valid = jnp.sum(mask)
+    global_valid = jax.lax.psum(local_valid, data_axis)
+    scale = jnp.where(global_valid > 0,
+                      local_valid / jnp.maximum(global_valid, 1.0), 0.0)
+    return global_valid, scale
+
+
+def _psum_grids(aux, scale, data_axis):
+    """psum the per-batch metric grids: count grids sum across shards; the
+    loss/state-change grids are masked means, weighted like the loss."""
+    sums = {}
+    for k in _GRID_KEYS:
+        v = aux[k]
+        if k in ("err_loss", "state_change"):
+            v = v * scale
+        sums[k] = jax.lax.psum(v, data_axis)
+    return sums
+
+
+def _sm_batch_update(loss_fn, tx, data_axis):
+    """The one explicit-DP train-batch body every shard_map engine program
+    shares (single step, epoch scan, fused fit/select-fit): global-weighted
+    scaled loss, grad psum, optimizer apply, psum'd metric grids.
+
+    Returns (params, opt_state, sums, loss, aux, global_valid, scale)."""
+
+    def update(params, opt_state, data, targets, mask, rng, offset):
+        global_valid, scale = _global_scale(mask, data_axis)
+
+        def scaled_loss(p):
+            loss, aux = loss_fn(p, data, targets, mask, rng, offset, True)
+            return loss * scale, aux
+
+        (loss, aux), grads = jax.value_and_grad(scaled_loss, has_aux=True)(
+            params)
+        grads = jax.lax.psum(grads, data_axis)          # global-mean grads
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return (params, opt_state, _psum_grids(aux, scale, data_axis),
+                loss, aux, global_valid, scale)
+
+    return update
 
 
 def make_shard_map_train_step(loss_fn, tx, mesh: Mesh, n_modalities: int,
@@ -41,38 +87,11 @@ def make_shard_map_train_step(loss_fn, tx, mesh: Mesh, n_modalities: int,
     global masked mean: each shard contributes mean_local * n_valid_local /
     n_valid_global.
     """
+    batch_update = _sm_batch_update(loss_fn, tx, data_axis)
 
     def device_step(params, opt_state, data, targets, mask, rng):
-        # Global valid count via psum of the local count.
-        local_valid = jnp.sum(mask)
-        global_valid = jax.lax.psum(local_valid, data_axis)
-
-        def scaled_loss(params):
-            loss, aux = loss_fn(params, data, targets, mask, rng,
-                                jnp.zeros(()), True)
-            # loss is a masked MEAN over the local shard; convert to the
-            # global mean: sum over shards of (local_mean * local_n) / N.
-            scale = jnp.where(global_valid > 0,
-                              local_valid / jnp.maximum(global_valid, 1.0),
-                              0.0)
-            return loss * scale, aux
-
-        (loss, aux), grads = jax.value_and_grad(scaled_loss, has_aux=True)(
-            params)
-        grads = jax.lax.psum(grads, data_axis)          # global-mean grads
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-        # Count grids sum across shards; the loss grid is a masked mean, so
-        # weight it like the loss before summing.
-        sums = {}
-        for k in _GRID_KEYS:
-            v = aux[k]
-            if k in ("err_loss", "state_change"):
-                scale = jnp.where(global_valid > 0,
-                                  local_valid / jnp.maximum(global_valid, 1.0),
-                                  0.0)
-                v = v * scale
-            sums[k] = jax.lax.psum(v, data_axis)
+        params, opt_state, sums, _, _, _, _ = batch_update(
+            params, opt_state, data, targets, mask, rng, jnp.zeros(()))
         return params, opt_state, sums
 
     data_specs = tuple(P(data_axis) for _ in range(n_modalities))
@@ -109,6 +128,8 @@ def make_shard_map_epoch_fn(loss_fn, tx, mesh: Mesh, n_modalities: int,
     """
     from multimodn_tpu.core.step import resolve_unroll
 
+    batch_update = _sm_batch_update(loss_fn, tx, data_axis)
+
     def device_epoch(params, opt_state, data, targets, sample_mask, rng):
         n_batches = targets.shape[0]
 
@@ -116,30 +137,10 @@ def make_shard_map_epoch_fn(loss_fn, tx, mesh: Mesh, n_modalities: int,
             params, opt_state, offset = carry
             batch_data, batch_targets, batch_mask, batch_idx = xs
             batch_rng = jax.random.fold_in(rng, batch_idx)
-            local_valid = jnp.sum(batch_mask)
-            global_valid = jax.lax.psum(local_valid, data_axis)
-            scale = jnp.where(global_valid > 0,
-                              local_valid / jnp.maximum(global_valid, 1.0),
-                              0.0)
-
-            def scaled_loss(p):
-                loss, aux = loss_fn(p, batch_data, batch_targets, batch_mask,
-                                    batch_rng, offset, True)
-                return loss * scale, aux
-
-            (loss, aux), grads = jax.value_and_grad(
-                scaled_loss, has_aux=True)(params)
-            grads = jax.lax.psum(grads, data_axis)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = jax.tree_util.tree_map(lambda p, u: p + u, params,
-                                            updates)
+            params, opt_state, ys, loss, aux, global_valid, scale = \
+                batch_update(params, opt_state, batch_data, batch_targets,
+                             batch_mask, batch_rng, offset)
             offset = offset + global_valid
-            ys = {}
-            for k in _GRID_KEYS:
-                v = aux[k]
-                if k in ("err_loss", "state_change"):
-                    v = v * scale
-                ys[k] = jax.lax.psum(v, data_axis)
             ys["batch_log"] = jnp.stack([
                 jax.lax.psum(loss, data_axis),
                 jax.lax.psum(aux["global_err"] * scale, data_axis),
@@ -177,6 +178,7 @@ def make_shard_map_epoch_fn(loss_fn, tx, mesh: Mesh, n_modalities: int,
 def _sm_train_scan(loss_fn, tx, data_axis, scan_unroll):
     """Per-device one-epoch training scan with explicit collectives; the
     shard_map twin of core.step._train_scan_body's epoch loop."""
+    batch_update = _sm_batch_update(loss_fn, tx, data_axis)
 
     def run(params, opt_state, data, targets, sample_mask, erng):
         n_batches = targets.shape[0]
@@ -185,28 +187,8 @@ def _sm_train_scan(loss_fn, tx, data_axis, scan_unroll):
             params, opt_state = carry
             bd, bt, bm, bi = xs
             brng = jax.random.fold_in(erng, bi)
-            local_valid = jnp.sum(bm)
-            global_valid = jax.lax.psum(local_valid, data_axis)
-            scale = jnp.where(global_valid > 0,
-                              local_valid / jnp.maximum(global_valid, 1.0),
-                              0.0)
-
-            def scaled_loss(p):
-                loss, aux = loss_fn(p, bd, bt, bm, brng, jnp.zeros(()), True)
-                return loss * scale, aux
-
-            (_, aux), grads = jax.value_and_grad(
-                scaled_loss, has_aux=True)(params)
-            grads = jax.lax.psum(grads, data_axis)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = jax.tree_util.tree_map(lambda p, u: p + u, params,
-                                            updates)
-            ys = {}
-            for k in _GRID_KEYS:
-                v = aux[k]
-                if k in ("err_loss", "state_change"):
-                    v = v * scale
-                ys[k] = jax.lax.psum(v, data_axis)
+            params, opt_state, ys, _, _, _, _ = batch_update(
+                params, opt_state, bd, bt, bm, brng, jnp.zeros(()))
             return (params, opt_state), ys
 
         from multimodn_tpu.core.step import resolve_unroll
@@ -232,18 +214,9 @@ def _sm_eval_scan(loss_fn, data_axis, scan_unroll,
         def body(carry, xs):
             bd, bt, bm, bi = xs
             brng = jax.random.fold_in(erng, bi)
-            local_valid = jnp.sum(bm)
-            global_valid = jax.lax.psum(local_valid, data_axis)
-            scale = jnp.where(global_valid > 0,
-                              local_valid / jnp.maximum(global_valid, 1.0),
-                              0.0)
+            _, scale = _global_scale(bm, data_axis)
             _, aux = loss_fn(params, bd, bt, bm, brng, jnp.zeros(()), False)
-            ys = {}
-            for k in _GRID_KEYS:
-                v = aux[k]
-                if k in ("err_loss", "state_change"):
-                    v = v * scale
-                ys[k] = jax.lax.psum(v, data_axis)
+            ys = _psum_grids(aux, scale, data_axis)
             if with_final_outputs:
                 ys["final_outputs"] = aux["final_outputs"]
             return carry, ys
@@ -333,39 +306,17 @@ def make_shard_map_select_fit_fn(loss_fn, tx, mesh: Mesh, binary_decoders,
     AUROC (rank-based) and BAC (count-based) are sample-order-invariant, so
     gather order is immaterial. Signature matches make_select_fit_fn's
     (without seqs/offset0)."""
-    from multimodn_tpu.core.metrics import masked_binary_auroc, safe_div
+    from multimodn_tpu.core.step import make_selection_score
 
     train_epoch = _sm_train_scan(loss_fn, tx, data_axis, scan_unroll)
     eval_epoch = _sm_eval_scan(loss_fn, data_axis, scan_unroll,
                                with_final_outputs=True)
 
-    def selection_score(outputs, val_targets, val_mask):
-        # Gather the LOCAL flattened outputs/targets/mask across devices;
-        # flatten the device axis back out. Mirrors
-        # core.step.make_select_fit_fn.selection_score on the global arrays.
-        flat_t = val_targets.reshape(-1, val_targets.shape[-1])
-        flat_m = val_mask.reshape(-1)
-        g_t = jax.lax.all_gather(flat_t, data_axis).reshape(
-            -1, flat_t.shape[-1])
-        g_m = jax.lax.all_gather(flat_m, data_axis).reshape(-1)
-        score = jnp.zeros(())
-        for d, is_binary in enumerate(binary_decoders):
-            if not is_binary:
-                continue
-            out = jax.lax.all_gather(outputs[d], data_axis).reshape(
-                -1, outputs[d].shape[-1])
-            s = jnp.sum(out, axis=1, keepdims=True)
-            norm = out / jnp.where(jnp.abs(s) < 1e-12, 1e-12, s)
-            auc = masked_binary_auroc(norm[:, 1], g_t[:, d], g_m)
-            pred = jnp.argmax(norm, axis=1)
-            tp = jnp.sum(g_m * ((pred == 1) & (g_t[:, d] == 1)))
-            tn = jnp.sum(g_m * ((pred == 0) & (g_t[:, d] == 0)))
-            fp = jnp.sum(g_m * ((pred == 1) & (g_t[:, d] == 0)))
-            fn = jnp.sum(g_m * ((pred == 0) & (g_t[:, d] == 1)))
-            sens = safe_div(tp, tp + fn)
-            spec = safe_div(tn, tn + fp)
-            score = score + auc + (sens + spec) / 2.0
-        return jnp.where(jnp.isnan(score), -jnp.inf, score)
+    # The shared single-program score, with shard-LOCAL flattened arrays
+    # all_gather'd into global ones (flatten the device axis back out).
+    gather = lambda x: jax.lax.all_gather(x, data_axis).reshape(
+        (-1,) + x.shape[1:])
+    selection_score = make_selection_score(binary_decoders, gather=gather)
 
     def device_fit(params, opt_state, data, targets, mask,
                    vdata, vtargets, vmask, epoch_ids, rng):

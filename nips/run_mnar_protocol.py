@@ -105,4 +105,8 @@ def main(patients: int = 300, epochs: int = 100, nfold: int = 5,
 
 
 if __name__ == "__main__":
-    main(*(int(a) for a in sys.argv[1:]))
+    # First three args are ints (patients, epochs, nfold); the optional
+    # fourth is the nan_skip string ('batch'|'sample') — int()-coercing all
+    # argv made the documented 'sample' variant unreachable from the CLI.
+    _a = sys.argv[1:]
+    main(*([int(x) for x in _a[:3]] + _a[3:4]))

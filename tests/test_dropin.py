@@ -167,3 +167,18 @@ def test_interop_caches_stable_and_weak():
     gc.collect()
     assert len(interop._OPT_CACHE) == n_opt0
     assert len(interop._LOADER_CACHE) == n_ldr0
+
+
+def test_torch_dataset_is_not_a_loader():
+    """Only torch DataLoader instances route into loader adaptation: a
+    Dataset/TensorDataset/Subset also lives under torch.utils.data and used
+    to be misrouted, dying later on `.batch_size` (review finding)."""
+    import torch
+    from torch.utils.data import DataLoader, Subset as TSubset, TensorDataset
+
+    from multimodn_tpu.interop import is_torch_dataloader
+
+    ds = TensorDataset(torch.zeros(4, 3), torch.zeros(4, 1))
+    assert not is_torch_dataloader(ds)
+    assert not is_torch_dataloader(TSubset(ds, [0, 1]))
+    assert is_torch_dataloader(DataLoader(ds, batch_size=2))

@@ -499,3 +499,52 @@ def test_structural_program_cache(monkeypatch):
     kfold_fit_best(_factory, _folds(), Adam(0.02), "cross_entropy",
                    epochs=2)
     assert len(calls) == 3, "different optimizer hyperparameters must rebuild"
+
+
+def test_sweep_program_cache_reused():
+    """The jitted sweep wrapper is cached alongside the fit program: a
+    second structurally-identical sweep call must NOT jit a fresh closure
+    (review finding — that re-traced the whole fused program per call)."""
+    from multimodn_tpu import experiments
+    from multimodn_tpu.experiments import sweep_fit_best
+
+    tr, va = _one_pair()
+    experiments._FIT_PROGRAM_CACHE.clear()
+    experiments._SWEEP_PROGRAM_CACHE.clear()
+    r1 = sweep_fit_best(_factory, tr, va, Adam(0.01), "cross_entropy",
+                        epochs=2, seeds=[0, 1])
+    assert len(experiments._SWEEP_PROGRAM_CACHE) == 1
+    wrapper = next(iter(experiments._SWEEP_PROGRAM_CACHE.values()))
+    r2 = sweep_fit_best(_factory, tr, va, Adam(0.01), "cross_entropy",
+                        epochs=2, seeds=[0, 1])
+    assert len(experiments._SWEEP_PROGRAM_CACHE) == 1
+    assert next(iter(experiments._SWEEP_PROGRAM_CACHE.values())) is wrapper
+    for a, b in zip(r1, r2):
+        np.testing.assert_array_equal(a["scores"], b["scores"])
+
+
+def test_experiment_axes_reject_shard_map_engine():
+    """kfold/sweep build the auto-engine program; a dp_engine='shard_map'
+    factory must be refused, not silently run through the auto engine
+    (the same swap MultiModN.fit refuses)."""
+    import jax
+    import pytest
+
+    from multimodn_tpu.experiments import sweep_fit_best
+    from multimodn_tpu.parallel import make_mesh
+
+    mesh = make_mesh((2,), ("data",), devices=jax.devices("cpu")[:2])
+
+    def sm_factory(seed):
+        return MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                         [LogisticDecoder(3)], 1.0, 0.0, seed=seed,
+                         mesh=mesh, dp_engine="shard_map",
+                         nan_skip="sample")
+
+    with pytest.raises(NotImplementedError, match="shard_map"):
+        kfold_fit_best(sm_factory, _folds(), Adam(0.01), "cross_entropy",
+                       epochs=1)
+    tr, va = _one_pair()
+    with pytest.raises(NotImplementedError, match="shard_map"):
+        sweep_fit_best(sm_factory, tr, va, Adam(0.01), "cross_entropy",
+                       epochs=1, seeds=[0])

@@ -145,3 +145,15 @@ def test_predict_loader_large_batched():
     # Spot-check equality on a slice vs the array path.
     want = model.predict([X[:100, :3], X[:100, 3:]])
     np.testing.assert_array_equal(preds[:, :, :100], want)
+
+
+def test_predict_loader_rejects_width_mismatch():
+    """Loader-based predict applies the same up-front (modality, encoder)
+    width check as test(): a mismatched pairing must raise, not silently
+    slice features into garbage predictions (review finding)."""
+    import pytest
+
+    _, model, _ = _pair()          # encoders expect widths (3, 3)
+    bad = make_dataset(n=16, partitions=(4, 2), seed=3)
+    with pytest.raises(ValueError, match="width"):
+        model.predict(ArrayLoader(bad, 8))
