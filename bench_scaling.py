@@ -68,8 +68,12 @@ def run(compute_dtype, batch, adam_state_dtype=None):
          for w in WIDTHS],
         [MLPDecoder(STATE, (HIDDEN, HIDDEN), 2)],
         1.0, 0.0, compute_dtype=compute_dtype)
-    opt = Adam(1e-3, state_dtype=jnp.bfloat16
-               if adam_state_dtype == "bf16" else None)
+    if adam_state_dtype == "8bit":
+        from multimodn_tpu import Adam8bit
+        opt = Adam8bit(1e-3)
+    else:
+        opt = Adam(1e-3, state_dtype=jnp.bfloat16
+                   if adam_state_dtype == "bf16" else None)
 
     def sync():
         return float(np.asarray(
@@ -88,7 +92,8 @@ def run(compute_dtype, batch, adam_state_dtype=None):
     per_epoch = float(np.median(times)) / EPOCHS
     sps = N / per_epoch
     tflops = sps * model_flops_per_sample() / 1e12
-    suffix = "_adamstate_bf16" if adam_state_dtype == "bf16" else ""
+    suffix = {"bf16": "_adamstate_bf16", "8bit": "_adam8bit"}.get(
+        adam_state_dtype, "")
     return {
         "metric": f"scaling_train_samples_per_sec_"
                   f"{compute_dtype or 'float32'}_b{batch}{suffix}",
@@ -118,6 +123,23 @@ def main():
             print(json.dumps(r))
         name = "bench_adam_state.json" if batch == 512 \
             else f"bench_adam_state_b{batch}.json"
+        with open(os.path.join(REPO, name), "w") as f:
+            json.dump(results, f, indent=2)
+        return
+    if "--adam8bit" in sys.argv:
+        # Same-process three-way A/B: fp32 moments vs bf16 moments vs the
+        # int8 Pallas fused kernel (ops/fused_adam.py). Default batch 512 =
+        # the measured update-bound point (RESULTS.md roofline); pass a
+        # batch to probe the compute-bound regime (e.g. 2048).
+        i = sys.argv.index("--adam8bit")
+        batch = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 \
+            and sys.argv[i + 1].isdigit() else 512
+        results = [run("bfloat16", batch), run("bfloat16", batch, "bf16"),
+                   run("bfloat16", batch, "8bit")]
+        for r in results:
+            print(json.dumps(r))
+        name = "bench_adam8bit.json" if batch == 512 \
+            else f"bench_adam8bit_b{batch}.json"
         with open(os.path.join(REPO, name), "w") as f:
             json.dump(results, f, indent=2)
         return

@@ -71,7 +71,7 @@ from multimodn_tpu.core.state import InitState, TrainableInitState, StaticInitSt
 from multimodn_tpu.core.history import MultiModNHistory
 from multimodn_tpu.core.losses import cross_entropy_loss, CrossEntropyLoss
 from multimodn_tpu.core.metrics import get_performance_metrics, performance_metrics
-from multimodn_tpu.optim import Adam, SGD, AdamW
+from multimodn_tpu.optim import Adam, Adam8bit, SGD, AdamW
 from multimodn_tpu.serving import (
     InferenceSession,
     export_compiled,
@@ -93,6 +93,7 @@ __all__ = [
     "get_performance_metrics",
     "performance_metrics",
     "Adam",
+    "Adam8bit",
     "SGD",
     "AdamW",
     "InferenceSession",

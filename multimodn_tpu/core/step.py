@@ -264,7 +264,13 @@ def gated_update(tx, grads, opt_state, params, batch_mask,
     cond costs ~30% throughput inside the hot scan, so it is OFF unless the
     caller can actually produce empty batches (``enabled`` is static).
     """
+    fused = getattr(tx, "fused_apply", None)
     if not enabled:
+        if fused is not None:
+            # Fused update+apply (optim.FusedGradientTransformation): the
+            # transformation writes new params directly — one HBM pass for
+            # kernel-backed optimizers (ops/fused_adam.py).
+            return fused(grads, opt_state, params, enc_gates=enc_gates)
         updates, opt_state = _tx_update(tx, grads, opt_state, params,
                                         enc_gates)
         return jax.tree_util.tree_map(lambda p, u: p + u, params,
@@ -273,6 +279,8 @@ def gated_update(tx, grads, opt_state, params, batch_mask,
 
     def do_update(operand):
         grads, opt_state, params = operand
+        if fused is not None:
+            return fused(grads, opt_state, params, enc_gates=enc_gates)
         updates, new_opt_state = _tx_update(tx, grads, opt_state, params,
                                             enc_gates)
         new_params = jax.tree_util.tree_map(lambda p, u: p + u, params,

@@ -146,6 +146,19 @@ def _pad_batches(stacks, max_nb: int):
     return data, pad(targets), pad(mask)
 
 
+def _check_vmap_safe(optimizer):
+    """The experiment programs jax.vmap the whole fused fit — optimizers
+    whose update runs a Pallas kernel with input/output aliasing
+    (``Adam8bit(mode='auto')``) are not exercised under vmap; require the
+    vmap-safe construction instead of failing deep inside tracing."""
+    if not getattr(optimizer, "vmap_safe", True):
+        raise NotImplementedError(
+            f"optimizer {getattr(optimizer, 'signature', optimizer)} is not "
+            "supported under the vmapped experiment programs — construct it "
+            "in vmap-safe mode (e.g. Adam8bit(lr, mode='xla'), which keeps "
+            "the int8 state but uses the plain-XLA update math).")
+
+
 def kfold_fit_best(
     model_factory: Callable[[int], "MultiModN"],
     folds: Sequence[Tuple],            # [(train_loader, val_loader), ...]
@@ -185,6 +198,7 @@ def kfold_fit_best(
         n_val_batches}.
     """
     criterion = resolve_criterion(criterion)
+    _check_vmap_safe(optimizer)
     folds = list(folds)
     n_real = len(folds)
     seeds = list(seeds) if seeds is not None else list(range(n_real))
@@ -437,6 +451,7 @@ def sweep_fit_best(
     Returns per-seed dicts shaped like ``kfold_fit_best``'s.
     """
     criterion = resolve_criterion(criterion)
+    _check_vmap_safe(optimizer)
     seeds = list(seeds)
     n_real = len(seeds)
     if mesh is not None:

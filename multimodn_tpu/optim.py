@@ -21,11 +21,35 @@ sqrt). With no skipped encoders the math equals optax.adam.
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
+
+
+class FusedGradientTransformation(NamedTuple):
+    """An optax-style transformation with a fused update+apply entry point.
+
+    ``fused_apply(grads, state, params, enc_gates=None) -> (new_params,
+    new_state)`` replaces the usual ``update`` + ``apply_updates`` pair so a
+    kernel can write the new parameters directly (one HBM pass instead of
+    two). ``core.step.gated_update`` dispatches on the presence of this
+    field; ``init``/``update`` keep the plain optax protocol for callers
+    that need it (HAIM baseline, shard_map engine, user code).
+    """
+    init: Callable
+    update: Callable
+    fused_apply: Callable
+
+
+def _enc_info(tree):
+    """(encoders subtree, is_scan_stacked) — None when params have no
+    encoder group (e.g. the HAIM baseline's flat param dict)."""
+    enc = tree.get("encoders") if isinstance(tree, dict) else None
+    if enc is None:
+        return None, False
+    return enc, not isinstance(enc, (list, tuple))
 
 
 def _torch_adam(lr: float, b1: float, b2: float, eps: float,
@@ -50,12 +74,6 @@ def _torch_adam(lr: float, b1: float, b2: float, eps: float,
     traffic by ~2/7 at a small, NON-torch-exact numerical difference.
     Default None keeps fp32 moments (reference-parity math).
     """
-
-    def _enc_info(tree):
-        enc = tree.get("encoders") if isinstance(tree, dict) else None
-        if enc is None:
-            return None, False
-        return enc, not isinstance(enc, (list, tuple))
 
     def init(params):
         enc, stacked = _enc_info(params)
@@ -183,6 +201,188 @@ class Adam(Optimizer):
         # same-hyperparameter optimizer objects.
         self.signature = ("adam", learning_rate, tuple(betas), eps,
                           str(state_dtype))
+
+
+def _adam8bit(lr: float, b1: float, b2: float, eps: float, mode: str,
+              fmt: str = "fp8"):
+    """8-bit blockwise-quantized torch-Adam (see ops/fused_adam.py).
+
+    State: int8 moment codes + per-row fp32 scales per leaf ({"mq","ms",
+    "vq","vs"}) plus the same global/per-encoder-group step counts as
+    ``_torch_adam`` ("t"/"t_enc") so the structural-skip gating semantics
+    are identical. ``fused_apply`` runs the one-HBM-pass Pallas kernel on
+    large leaves (plain path); the gated path and ``update`` use the
+    bit-identical jnp math.
+    """
+    from multimodn_tpu.ops import fused_adam as fa
+
+    def init(params):
+        enc, stacked = _enc_info(params)
+        if enc is None:
+            t_enc = None
+        elif stacked:
+            E = jax.tree_util.tree_leaves(enc)[0].shape[0]
+            t_enc = jnp.zeros((E,))
+        else:
+            t_enc = [jnp.zeros(()) for _ in enc]
+        tm = jax.tree_util.tree_map
+        qdt = fa.code_dtype(fmt)
+        return {
+            "mq": tm(lambda p: jnp.zeros(p.shape, qdt), params),
+            "ms": tm(lambda p: jnp.zeros(fa.scale_shape(p.shape),
+                                         jnp.float32), params),
+            "vq": tm(lambda p: jnp.zeros(p.shape, qdt), params),
+            "vs": tm(lambda p: jnp.zeros(fa.scale_shape(p.shape),
+                                         jnp.float32), params),
+            "t": jnp.zeros(()), "t_enc": t_enc,
+        }
+
+    def _bcast(x, leaf):
+        return x.reshape((-1,) + (1,) * (leaf.ndim - 1))
+
+    def _walk(op, tree, grads, smq, sms, svq, svs, *extra):
+        """Apply op over aligned leaves; returns (out, mq, ms, vq, vs) trees.
+        ``tree`` supplies the structure (params for fused, grads for
+        protocol updates)."""
+        flat, td = jax.tree_util.tree_flatten(tree)
+        fg = td.flatten_up_to(grads)
+        fmq = td.flatten_up_to(smq)
+        fms = td.flatten_up_to(sms)
+        fvq = td.flatten_up_to(svq)
+        fvs = td.flatten_up_to(svs)
+        outs = [op(a, g, mq, ms, vq, vs, *extra)
+                for a, g, mq, ms, vq, vs in zip(flat, fg, fmq, fms, fvq, fvs)]
+        return tuple(td.unflatten([o[i] for o in outs]) for i in range(5))
+
+    def _run(grads, state, params, enc_gates, fused: bool):
+        """Shared driver: returns (new_params | updates, new_state)."""
+        t_new = state["t"] + 1.0
+        c1 = 1 - b1 ** t_new
+        c2 = 1 - b2 ** t_new
+        enc, stacked = _enc_info(grads)
+
+        def plain_op(a, g, mq, ms, vq, vs):
+            if fused:
+                c12 = jnp.stack([c1, c2]).reshape(1, 2).astype(jnp.float32)
+                return fa.leaf_update(a, g, mq, ms, vq, vs, c12, lr=lr,
+                                      b1=b1, b2=b2, eps=eps, mode=mode,
+                                      fmt=fmt)
+            return fa.moment_update(g, mq, ms, vq, vs, c1, c2,
+                                    lr, b1, b2, eps, fmt=fmt)
+
+        if enc_gates is None or enc is None:
+            out, mq, ms, vq, vs = _walk(
+                plain_op, params if fused else grads, grads,
+                state["mq"], state["ms"], state["vq"], state["vs"])
+            t_enc = state["t_enc"]
+            if t_enc is not None:
+                one = jnp.ones(())
+                t_enc = t_enc + 1.0 if not isinstance(t_enc, list) \
+                    else [t + one for t in t_enc]
+            return out, {"mq": mq, "ms": ms, "vq": vq, "vs": vs,
+                         "t": t_new, "t_enc": t_enc}
+
+        # Gated path: encoder groups follow their own executed-step counts.
+        def sub(tree, key):
+            rest = dict(tree)
+            rest.pop("encoders")
+            return rest
+
+        rest_tree = sub(params, None) if fused else sub(grads, None)
+        out_r, mq_r, ms_r, vq_r, vs_r = _walk(
+            plain_op, rest_tree, sub(grads, None), sub(state["mq"], None),
+            sub(state["ms"], None), sub(state["vq"], None),
+            sub(state["vs"], None))
+
+        def gated_op(ec1, ec2, gate):
+            def op(a, g, mq, ms, vq, vs):
+                gc1, gc2, gg = ((_bcast(ec1, g), _bcast(ec2, g),
+                                 _bcast(gate, g)) if ec1.ndim else
+                                (ec1, ec2, gate))
+                if fused:
+                    return fa._leaf_update_xla(a, g, mq, ms, vq, vs, gc1,
+                                               gc2, lr, b1, b2, eps,
+                                               gate=gg, fmt=fmt)
+                return fa.moment_update(g, mq, ms, vq, vs, gc1, gc2,
+                                        lr, b1, b2, eps, gate=gg, fmt=fmt)
+            return op
+
+        if stacked:
+            te_new = state["t_enc"] + enc_gates
+            tc = jnp.maximum(te_new, 1.0)
+            op = gated_op(1 - b1 ** tc, 1 - b2 ** tc, enc_gates)
+            enc_tree = params["encoders"] if fused else grads["encoders"]
+            out_e, mq_e, ms_e, vq_e, vs_e = _walk(
+                op, enc_tree, grads["encoders"], state["mq"]["encoders"],
+                state["ms"]["encoders"], state["vq"]["encoders"],
+                state["vs"]["encoders"])
+        else:
+            te_new, out_e, mq_e, ms_e, vq_e, vs_e = [], [], [], [], [], []
+            for e in range(len(enc)):
+                gate = enc_gates[e]
+                te = state["t_enc"][e] + gate
+                tc = jnp.maximum(te, 1.0)
+                op = gated_op(1 - b1 ** tc, 1 - b2 ** tc, gate)
+                enc_tree = (params["encoders"][e] if fused
+                            else grads["encoders"][e])
+                o, mqe, mse, vqe, vse = _walk(
+                    op, enc_tree, grads["encoders"][e],
+                    state["mq"]["encoders"][e], state["ms"]["encoders"][e],
+                    state["vq"]["encoders"][e], state["vs"]["encoders"][e])
+                te_new.append(te)
+                out_e.append(o); mq_e.append(mqe); ms_e.append(mse)
+                vq_e.append(vqe); vs_e.append(vse)
+
+        def merge(rest, encs):
+            out = dict(rest)
+            out["encoders"] = encs
+            return out
+
+        return (merge(out_r, out_e),
+                {"mq": merge(mq_r, mq_e), "ms": merge(ms_r, ms_e),
+                 "vq": merge(vq_r, vq_e), "vs": merge(vs_r, vs_e),
+                 "t": t_new, "t_enc": te_new})
+
+    def update(grads, state, params=None, enc_gates=None):
+        return _run(grads, state, params, enc_gates, fused=False)
+
+    def fused_apply(grads, state, params, enc_gates=None):
+        return _run(grads, state, params, enc_gates, fused=True)
+
+    return FusedGradientTransformation(init, update, fused_apply)
+
+
+class Adam8bit(Optimizer):
+    """Adam with 8-bit blockwise-quantized moments and a Pallas fused
+    update+apply kernel (``ops/fused_adam.py``) — cuts the optimizer
+    update's HBM traffic from ~28 B/param (fp32 Adam) to ~16 B/param,
+    below even ``Adam(state_dtype=bfloat16)``'s ~20 B/param. Recommended
+    for update-bound regimes (wide encoders at moderate batch, the Adam
+    gap quantified in RESULTS.md's roofline); NOT torch-exact numerics
+    (quantization error enters through the moment history; the first step
+    is exact). Structural-skip gating semantics match ``Adam``.
+
+    ``fmt``: 'fp8' (default — float8_e4m3fn codes; tracked fp32 Adam's
+    loss trajectory to 4 decimals on the titanic drive) or 'int8' (linear
+    codes; measurably stalls training when rows mix gradient magnitudes —
+    see ops/fused_adam.quantize_rows).
+    ``mode``: 'auto' (Pallas kernel on TPU for large leaves), 'xla'
+    (pure-jnp math, vmap-safe — required for vmapped k-fold/seed-sweep
+    experiments), 'interpret'/'pallas' for testing.
+    """
+
+    def __init__(self, learning_rate: float,
+                 betas: Tuple[float, float] = (0.9, 0.999),
+                 eps: float = 1e-8, mode: str = "auto", fmt: str = "fp8"):
+        if fmt not in ("fp8", "int8"):
+            raise ValueError(f"fmt must be 'fp8' or 'int8', got {fmt!r}")
+        super().__init__(_adam8bit(learning_rate, betas[0], betas[1], eps,
+                                   mode, fmt))
+        self.signature = ("adam8bit", learning_rate, tuple(betas), eps,
+                          mode, fmt)
+        # Pallas kernels with input/output aliasing are not exercised under
+        # jax.vmap here; the vmapped experiment programs check this flag.
+        self.vmap_safe = mode == "xla"
 
 
 class AdamW(Optimizer):
