@@ -68,9 +68,15 @@ def run(compute_dtype, batch, adam_state_dtype=None):
          for w in WIDTHS],
         [MLPDecoder(STATE, (HIDDEN, HIDDEN), 2)],
         1.0, 0.0, compute_dtype=compute_dtype)
-    if adam_state_dtype == "8bit":
+    if adam_state_dtype and adam_state_dtype.startswith("8bit"):
+        # Variants: "8bit" (fp8 codes, Pallas kernel), "8bit_int8"
+        # (int8 codes, Pallas), "8bit_xla" / "8bit_int8_xla" (same
+        # quantized math via plain XLA — isolates kernel vs cast cost).
         from multimodn_tpu import Adam8bit
-        opt = Adam8bit(1e-3)
+        parts = adam_state_dtype.split("_")
+        opt = Adam8bit(1e-3,
+                       mode="xla" if "xla" in parts else "auto",
+                       fmt="int8" if "int8" in parts else "fp8")
     else:
         opt = Adam(1e-3, state_dtype=jnp.bfloat16
                    if adam_state_dtype == "bf16" else None)
@@ -92,8 +98,8 @@ def run(compute_dtype, batch, adam_state_dtype=None):
     per_epoch = float(np.median(times)) / EPOCHS
     sps = N / per_epoch
     tflops = sps * model_flops_per_sample() / 1e12
-    suffix = {"bf16": "_adamstate_bf16", "8bit": "_adam8bit"}.get(
-        adam_state_dtype, "")
+    suffix = ("_adamstate_bf16" if adam_state_dtype == "bf16" else
+              f"_adam{adam_state_dtype}" if adam_state_dtype else "")
     return {
         "metric": f"scaling_train_samples_per_sec_"
                   f"{compute_dtype or 'float32'}_b{batch}{suffix}",

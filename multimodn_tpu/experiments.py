@@ -149,14 +149,14 @@ def _pad_batches(stacks, max_nb: int):
 def _check_vmap_safe(optimizer):
     """The experiment programs jax.vmap the whole fused fit — optimizers
     whose update runs a Pallas kernel with input/output aliasing
-    (``Adam8bit(mode='auto')``) are not exercised under vmap; require the
-    vmap-safe construction instead of failing deep inside tracing."""
+    (``Adam8bit(mode='pallas')``) are not exercised under vmap; require
+    the vmap-safe construction instead of failing deep inside tracing."""
     if not getattr(optimizer, "vmap_safe", True):
         raise NotImplementedError(
             f"optimizer {getattr(optimizer, 'signature', optimizer)} is not "
             "supported under the vmapped experiment programs — construct it "
             "in vmap-safe mode (e.g. Adam8bit(lr, mode='xla'), which keeps "
-            "the int8 state but uses the plain-XLA update math).")
+            "the 8-bit state but uses the plain-XLA update math).")
 
 
 def kfold_fit_best(

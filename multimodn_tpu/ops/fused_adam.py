@@ -20,14 +20,19 @@ hardware fp8), which tracked the fp32-Adam loss trajectory to 4 decimal
 places on the same drive. ``fmt='int8'`` remains available for
 homogeneous-gradient workloads.
 
-Why a Pallas kernel and not plain XLA: requantization is a per-row absmax
-REDUCTION followed by an elementwise pass over the same ``m_new`` values.
-XLA cannot fuse an elementwise consumer across that reduction boundary
-without either materializing ``m_new`` to HBM (+8 B/param) or recomputing
-it (+reads); the kernel keeps each (TILE_R, cols) tile resident in VMEM,
-so update + reduce + requantize are genuinely one HBM pass. The kernel
-also fuses the parameter apply (``p' = p + update``) that the optax
-protocol otherwise runs as a separate elementwise kernel.
+Measured verdict on TPU v5e (bench_adam8bit.json /
+bench_adam8bit_variants.json, scaled config at batch 512, same-process
+A/B): the (de)quantization COMPUTE dominates the traffic savings on this
+chip — fp32 Adam 72.3 TFLOP/s, bf16-state 91.6, 8-bit via XLA 72.7 (fp8
+codes) / 79.2 (int8), 8-bit via this Pallas kernel 54.5 (fp8) / 78.9
+(int8). Two findings: (a) fp8 casts are VPU-emulated on v5e and cost
+more than the ~4 B/param they save; (b) XLA's own fusion of the
+dequant-update-requant chain matches or beats the hand kernel (same
+story as ops/fused_chain.py). The kernel is therefore an EXPLICIT OPT-IN
+(``mode='pallas'``); ``mode='auto'`` resolves to the XLA path. The
+feature's real win is optimizer-state MEMORY: ~2.06 B/param vs fp32
+Adam's 8 (4.5x memory) and bf16-state's 4 (2x), at fp32-Adam-level
+throughput — for models whose optimizer state pressures HBM capacity.
 
 Numerics: the first step after init is EXACT fp32 Adam (zero moments
 quantize losslessly; quantization error only enters through the moment
@@ -237,14 +242,11 @@ def leaf_update(p, g, mq, ms, vq, vs, c12, *, lr, b1, b2, eps,
     """Fused 8-bit Adam update for one leaf: returns (p', mq', ms', vq', vs').
 
     ``c12`` is a (1, 2) f32 array of bias corrections (1-b1^t, 1-b2^t).
-    ``mode``: 'auto' (Pallas on TPU for leaves >= MIN_PALLAS_ELEMS, else
-    jnp), 'pallas', 'interpret' (Pallas interpreter — test path), 'xla'.
+    ``mode``: 'auto' resolves to 'xla' (measured faster than the hand
+    kernel on v5e — module docstring); 'pallas' forces the kernel,
+    'interpret' the Pallas interpreter (test path), 'xla' the jnp math.
     """
-    if mode == "auto":
-        use = "pallas" if (p.size >= MIN_PALLAS_ELEMS
-                           and jax.default_backend() == "tpu") else "xla"
-    else:
-        use = mode
+    use = "xla" if mode == "auto" else mode
     if use == "xla":
         return _leaf_update_xla(p, g, mq, ms, vq, vs,
                                 c12[0, 0], c12[0, 1], lr, b1, b2, eps,

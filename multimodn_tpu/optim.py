@@ -353,22 +353,25 @@ def _adam8bit(lr: float, b1: float, b2: float, eps: float, mode: str,
 
 
 class Adam8bit(Optimizer):
-    """Adam with 8-bit blockwise-quantized moments and a Pallas fused
-    update+apply kernel (``ops/fused_adam.py``) — cuts the optimizer
-    update's HBM traffic from ~28 B/param (fp32 Adam) to ~16 B/param,
-    below even ``Adam(state_dtype=bfloat16)``'s ~20 B/param. Recommended
-    for update-bound regimes (wide encoders at moderate batch, the Adam
-    gap quantified in RESULTS.md's roofline); NOT torch-exact numerics
-    (quantization error enters through the moment history; the first step
-    is exact). Structural-skip gating semantics match ``Adam``.
+    """Adam with 8-bit blockwise-quantized moments (``ops/fused_adam.py``)
+    — optimizer state at ~2.06 B/param vs fp32 Adam's 8 (4.5x smaller)
+    and ``Adam(state_dtype=bfloat16)``'s 4 (2x), at fp32-Adam-level
+    throughput (measured 72.7 vs 72.3 TFLOP/s at the update-bound point,
+    bench_adam8bit*.json). Use it when optimizer state pressures HBM
+    CAPACITY; for pure update-bound THROUGHPUT, bf16 state remains the
+    measured optimum on v5e (91.6 TFLOP/s — see RESULTS.md). NOT
+    torch-exact numerics (quantization error enters through the moment
+    history; the first step is exact). Structural-skip gating semantics
+    match ``Adam``.
 
     ``fmt``: 'fp8' (default — float8_e4m3fn codes; tracked fp32 Adam's
     loss trajectory to 4 decimals on the titanic drive) or 'int8' (linear
     codes; measurably stalls training when rows mix gradient magnitudes —
-    see ops/fused_adam.quantize_rows).
-    ``mode``: 'auto' (Pallas kernel on TPU for large leaves), 'xla'
-    (pure-jnp math, vmap-safe — required for vmapped k-fold/seed-sweep
-    experiments), 'interpret'/'pallas' for testing.
+    see ops/fused_adam.quantize_rows — but ~9% faster where gradients are
+    row-homogeneous).
+    ``mode``: 'auto' (= the XLA path, measured >= the hand kernel),
+    'pallas'/'interpret' (the fused Pallas kernel — explicit opt-in, kept
+    for chips where fp8 casts are native), 'xla'.
     """
 
     def __init__(self, learning_rate: float,
@@ -382,7 +385,8 @@ class Adam8bit(Optimizer):
                           mode, fmt)
         # Pallas kernels with input/output aliasing are not exercised under
         # jax.vmap here; the vmapped experiment programs check this flag.
-        self.vmap_safe = mode == "xla"
+        # auto == xla (pure jnp), so the default IS vmap-safe.
+        self.vmap_safe = mode in ("auto", "xla")
 
 
 class AdamW(Optimizer):

@@ -237,11 +237,11 @@ def test_vmapped_experiments_reject_pallas_mode():
     from multimodn_tpu.experiments import sweep_fit_best
     tl, vl = _setup(6)
     with pytest.raises(NotImplementedError, match="vmap-safe"):
-        sweep_fit_best(lambda s: _model(), tl, vl, Adam8bit(0.01),
+        sweep_fit_best(lambda s: _model(), tl, vl,
+                       Adam8bit(0.01, mode="pallas"),
                        "cross_entropy", epochs=2, seeds=[0, 1])
-    # mode='xla' is accepted and trains.
-    res = sweep_fit_best(lambda s: _model(), tl, vl,
-                         Adam8bit(0.01, mode="xla"), "cross_entropy",
-                         epochs=2, seeds=[0, 1])
+    # The default (auto == the XLA path) is vmap-safe and trains.
+    res = sweep_fit_best(lambda s: _model(), tl, vl, Adam8bit(0.01),
+                         "cross_entropy", epochs=2, seeds=[0, 1])
     assert len(res) == 2
     assert all(np.isfinite(r["best_score"]) for r in res)
