@@ -69,13 +69,16 @@ def run(compute_dtype, batch, adam_state_dtype=None):
         [MLPDecoder(STATE, (HIDDEN, HIDDEN), 2)],
         1.0, 0.0, compute_dtype=compute_dtype)
     if adam_state_dtype and adam_state_dtype.startswith("8bit"):
-        # Variants: "8bit" (fp8 codes, Pallas kernel), "8bit_int8"
-        # (int8 codes, Pallas), "8bit_xla" / "8bit_int8_xla" (same
-        # quantized math via plain XLA — isolates kernel vs cast cost).
+        # Variants: "8bit" (fp8 codes, default mode = the XLA path),
+        # "8bit_int8" (int8 codes), plus "_pallas" / "_xla" tokens to
+        # force the update path (e.g. "8bit_pallas", "8bit_int8_pallas").
+        # The committed bench_adam8bit*.json Pallas rows predate the
+        # auto->xla default flip; "_pallas" reproduces them.
         from multimodn_tpu import Adam8bit
         parts = adam_state_dtype.split("_")
-        opt = Adam8bit(1e-3,
-                       mode="xla" if "xla" in parts else "auto",
+        mode = ("pallas" if "pallas" in parts
+                else "xla" if "xla" in parts else "auto")
+        opt = Adam8bit(1e-3, mode=mode,
                        fmt="int8" if "int8" in parts else "fp8")
     else:
         opt = Adam(1e-3, state_dtype=jnp.bfloat16
@@ -133,10 +136,10 @@ def main():
             json.dump(results, f, indent=2)
         return
     if "--adam8bit" in sys.argv:
-        # Same-process three-way A/B: fp32 moments vs bf16 moments vs the
-        # int8 Pallas fused kernel (ops/fused_adam.py). Default batch 512 =
-        # the measured update-bound point (RESULTS.md roofline); pass a
-        # batch to probe the compute-bound regime (e.g. 2048).
+        # Same-process three-way A/B: fp32 moments vs bf16 moments vs
+        # 8-bit quantized moments (ops/fused_adam.py, default update path).
+        # Default batch 512 = the measured update-bound point (RESULTS.md
+        # roofline); pass a batch to probe the compute-bound regime.
         i = sys.argv.index("--adam8bit")
         batch = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 \
             and sys.argv[i + 1].isdigit() else 512

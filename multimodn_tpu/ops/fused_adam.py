@@ -56,10 +56,6 @@ from jax.experimental.pallas import tpu as pltpu
 Q_MAX = 127.0          # int8 linear code range
 FP8_MAX = 448.0        # float8_e4m3fn max finite
 
-# Leaves below this many elements take the jnp path: kernel launch and
-# tile-padding overheads beat the traffic win on small buffers.
-MIN_PALLAS_ELEMS = 32 * 1024
-
 # VMEM working set per grid step is ~16 B/elem across the 9 live tiles;
 # keep it well under the ~16 MB budget so Pallas can double-buffer.
 _VMEM_TILE_BUDGET = 4 * 1024 * 1024
@@ -78,8 +74,9 @@ def _rows_cols(shape):
 
 
 def scale_shape(shape):
-    """Per-row scale storage shape for a leaf: shape[:-1] + (1,)."""
-    return tuple(shape[:-1]) + (1,) if len(shape) >= 1 else (1,)
+    """Per-row scale storage shape for a leaf: shape[:-1] + (1,); a 0-d
+    leaf keeps a 0-d scale (one element IS its own row)."""
+    return tuple(shape[:-1]) + (1,) if len(shape) >= 1 else ()
 
 
 def code_dtype(fmt: str):
@@ -99,10 +96,13 @@ def quantize_rows(x, fmt: str = "fp8"):
     on the shipped models (momentum never accumulates for small-gradient
     coordinates); kept for homogeneous-gradient workloads.
 
-    Returns (codes like x, scales f32 shape[:-1]+(1,)); dequantize with
-    ``codes * scales``. Zero rows get scale 0 / codes 0.
+    Returns (codes like x, scales f32 ``scale_shape(x.shape)``);
+    dequantize with ``codes * scales``. Zero rows get scale 0 / codes 0.
     """
     x = x.astype(jnp.float32)
+    if x.ndim == 0:
+        q, s = quantize_rows(x.reshape(1), fmt)
+        return q.reshape(()), s.reshape(())
     absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
     if fmt == "int8":
         inv = jnp.where(absmax > 0, Q_MAX / absmax, 0.0)
@@ -123,8 +123,18 @@ def _round_up(x: int, m: int) -> int:
 
 def _pick_tile_rows(rows: int, cols: int) -> int:
     """Rows per grid step: multiple of 32 (int8 sublane tile), sized so the
-    ~16 B/elem working set (9 live tiles, lane-padded) fits the budget."""
+    ~16 B/elem working set (9 live tiles, lane-padded) fits the budget.
+    The kernel tiles rows only, so a leaf whose MINOR dim alone overflows
+    the budget (cols_padded > ~8k: e.g. a 1-D leaf of 40k+ elements, which
+    _rows_cols places entirely in cols) cannot be scheduled — raise with
+    the remedy instead of letting Mosaic fail VMEM allocation."""
     cols_padded = _round_up(cols, 128)
+    if 16 * cols_padded * 32 > _VMEM_TILE_BUDGET:
+        raise ValueError(
+            f"fused_adam Pallas kernel: minor dim {cols} (padded "
+            f"{cols_padded}) needs >{_VMEM_TILE_BUDGET // (1024*1024)} MB "
+            "of VMEM per 32-row tile; use mode='auto'/'xla' for this leaf "
+            "shape (the kernel tiles rows, not columns).")
     limit = max(32, _VMEM_TILE_BUDGET // (16 * cols_padded))
     tile = min(_round_up(rows, 32), (limit // 32) * 32)
     return max(32, tile)
@@ -246,6 +256,10 @@ def leaf_update(p, g, mq, ms, vq, vs, c12, *, lr, b1, b2, eps,
     kernel on v5e — module docstring); 'pallas' forces the kernel,
     'interpret' the Pallas interpreter (test path), 'xla' the jnp math.
     """
+    if mode not in ("auto", "xla", "pallas", "interpret"):
+        raise ValueError(
+            f"mode must be 'auto', 'xla', 'pallas' or 'interpret', "
+            f"got {mode!r}")
     use = "xla" if mode == "auto" else mode
     if use == "xla":
         return _leaf_update_xla(p, g, mq, ms, vq, vs,

@@ -207,12 +207,14 @@ def _adam8bit(lr: float, b1: float, b2: float, eps: float, mode: str,
               fmt: str = "fp8"):
     """8-bit blockwise-quantized torch-Adam (see ops/fused_adam.py).
 
-    State: int8 moment codes + per-row fp32 scales per leaf ({"mq","ms",
+    State: 8-bit moment codes + per-row fp32 scales per leaf ({"mq","ms",
     "vq","vs"}) plus the same global/per-encoder-group step counts as
     ``_torch_adam`` ("t"/"t_enc") so the structural-skip gating semantics
-    are identical. ``fused_apply`` runs the one-HBM-pass Pallas kernel on
-    large leaves (plain path); the gated path and ``update`` use the
-    bit-identical jnp math.
+    are identical (enforced by the identity-quantization equivalence test
+    in tests/test_adam8bit.py — keep the two gated drivers in sync).
+    ``fused_apply`` dispatches per ``mode`` (default: the XLA path, the
+    measured optimum on v5e; mode='pallas' forces the one-HBM-pass
+    kernel); the gated path and ``update`` use the bit-identical jnp math.
     """
     from multimodn_tpu.ops import fused_adam as fa
 
@@ -283,16 +285,15 @@ def _adam8bit(lr: float, b1: float, b2: float, eps: float, mode: str,
                          "t": t_new, "t_enc": t_enc}
 
         # Gated path: encoder groups follow their own executed-step counts.
-        def sub(tree, key):
+        def sub(tree):
             rest = dict(tree)
             rest.pop("encoders")
             return rest
 
-        rest_tree = sub(params, None) if fused else sub(grads, None)
+        rest_tree = sub(params) if fused else sub(grads)
         out_r, mq_r, ms_r, vq_r, vs_r = _walk(
-            plain_op, rest_tree, sub(grads, None), sub(state["mq"], None),
-            sub(state["ms"], None), sub(state["vq"], None),
-            sub(state["vs"], None))
+            plain_op, rest_tree, sub(grads), sub(state["mq"]),
+            sub(state["ms"]), sub(state["vq"]), sub(state["vs"]))
 
         def gated_op(ec1, ec2, gate):
             def op(a, g, mq, ms, vq, vs):
@@ -379,6 +380,10 @@ class Adam8bit(Optimizer):
                  eps: float = 1e-8, mode: str = "auto", fmt: str = "fp8"):
         if fmt not in ("fp8", "int8"):
             raise ValueError(f"fmt must be 'fp8' or 'int8', got {fmt!r}")
+        if mode not in ("auto", "xla", "pallas", "interpret"):
+            raise ValueError(
+                f"mode must be 'auto', 'xla', 'pallas' or 'interpret', "
+                f"got {mode!r}")
         super().__init__(_adam8bit(learning_rate, betas[0], betas[1], eps,
                                    mode, fmt))
         self.signature = ("adam8bit", learning_rate, tuple(betas), eps,

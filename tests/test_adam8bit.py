@@ -245,3 +245,102 @@ def test_vmapped_experiments_reject_pallas_mode():
                          "cross_entropy", epochs=2, seeds=[0, 1])
     assert len(res) == 2
     assert all(np.isfinite(r["best_score"]) for r in res)
+
+
+def _identity_quant_state(params):
+    """Adam8bit state with f32 'codes' and unit scales — makes the
+    quantization a no-op so the two gated drivers' SEMANTICS can be
+    compared exactly."""
+    tm = jax.tree_util.tree_map
+    enc = params.get("encoders") if isinstance(params, dict) else None
+    if enc is None:
+        t_enc = None
+    elif not isinstance(enc, (list, tuple)):
+        t_enc = jnp.zeros((jax.tree_util.tree_leaves(enc)[0].shape[0],))
+    else:
+        t_enc = [jnp.zeros(()) for _ in enc]
+    return {"mq": tm(lambda p: jnp.zeros(p.shape, jnp.float32), params),
+            "ms": tm(lambda p: jnp.ones(fa.scale_shape(p.shape),
+                                        jnp.float32), params),
+            "vq": tm(lambda p: jnp.zeros(p.shape, jnp.float32), params),
+            "vs": tm(lambda p: jnp.ones(fa.scale_shape(p.shape),
+                                        jnp.float32), params),
+            "t": jnp.zeros(()), "t_enc": t_enc}
+
+
+@pytest.mark.parametrize("layout", ["stacked", "list"])
+def test_gated_driver_matches_torch_adam_semantics(monkeypatch, layout):
+    """optim._adam8bit duplicates _torch_adam's gated (structural-skip)
+    driver for the quantized state layout. With quantization disabled
+    (identity codes), the two MUST evolve params and group step counts
+    identically — this test enforces that the drivers stay in sync
+    (plain + gated, stacked and per-encoder-list storage)."""
+    monkeypatch.setattr(
+        fa, "quantize_rows",
+        lambda x, fmt="fp8": (x.astype(jnp.float32),
+                              jnp.ones(fa.scale_shape(x.shape),
+                                       jnp.float32)))
+    rng = np.random.default_rng(11)
+
+    def arr(*shape):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+    if layout == "stacked":
+        params = {"encoders": {"w": arr(3, 4, 6), "b": arr(3, 6)},
+                  "init_state": {"value": arr(1, 5)}}
+        gate_seq = [None if g is None else jnp.asarray(g, jnp.float32)
+                    for g in ([1, 0, 1], [0, 0, 1], [1, 1, 1], None,
+                              [0, 1, 0])]
+    else:
+        params = {"encoders": [{"w": arr(4, 6)}, {"w": arr(4, 6)}],
+                  "head": arr(5, 2)}
+        gate_seq = [None if g is None else jnp.asarray(g, jnp.float32)
+                    for g in ([1, 0], [0, 1], None, [1, 1], [0, 0])]
+
+    adam = Adam(0.01)
+    a_st = adam.tx.init(params)
+    a8 = Adam8bit(0.01)
+    st8 = _identity_quant_state(params)
+    p_a, p_8 = params, params
+    for gates in gate_seq:
+        g = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.normal(size=p.shape).astype(
+                np.float32)), params)
+        upd, a_st = adam.tx.update(g, a_st, p_a, enc_gates=gates)
+        p_a = jax.tree_util.tree_map(lambda p, u: p + u, p_a, upd)
+        p_8, st8 = a8.tx.fused_apply(g, st8, p_8, enc_gates=gates)
+    for x, y in zip(jax.tree_util.tree_leaves(p_a),
+                    jax.tree_util.tree_leaves(p_8)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-7)
+    te_a, te_8 = a_st["t_enc"], st8["t_enc"]
+    if isinstance(te_a, list):
+        te_a, te_8 = jnp.stack(te_a), jnp.stack(te_8)
+    np.testing.assert_array_equal(np.asarray(te_a), np.asarray(te_8))
+
+
+def test_scalar_leaf_shapes_preserved():
+    """0-d param leaves must keep their shape through init + update
+    (review finding: scale_shape(()) used to be (1,), corrupting the
+    carry structure on the second step)."""
+    params = {"s": jnp.asarray(2.0), "w": jnp.ones((3, 4))}
+    tx = Adam8bit(0.1).tx
+    st = tx.init(params)
+    assert st["mq"]["s"].shape == () and st["ms"]["s"].shape == ()
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    for _ in range(2):
+        params, st = tx.fused_apply(grads, st, params)
+    assert params["s"].shape == () and st["mq"]["s"].shape == ()
+    assert np.isfinite(float(params["s"]))
+
+
+def test_mode_and_fmt_validation():
+    with pytest.raises(ValueError, match="mode"):
+        Adam8bit(0.01, mode="XLA")
+    with pytest.raises(ValueError, match="fmt"):
+        Adam8bit(0.01, fmt="fp16")
+    with pytest.raises(ValueError, match="mode"):
+        fa.leaf_update(jnp.ones((4, 4)), jnp.ones((4, 4)),
+                       *_fresh_leaf_state((4, 4)),
+                       jnp.asarray([[0.1, 0.001]], jnp.float32),
+                       lr=0.01, b1=0.9, b2=0.999, eps=1e-8, mode="palas")
