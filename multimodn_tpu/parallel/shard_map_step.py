@@ -67,8 +67,16 @@ def _sm_batch_update(loss_fn, tx, data_axis):
         (loss, aux), grads = jax.value_and_grad(scaled_loss, has_aux=True)(
             params)
         grads = jax.lax.psum(grads, data_axis)          # global-mean grads
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        fused = getattr(tx, "fused_apply", None)
+        if fused is not None:
+            # Fused update+apply (optim.FusedGradientTransformation, e.g.
+            # Adam8bit) — params are replicated (P()), so the identical
+            # update runs on every shard, same as the two-step path.
+            params, opt_state = fused(grads, opt_state, params)
+        else:
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params,
+                                            updates)
         return (params, opt_state, _psum_grids(aux, scale, data_axis),
                 loss, aux, global_valid, scale)
 

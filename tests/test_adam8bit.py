@@ -344,3 +344,82 @@ def test_mode_and_fmt_validation():
                        *_fresh_leaf_state((4, 4)),
                        jnp.asarray([[0.1, 0.001]], jnp.float32),
                        lr=0.01, b1=0.9, b2=0.999, eps=1e-8, mode="palas")
+
+
+def test_shard_map_engine_matches_auto_with_adam8bit():
+    """dp_engine='shard_map' routes through its own update site
+    (parallel/shard_map_step._sm_batch_update) — with Adam8bit it must
+    take the fused_apply branch and still equal the auto engine."""
+    from multimodn_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(12)
+    n = 8 * len(jax.devices())
+    X = rng.normal(size=(n, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = PartitionDataset(X, y, [3, 3])
+    mesh = make_mesh(axis_names=("data",))
+
+    def build(engine):
+        return MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                         [LogisticDecoder(3)], 0.7, 0.3, mesh=mesh,
+                         dp_engine=engine)
+
+    m_auto, m_expl = build("auto"), build("shard_map")
+    h_auto, h_expl = MultiModNHistory(["t"]), MultiModNHistory(["t"])
+    opt_a, opt_e = Adam8bit(0.01), Adam8bit(0.01)
+    for _ in range(3):
+        m_auto.train_epoch(ArrayLoader(ds, 16), opt_a, "cross_entropy",
+                           h_auto)
+        m_expl.train_epoch(ArrayLoader(ds, 16), opt_e, "cross_entropy",
+                           h_expl)
+    for e in range(3):
+        np.testing.assert_allclose(h_auto.loss["train"][e],
+                                   h_expl.loss["train"][e],
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(m_auto.state_dict()),
+                    jax.tree_util.tree_leaves(m_expl.state_dict())):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_fit_resumable_adam8bit_kill_and_resume(tmp_path):
+    """Preemption-safe resume with the QUANTIZED optimizer state: the
+    checkpoint must roundtrip fp8 code arrays and a fresh process must
+    continue bit-exactly (same contract as Adam, tests/test_resume.py)."""
+    from multimodn_tpu.checkpoint import fit_resumable
+
+    rng = np.random.default_rng(13)
+    X = rng.normal(size=(48, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = PartitionDataset(X, y, [3, 3])
+
+    def build():
+        return MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                         [LogisticDecoder(3)], 0.7, 0.3)
+
+    m_full = build()
+    h_full = MultiModNHistory(["t"])
+    h_full, ran = fit_resumable(
+        m_full, ArrayLoader(ds, 16), Adam8bit(0.01), "cross_entropy",
+        epochs=6, checkpoint_dir=str(tmp_path / "full"), chunk_epochs=2,
+        history=h_full)
+    assert ran == 6
+
+    ckpt = str(tmp_path / "interrupted")
+    m_a = build()
+    fit_resumable(m_a, ArrayLoader(ds, 16), Adam8bit(0.01), "cross_entropy",
+                  epochs=2, checkpoint_dir=ckpt, chunk_epochs=2,
+                  history=MultiModNHistory(["t"]))
+    m_b = build()
+    h_b, ran_b = fit_resumable(
+        m_b, ArrayLoader(ds, 16), Adam8bit(0.01), "cross_entropy",
+        epochs=6, checkpoint_dir=ckpt, chunk_epochs=2,
+        history=MultiModNHistory(["t"]))
+    assert ran_b == 4
+    for a, b in zip(jax.tree_util.tree_leaves(m_full.state_dict()),
+                    jax.tree_util.tree_leaves(m_b.state_dict())):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(h_b.loss["train"]),
+                               np.asarray(h_full.loss["train"]),
+                               rtol=1e-6, atol=1e-7)
