@@ -13,7 +13,7 @@ from multimodn_tpu.encoders.recurrent import (
     RNNFeatureEncoder,
 )
 from multimodn_tpu.encoders.resnet import ResNet
-from multimodn_tpu.encoders.attention import TransformerEncoder
+from multimodn_tpu.encoders.attention import TransformerEncoder, ViTEncoder
 
 __all__ = [
     "MultiModEncoder",
@@ -30,4 +30,5 @@ __all__ = [
     "RNNFeatureEncoder",
     "ResNet",
     "TransformerEncoder",
+    "ViTEncoder",
 ]

@@ -135,3 +135,67 @@ class TransformerEncoder(MultiModEncoder):
         h = _layernorm(params["ln_f"], h).mean(axis=1)       # (B, D)
         return dense_apply(params["out"],
                            jnp.concatenate([h, state], axis=-1))
+
+
+class ViTEncoder(TransformerEncoder):
+    """Vision Transformer image encoder with a state-concat head.
+
+    ``apply(params, state (B, S), images (B, H, W, C) or flat
+    (B, H*W*C)) -> (B, S)`` — the MXU-native large image encoder SURVEY
+    §2.4 names as the natural replacement for the reference's unused
+    torchvision ResNet (``multimodn/encoders/resnet_encoder.py:6-45``):
+    patch embedding and attention/MLP blocks are all large matmuls, and
+    every 2-D weight is column-shardable over the ``model`` mesh axis
+    (``parallel/sharding.py``), so it composes with DP×TP unchanged.
+
+    Implementation: non-overlapping ``patch_size`` patches become the
+    parent class's tokens (``chunk = patch² · channels``, so the shared
+    ``embed`` dense IS the patch embedding and ``pos`` the learned
+    position table); blocks, pooling, and the state-concat output head
+    are inherited unchanged. Flat inputs (the `MultiModDataset` column
+    convention) are reshaped to (H, W, C) row-major first.
+    """
+
+    def __init__(self, state_size: int, image_size=(32, 32),
+                 patch_size: int = 8, channels: int = 3,
+                 embed_dim: int = 256, n_heads: int = 4, n_layers: int = 4,
+                 mlp_ratio: int = 4, dropout_rate: float = 0.0,
+                 activation: Union[str, Callable] = "gelu"):
+        if isinstance(image_size, int):
+            image_size = (image_size, image_size)
+        H, W = image_size
+        if H % patch_size or W % patch_size:
+            raise ValueError(
+                f"image_size {image_size} must be divisible by "
+                f"patch_size {patch_size}")
+        super().__init__(state_size, H * W * channels,
+                         embed_dim=embed_dim, n_heads=n_heads,
+                         n_layers=n_layers, mlp_ratio=mlp_ratio,
+                         chunk=patch_size * patch_size * channels,
+                         dropout_rate=dropout_rate, activation=activation)
+        # chunk divides H*W*C exactly, so the parent's token count is the
+        # patch grid and its zero-pad is 0 by construction.
+        assert self.pad == 0 and self.n_tokens == (H // patch_size) * \
+            (W // patch_size)
+        self.image_size = (H, W)
+        self.patch_size = patch_size
+        self.channels = channels
+
+    def _patchify(self, x):
+        """(B, H, W, C) or flat (B, H*W*C) -> (B, T, patch²·C) tokens."""
+        B = x.shape[0]
+        H, W = self.image_size
+        p, C = self.patch_size, self.channels
+        if x.ndim == 2:
+            x = x.reshape(B, H, W, C)
+        elif x.shape[1:] != (H, W, C):
+            raise ValueError(
+                f"ViTEncoder configured for {(H, W, C)} images, got "
+                f"{tuple(x.shape[1:])}")
+        x = x.reshape(B, H // p, p, W // p, p, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(B, (H // p) * (W // p), p * p * C)
+
+    def apply(self, params, state, x, *, train=False, rng=None):
+        return super().apply(params, state, self._patchify(x),
+                             train=train, rng=rng)
