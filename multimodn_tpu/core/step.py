@@ -651,6 +651,120 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
     return jax.jit(fit, donate_argnums=(1,))
 
 
+def make_select_fit_early_stop_fn(loss_fn, tx, binary_decoders,
+                                  gate_empty_batches: bool = False,
+                                  scan_unroll=None,
+                                  reshuffle: bool = False):
+    """``make_select_fit_fn`` with ON-DEVICE early stopping: the epoch loop
+    is a ``lax.while_loop`` that exits once the validation AUROC+BAC score
+    has not improved for ``patience`` consecutive epochs (data-dependent
+    control flow the reference runs on the host — here the whole
+    train+val+select+stop decision stays one dispatch, and unexecuted
+    epochs cost zero device time).
+
+    ``patience`` is a TRACED scalar argument, so one compiled program
+    serves every patience value. Per-epoch outputs are written into
+    preallocated (max_epochs, ...) buffers; ``epochs_ran`` tells the host
+    how many leading rows are real. Semantics: best-epoch selection is
+    identical to ``make_select_fit_fn`` over the epochs actually run.
+    """
+    selection_score = make_selection_score(binary_decoders)
+
+    def run_train_epoch(params, opt_state, data, targets, sample_mask, rng,
+                        seqs, offset):
+        body = _train_scan_body(loss_fn, tx, gate_empty_batches, rng)
+        xs = _scan_inputs(data, targets, sample_mask, seqs)
+        (params, opt_state, offset), ys = jax.lax.scan(
+            body, (params, opt_state, offset), xs,
+            unroll=resolve_unroll(scan_unroll, targets.shape[0]))
+        return (params, opt_state, offset,
+                {k: jnp.sum(v, axis=0) for k, v in ys.items()})
+
+    def run_eval_epoch(params, data, targets, sample_mask, rng, seqs, offset):
+        body = _eval_scan_body(loss_fn, rng, params, with_final_outputs=True)
+        xs = _scan_inputs(data, targets, sample_mask, seqs)
+        offset, ys = jax.lax.scan(
+            body, offset, xs,
+            unroll=resolve_unroll(scan_unroll, targets.shape[0]))
+        sums = {k: jnp.sum(ys[k], axis=0) for k in _GRID_KEYS}
+        outputs = [o.reshape(-1, o.shape[-1]) for o in ys["final_outputs"]]
+        return offset, sums, outputs
+
+    def fit(params, opt_state, data, targets, mask,
+            val_data, val_targets, val_mask, epoch_ids, patience, rng,
+            seqs=None, val_seqs=None, offset0=None):
+        n_epochs = epoch_ids.shape[0]
+        best0 = (jax.tree_util.tree_map(lambda x: x, params),
+                 jnp.full((), -jnp.inf), jnp.asarray(-1, jnp.int32))
+        off0 = _base_offset(offset0)
+
+        def epoch_step(params, opt_state, offset, eid):
+            erng = jax.random.fold_in(rng, eid)
+            if reshuffle:
+                d, t, m = epoch_permute(data, targets, mask, erng)
+            else:
+                d, t, m = data, targets, mask
+            params, opt_state, offset, tsums = run_train_epoch(
+                params, opt_state, d, t, m, erng, seqs, offset)
+            offset, vsums, outputs = run_eval_epoch(
+                params, val_data, val_targets, val_mask, erng, val_seqs,
+                offset)
+            score = selection_score(outputs, val_targets, val_mask)
+            return params, opt_state, offset, tsums, vsums, score
+
+        # Preallocate the stacked per-epoch outputs (abstract shapes only —
+        # eval_shape runs no FLOPs).
+        t_sh, v_sh = jax.eval_shape(
+            lambda p, o: jax.tree_util.tree_map(
+                lambda x: x,
+                epoch_step(p, o, off0, jnp.zeros((), jnp.int32))[3:5]),
+            params, opt_state)
+        tbuf0 = jax.tree_util.tree_map(
+            lambda s: jnp.zeros((n_epochs,) + s.shape, s.dtype), t_sh)
+        vbuf0 = jax.tree_util.tree_map(
+            lambda s: jnp.zeros((n_epochs,) + s.shape, s.dtype), v_sh)
+        sbuf0 = jnp.zeros((n_epochs,), jnp.float32)
+        patience = jnp.asarray(patience, jnp.int32)
+
+        def cond(carry):
+            (_p, _o, _b, _off, eid, since, _tb, _vb, _sb) = carry
+            # Keras semantics: stop once `patience` consecutive epochs ran
+            # without improvement (since counts them).
+            return jnp.logical_and(eid < n_epochs, since < patience)
+
+        def body(carry):
+            params, opt_state, best, offset, eid, since, tbuf, vbuf, sbuf = \
+                carry
+            params, opt_state, offset, tsums, vsums, score = epoch_step(
+                params, opt_state, offset, eid)
+            best_params, best_score, best_epoch = best
+            improved = score > best_score
+            best_params = jax.tree_util.tree_map(
+                lambda b, p: jnp.where(improved, p, b), best_params, params)
+            best = (best_params,
+                    jnp.where(improved, score, best_score),
+                    jnp.where(improved, eid, best_epoch))
+            since = jnp.where(improved, 0, since + 1)
+            tbuf = jax.tree_util.tree_map(
+                lambda buf, v: buf.at[eid].set(v), tbuf, tsums)
+            vbuf = jax.tree_util.tree_map(
+                lambda buf, v: buf.at[eid].set(v), vbuf, vsums)
+            sbuf = sbuf.at[eid].set(score)
+            return (params, opt_state, best, offset, eid + 1, since,
+                    tbuf, vbuf, sbuf)
+
+        carry0 = (params, opt_state, best0, off0,
+                  jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                  tbuf0, vbuf0, sbuf0)
+        (params, opt_state, best, _off, eid, _since, tbuf, vbuf, sbuf) = \
+            jax.lax.while_loop(cond, body, carry0)
+        best_params, best_score, best_epoch = best
+        return (params, opt_state, tbuf, vbuf,
+                best_params, best_score, best_epoch, sbuf, eid)
+
+    return jax.jit(fit, donate_argnums=(1,))
+
+
 def make_forward_fn(encoders, decoders, init_state,
                     order: Sequence[Tuple[int, int]], nan_skip: str,
                     chain: str = "unrolled"):

@@ -785,14 +785,24 @@ class MultiModN:
         history: Optional[MultiModNHistory] = None,
         val_tag: str = "val",
         restore_best: bool = True,
+        patience: Optional[int] = None,
     ) -> dict:
         """Train N epochs with ON-DEVICE best-checkpoint selection on
         validation AUROC + balanced accuracy (the reference MIMIC experiment
         loop's rule — ``mimic_single_task_pipeline.py:141-158`` — fused into
         one dispatch; see make_select_fit_fn).
 
-        Returns {"best_epoch", "best_score", "best_params", "scores"}; when
-        ``restore_best`` the model's live params become the best epoch's.
+        ``patience``: optional on-device early stopping — exit the fused
+        epoch loop (a ``lax.while_loop``) once the selection score has not
+        improved for ``patience`` consecutive epochs (Keras semantics,
+        patience >= 1). Epochs beyond the stop cost zero device time;
+        history/scores cover only the epochs actually run ("epochs_ran" in
+        the result). The patience value is a traced scalar, so changing it
+        never recompiles.
+
+        Returns {"best_epoch", "best_score", "best_params", "scores",
+        "epochs_ran"}; when ``restore_best`` the model's live params become
+        the best epoch's.
         """
         if val_loader is None:
             raise ValueError("fit_best requires a val_loader")
@@ -812,6 +822,14 @@ class MultiModN:
         criterion = resolve_criterion(criterion)
         reshuffle = bool(getattr(train_loader, "shuffle", False))
         self._validate_fused_shuffle(reshuffle, train_loader)
+        if patience is not None:
+            if patience < 1:
+                raise ValueError(f"patience must be >= 1, got {patience}")
+            if self.dp_engine == "shard_map":
+                raise NotImplementedError(
+                    "patience (early stopping) is built on the auto engine's "
+                    "while_loop program; dp_engine='shard_map' runs fixed "
+                    "epoch counts — drop patience or use the auto engine.")
         if self.dp_engine == "shard_map":
             self._shard_map_fused_guards(reshuffle, train_loader, val_loader)
         data, targets, mask = self._place(train_loader)
@@ -829,9 +847,10 @@ class MultiModN:
             self._opt = optimizer
             self.opt_state = optimizer.init(self.params)
 
+        early_stop = patience is not None
         key = ("fit_best", _cache_key(criterion), order, self.nan_skip,
                _cache_key(optimizer.tx), reshuffle, per_batch,
-               self.dp_engine)
+               self.dp_engine, early_stop)
         if key not in self._fn_cache:
             loss_fn = self._loss_fn(criterion, order, self.nan_skip,
                                     per_batch)
@@ -843,6 +862,12 @@ class MultiModN:
                 self._fn_cache[key] = make_shard_map_select_fit_fn(
                     loss_fn, optimizer.tx, self.mesh, binary, n_mod,
                     scan_unroll=self.scan_unroll)
+            elif early_stop:
+                from multimodn_tpu.core.step import \
+                    make_select_fit_early_stop_fn
+                self._fn_cache[key] = make_select_fit_early_stop_fn(
+                    loss_fn, optimizer.tx, binary,
+                    scan_unroll=self.scan_unroll, reshuffle=reshuffle)
             else:
                 self._fn_cache[key] = make_select_fit_fn(
                     loss_fn, optimizer.tx, binary,
@@ -853,18 +878,27 @@ class MultiModN:
         extra = (seqs, val_seqs) if per_batch else ()
         off = self._cycle_base()
         kw = {} if off is None else {"offset0": off}
-        (self.params, self.opt_state, tsums, vsums, best_params, best_score,
-         best_epoch, scores) = fn(self.params, self.opt_state, data, targets,
-                                  mask, vdata, vtargets, vmask,
-                                  jnp.arange(epochs), rng, *extra, **kw)
-        self._epoch_counter += epochs
+        if early_stop:
+            (self.params, self.opt_state, tsums, vsums, best_params,
+             best_score, best_epoch, scores, epochs_ran_dev) = fn(
+                self.params, self.opt_state, data, targets, mask, vdata,
+                vtargets, vmask, jnp.arange(epochs),
+                jnp.asarray(patience, jnp.int32), rng, *extra, **kw)
+            epochs_ran = int(epochs_ran_dev)
+        else:
+            (self.params, self.opt_state, tsums, vsums, best_params,
+             best_score, best_epoch, scores) = fn(
+                self.params, self.opt_state, data, targets, mask, vdata,
+                vtargets, vmask, jnp.arange(epochs), rng, *extra, **kw)
+            epochs_ran = epochs
+        self._epoch_counter += epochs_ran
         self._advance_cycle(
-            epochs * (train_loader.n_samples + val_loader.n_samples))
+            epochs_ran * (train_loader.n_samples + val_loader.n_samples))
 
         if history is not None:
             tsums = jax.tree_util.tree_map(np.asarray, tsums)
             vsums = jax.tree_util.tree_map(np.asarray, vsums)
-            for e in range(epochs):
+            for e in range(epochs_ran):
                 stats = jax.tree_util.tree_map(
                     np.asarray,
                     epoch_reduction({k: v[e] for k, v in tsums.items()},
@@ -886,7 +920,8 @@ class MultiModN:
             "best_epoch": int(best_epoch),
             "best_score": float(best_score),
             "best_params": best_params_np,
-            "scores": np.asarray(scores),
+            "scores": np.asarray(scores)[:epochs_ran],
+            "epochs_ran": epochs_ran,
         }
 
     def test(

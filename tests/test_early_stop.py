@@ -1,0 +1,119 @@
+"""On-device early stopping: fit_best(patience=...) runs the fused epoch
+loop as a lax.while_loop that exits once the validation AUROC+BAC score
+has not improved for `patience` consecutive epochs (Keras semantics).
+The reference has no early stopping (fixed 100-epoch MIMIC loop,
+mimic_single_task_pipeline.py:137-158) — this is beyond-reference, built
+so the stop DECISION also happens on device (zero host syncs)."""
+import numpy as np
+import pytest
+
+from multimodn_tpu import Adam, MultiModN, MultiModNHistory, SGD
+from multimodn_tpu.data import ArrayLoader, PartitionDataset
+from multimodn_tpu.decoders import LogisticDecoder
+from multimodn_tpu.encoders import MLPEncoder
+
+
+def _setup(seed=0, n=80):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = PartitionDataset(X, y, [3, 3])
+    tr, va, _ = ds.random_split((0.7, 0.3, 0), seed=0)
+    return ArrayLoader(tr, 16), ArrayLoader(va, 16)
+
+
+def _model(seed=0):
+    return MultiModN(2, [MLPEncoder(2, 3, (4,)), MLPEncoder(2, 3, (4,))],
+                     [LogisticDecoder(2)], 0.7, 0.3, seed=seed)
+
+
+def test_large_patience_equals_plain_fit_best():
+    """With patience >= epochs the while_loop runs all epochs and must
+    reproduce the scan-based program exactly (params, history, scores)."""
+    tl, vl = _setup()
+    epochs = 6
+
+    m1, m2 = _model(1), _model(1)
+    h1, h2 = MultiModNHistory(["t"]), MultiModNHistory(["t"])
+    r1 = m1.fit_best(tl, Adam(0.01), "cross_entropy", epochs=epochs,
+                     val_loader=vl, history=h1)
+    r2 = m2.fit_best(tl, Adam(0.01), "cross_entropy", epochs=epochs,
+                     val_loader=vl, history=h2, patience=epochs)
+    assert r2["epochs_ran"] == epochs
+    assert r1["best_epoch"] == r2["best_epoch"]
+    np.testing.assert_allclose(r1["best_score"], r2["best_score"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(r1["scores"], r2["scores"], rtol=1e-6,
+                               atol=1e-7)
+    for e in range(epochs):
+        np.testing.assert_allclose(h1.loss["train"][e], h2.loss["train"][e],
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(h1.loss["val"][e], h2.loss["val"][e],
+                                   rtol=1e-6, atol=1e-7)
+    import jax
+    for a, b in zip(jax.tree_util.tree_leaves(m1.state_dict()),
+                    jax.tree_util.tree_leaves(m2.state_dict())):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_plateau_stops_early():
+    """lr=0 -> the score never changes after epoch 0 (which always improves
+    over -inf), so with patience=p the loop runs exactly 1 + p epochs."""
+    tl, vl = _setup(2)
+    for patience in (1, 3):
+        m = _model(2)
+        h = MultiModNHistory(["t"])
+        r = m.fit_best(tl, SGD(0.0), "cross_entropy", epochs=20,
+                       val_loader=vl, history=h, patience=patience)
+        assert r["epochs_ran"] == 1 + patience
+        assert r["best_epoch"] == 0
+        assert len(r["scores"]) == r["epochs_ran"]
+        # Constant score per epoch (params frozen by lr=0).
+        np.testing.assert_allclose(r["scores"], r["scores"][0], rtol=1e-6)
+        # History covers only the epochs actually run.
+        assert len(h.loss["train"]) == r["epochs_ran"]
+        assert len(h.loss["val"]) == r["epochs_ran"]
+
+
+def test_early_stop_prefix_matches_plain_run():
+    """The epochs that DO run must be bit-identical to the same epochs of
+    an un-stopped fit_best (the while body is the same epoch math)."""
+    tl, vl = _setup(3)
+    m_full = _model(3)
+    r_full = m_full.fit_best(tl, Adam(0.05), "cross_entropy", epochs=12,
+                             val_loader=vl)
+    m_es = _model(3)
+    r_es = m_es.fit_best(tl, Adam(0.05), "cross_entropy", epochs=12,
+                         val_loader=vl, patience=2)
+    k = r_es["epochs_ran"]
+    assert 1 <= k <= 12
+    np.testing.assert_allclose(r_es["scores"], r_full["scores"][:k],
+                               rtol=1e-6, atol=1e-7)
+    if k < 12:
+        # The stop is justified: the last `patience` epochs didn't improve
+        # on the running best within the prefix.
+        best_at = np.maximum.accumulate(r_full["scores"])
+        assert np.all(r_full["scores"][k - 2:k] <= best_at[k - 3:k - 1])
+
+
+def test_patience_change_reuses_program():
+    """patience is a traced scalar: different values must hit the same
+    cached program (no retrace)."""
+    tl, vl = _setup(4)
+    m = _model(4)
+    opt = Adam(0.01)  # model programs key on the tx object — hold it fixed
+    m.fit_best(tl, opt, "cross_entropy", epochs=4, val_loader=vl,
+               patience=1)
+    n_programs = len(m._fn_cache)
+    m.fit_best(tl, opt, "cross_entropy", epochs=4, val_loader=vl,
+               patience=3)
+    assert len(m._fn_cache) == n_programs
+
+
+def test_validation():
+    tl, vl = _setup(5)
+    m = _model(5)
+    with pytest.raises(ValueError, match="patience"):
+        m.fit_best(tl, Adam(0.01), "cross_entropy", epochs=4,
+                   val_loader=vl, patience=0)
