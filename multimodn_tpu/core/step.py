@@ -571,6 +571,48 @@ def make_selection_score(binary_decoders, gather=None):
     return selection_score
 
 
+def _make_epoch_runners(loss_fn, tx, gate_empty_batches, scan_unroll):
+    """The train/eval single-epoch scans shared by the select-fit programs
+    (scan-based make_select_fit_fn and while_loop-based
+    make_select_fit_early_stop_fn) — ONE definition so selection/epoch
+    semantics can never diverge between the two."""
+
+    def run_train_epoch(params, opt_state, data, targets, sample_mask, rng,
+                        seqs, offset):
+        body = _train_scan_body(loss_fn, tx, gate_empty_batches, rng)
+        xs = _scan_inputs(data, targets, sample_mask, seqs)
+        (params, opt_state, offset), ys = jax.lax.scan(
+            body, (params, opt_state, offset), xs,
+            unroll=resolve_unroll(scan_unroll, targets.shape[0]))
+        return (params, opt_state, offset,
+                {k: jnp.sum(v, axis=0) for k, v in ys.items()})
+
+    def run_eval_epoch(params, data, targets, sample_mask, rng, seqs, offset):
+        body = _eval_scan_body(loss_fn, rng, params, with_final_outputs=True)
+        xs = _scan_inputs(data, targets, sample_mask, seqs)
+        offset, ys = jax.lax.scan(
+            body, offset, xs,
+            unroll=resolve_unroll(scan_unroll, targets.shape[0]))
+        sums = {k: jnp.sum(ys[k], axis=0) for k in _GRID_KEYS}
+        outputs = [o.reshape(-1, o.shape[-1]) for o in ys["final_outputs"]]
+        return offset, sums, outputs
+
+    return run_train_epoch, run_eval_epoch
+
+
+def _update_best(best, params, score, epoch_id):
+    """Strictly-greater best-checkpoint update (reference's ``>`` at
+    mimic_single_task_pipeline.py:149) shared by both select-fit programs."""
+    best_params, best_score, best_epoch = best
+    improved = score > best_score
+    best_params = jax.tree_util.tree_map(
+        lambda b, p: jnp.where(improved, p, b), best_params, params)
+    return (best_params,
+            jnp.where(improved, score, best_score),
+            jnp.where(improved, epoch_id.astype(jnp.int32), best_epoch)), \
+        improved
+
+
 def make_select_fit_fn(loss_fn, tx, binary_decoders,
                        gate_empty_batches: bool = False,
                        scan_unroll=None, reshuffle: bool = False):
@@ -590,25 +632,8 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
     ``binary_decoders``: list of bool per decoder (AUROC/BAC need binary).
     """
     selection_score = make_selection_score(binary_decoders)
-
-    def run_train_epoch(params, opt_state, data, targets, sample_mask, rng,
-                        seqs, offset):
-        body = _train_scan_body(loss_fn, tx, gate_empty_batches, rng)
-        xs = _scan_inputs(data, targets, sample_mask, seqs)
-        (params, opt_state, offset), ys = jax.lax.scan(
-            body, (params, opt_state, offset), xs,
-            unroll=resolve_unroll(scan_unroll, targets.shape[0]))
-        return (params, opt_state, offset,
-                {k: jnp.sum(v, axis=0) for k, v in ys.items()})
-
-    def run_eval_epoch(params, data, targets, sample_mask, rng, seqs, offset):
-        body = _eval_scan_body(loss_fn, rng, params, with_final_outputs=True)
-        xs = _scan_inputs(data, targets, sample_mask, seqs)
-        offset, ys = jax.lax.scan(body, offset, xs,
-                                  unroll=resolve_unroll(scan_unroll, targets.shape[0]))
-        sums = {k: jnp.sum(ys[k], axis=0) for k in _GRID_KEYS}
-        outputs = [o.reshape(-1, o.shape[-1]) for o in ys["final_outputs"]]
-        return offset, sums, outputs
+    run_train_epoch, run_eval_epoch = _make_epoch_runners(
+        loss_fn, tx, gate_empty_batches, scan_unroll)
 
     def fit(params, opt_state, data, targets, mask,
             val_data, val_targets, val_mask, epoch_ids, rng,
@@ -633,13 +658,7 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
                 params, val_data, val_targets, val_mask, erng, val_seqs,
                 offset)
             score = selection_score(outputs, val_targets, val_mask)
-            best_params, best_score, best_epoch = best
-            improved = score > best_score
-            best_params = jax.tree_util.tree_map(
-                lambda b, p: jnp.where(improved, p, b), best_params, params)
-            best = (best_params,
-                    jnp.where(improved, score, best_score),
-                    jnp.where(improved, eid.astype(jnp.int32), best_epoch))
+            best, _improved = _update_best(best, params, score, eid)
             return (params, opt_state, best, offset), (tsums, vsums, score)
 
         (params, opt_state, best, _), (tsums, vsums, scores) = jax.lax.scan(
@@ -669,26 +688,8 @@ def make_select_fit_early_stop_fn(loss_fn, tx, binary_decoders,
     identical to ``make_select_fit_fn`` over the epochs actually run.
     """
     selection_score = make_selection_score(binary_decoders)
-
-    def run_train_epoch(params, opt_state, data, targets, sample_mask, rng,
-                        seqs, offset):
-        body = _train_scan_body(loss_fn, tx, gate_empty_batches, rng)
-        xs = _scan_inputs(data, targets, sample_mask, seqs)
-        (params, opt_state, offset), ys = jax.lax.scan(
-            body, (params, opt_state, offset), xs,
-            unroll=resolve_unroll(scan_unroll, targets.shape[0]))
-        return (params, opt_state, offset,
-                {k: jnp.sum(v, axis=0) for k, v in ys.items()})
-
-    def run_eval_epoch(params, data, targets, sample_mask, rng, seqs, offset):
-        body = _eval_scan_body(loss_fn, rng, params, with_final_outputs=True)
-        xs = _scan_inputs(data, targets, sample_mask, seqs)
-        offset, ys = jax.lax.scan(
-            body, offset, xs,
-            unroll=resolve_unroll(scan_unroll, targets.shape[0]))
-        sums = {k: jnp.sum(ys[k], axis=0) for k in _GRID_KEYS}
-        outputs = [o.reshape(-1, o.shape[-1]) for o in ys["final_outputs"]]
-        return offset, sums, outputs
+    run_train_epoch, run_eval_epoch = _make_epoch_runners(
+        loss_fn, tx, gate_empty_batches, scan_unroll)
 
     def fit(params, opt_state, data, targets, mask,
             val_data, val_targets, val_mask, epoch_ids, patience, rng,
@@ -698,7 +699,11 @@ def make_select_fit_early_stop_fn(loss_fn, tx, binary_decoders,
                  jnp.full((), -jnp.inf), jnp.asarray(-1, jnp.int32))
         off0 = _base_offset(offset0)
 
-        def epoch_step(params, opt_state, offset, eid):
+        def epoch_step(params, opt_state, offset, i):
+            # i is the 0-based while counter; epoch_ids supplies the epoch
+            # LABEL (rng stream + best_epoch value), same contract as the
+            # scan-based fn — callers may pass non-zero-based ids.
+            eid = epoch_ids[i]
             erng = jax.random.fold_in(rng, eid)
             if reshuffle:
                 d, t, m = epoch_permute(data, targets, mask, erng)
@@ -710,7 +715,7 @@ def make_select_fit_early_stop_fn(loss_fn, tx, binary_decoders,
                 params, val_data, val_targets, val_mask, erng, val_seqs,
                 offset)
             score = selection_score(outputs, val_targets, val_mask)
-            return params, opt_state, offset, tsums, vsums, score
+            return params, opt_state, offset, tsums, vsums, score, eid
 
         # Preallocate the stacked per-epoch outputs (abstract shapes only —
         # eval_shape runs no FLOPs).
@@ -733,24 +738,18 @@ def make_select_fit_early_stop_fn(loss_fn, tx, binary_decoders,
             return jnp.logical_and(eid < n_epochs, since < patience)
 
         def body(carry):
-            params, opt_state, best, offset, eid, since, tbuf, vbuf, sbuf = \
+            params, opt_state, best, offset, i, since, tbuf, vbuf, sbuf = \
                 carry
-            params, opt_state, offset, tsums, vsums, score = epoch_step(
-                params, opt_state, offset, eid)
-            best_params, best_score, best_epoch = best
-            improved = score > best_score
-            best_params = jax.tree_util.tree_map(
-                lambda b, p: jnp.where(improved, p, b), best_params, params)
-            best = (best_params,
-                    jnp.where(improved, score, best_score),
-                    jnp.where(improved, eid, best_epoch))
+            params, opt_state, offset, tsums, vsums, score, eid = epoch_step(
+                params, opt_state, offset, i)
+            best, improved = _update_best(best, params, score, eid)
             since = jnp.where(improved, 0, since + 1)
             tbuf = jax.tree_util.tree_map(
-                lambda buf, v: buf.at[eid].set(v), tbuf, tsums)
+                lambda buf, v: buf.at[i].set(v), tbuf, tsums)
             vbuf = jax.tree_util.tree_map(
-                lambda buf, v: buf.at[eid].set(v), vbuf, vsums)
-            sbuf = sbuf.at[eid].set(score)
-            return (params, opt_state, best, offset, eid + 1, since,
+                lambda buf, v: buf.at[i].set(v), vbuf, vsums)
+            sbuf = sbuf.at[i].set(score)
+            return (params, opt_state, best, offset, i + 1, since,
                     tbuf, vbuf, sbuf)
 
         carry0 = (params, opt_state, best0, off0,

@@ -187,6 +187,11 @@ class ViTEncoder(TransformerEncoder):
         H, W = self.image_size
         p, C = self.patch_size, self.channels
         if x.ndim == 2:
+            if x.shape[1] != H * W * C:
+                raise ValueError(
+                    f"ViTEncoder configured for {(H, W, C)} images "
+                    f"({H * W * C} flat features), got flat width "
+                    f"{x.shape[1]}")
             x = x.reshape(B, H, W, C)
         elif x.shape[1:] != (H, W, C):
             raise ValueError(

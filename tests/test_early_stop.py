@@ -78,7 +78,8 @@ def test_plateau_stops_early():
 
 def test_early_stop_prefix_matches_plain_run():
     """The epochs that DO run must be bit-identical to the same epochs of
-    an un-stopped fit_best (the while body is the same epoch math)."""
+    an un-stopped fit_best (the while body shares the scan program's epoch
+    runners — core/step._make_epoch_runners)."""
     tl, vl = _setup(3)
     m_full = _model(3)
     r_full = m_full.fit_best(tl, Adam(0.05), "cross_entropy", epochs=12,
@@ -90,9 +91,10 @@ def test_early_stop_prefix_matches_plain_run():
     assert 1 <= k <= 12
     np.testing.assert_allclose(r_es["scores"], r_full["scores"][:k],
                                rtol=1e-6, atol=1e-7)
-    if k < 12:
-        # The stop is justified: the last `patience` epochs didn't improve
-        # on the running best within the prefix.
+    if 3 <= k < 12:
+        # The stop is justified: the last `patience`=2 epochs didn't improve
+        # on the running best within the prefix (guarded k>=3 so the slice
+        # can't wrap into negative indexing).
         best_at = np.maximum.accumulate(r_full["scores"])
         assert np.all(r_full["scores"][k - 2:k] <= best_at[k - 3:k - 1])
 
@@ -106,9 +108,13 @@ def test_patience_change_reuses_program():
     m.fit_best(tl, opt, "cross_entropy", epochs=4, val_loader=vl,
                patience=1)
     n_programs = len(m._fn_cache)
+    fit_fn = next(v for k, v in m._fn_cache.items() if k[0] == "fit_best")
+    compiles_before = fit_fn._cache_size()
     m.fit_best(tl, opt, "cross_entropy", epochs=4, val_loader=vl,
                patience=3)
     assert len(m._fn_cache) == n_programs
+    # The jit cache itself must not grow: patience is traced, not static.
+    assert fit_fn._cache_size() == compiles_before == 1
 
 
 def test_validation():
