@@ -435,9 +435,22 @@ def epoch_permute(data, targets, sample_mask, erng):
             regroup(sample_mask))
 
 
+def _emit_epoch_callback(on_epoch, **scalars):
+    """Opt-in per-epoch progress hook: stream tiny scalar payloads to the
+    host from INSIDE the fused program via jax.debug.callback (ordered, so
+    epochs arrive in sequence). The reference can print per batch because
+    its loop lives on the host (multimodn.py:214-220); fused multi-epoch
+    dispatches are otherwise opaque until they return. Each emission costs
+    one host round-trip per epoch (~30 ms on the tunnel link) — that is
+    why it is opt-in."""
+    if on_epoch is not None:
+        jax.debug.callback(on_epoch, dict(scalars), ordered=True)
+
+
 def make_fit_fn(loss_fn, tx, with_val: bool,
                 gate_empty_batches: bool = False,
-                scan_unroll=None, reshuffle: bool = False):
+                scan_unroll=None, reshuffle: bool = False,
+                on_epoch=None):
     """Build the jitted MULTI-epoch training program: N epochs (optionally
     each followed by a validation sweep) in ONE device dispatch.
 
@@ -495,6 +508,11 @@ def make_fit_fn(loss_fn, tx, with_val: bool,
                 offset, vsums = run_eval_epoch(
                     params, val_data, val_targets, val_mask, erng, val_seqs,
                     offset)
+                _emit_epoch_callback(
+                    on_epoch, epoch=eid,
+                    train_loss=jnp.mean(tsums["err_loss"]) / targets.shape[0],
+                    val_loss=jnp.mean(vsums["err_loss"])
+                    / val_targets.shape[0])
                 return (params, opt_state, offset), (tsums, vsums)
 
             (params, opt_state, _), (tsums, vsums) = jax.lax.scan(
@@ -510,6 +528,9 @@ def make_fit_fn(loss_fn, tx, with_val: bool,
                 d, t, m = train_arrays(data, targets, mask, erng)
                 params, opt_state, offset, tsums = run_train_epoch(
                     params, opt_state, d, t, m, erng, seqs, offset)
+                _emit_epoch_callback(
+                    on_epoch, epoch=eid,
+                    train_loss=jnp.mean(tsums["err_loss"]) / targets.shape[0])
                 return (params, opt_state, offset), tsums
 
             (params, opt_state, _), tsums = jax.lax.scan(
@@ -615,7 +636,8 @@ def _update_best(best, params, score, epoch_id):
 
 def make_select_fit_fn(loss_fn, tx, binary_decoders,
                        gate_empty_batches: bool = False,
-                       scan_unroll=None, reshuffle: bool = False):
+                       scan_unroll=None, reshuffle: bool = False,
+                       on_epoch=None):
     """Fused multi-epoch training WITH on-device best-checkpoint selection.
 
     Reproduces the reference MIMIC experiment loop's per-epoch rule
@@ -659,6 +681,11 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
                 offset)
             score = selection_score(outputs, val_targets, val_mask)
             best, _improved = _update_best(best, params, score, eid)
+            _emit_epoch_callback(
+                on_epoch, epoch=eid,
+                train_loss=jnp.mean(tsums["err_loss"]) / targets.shape[0],
+                val_loss=jnp.mean(vsums["err_loss"]) / val_targets.shape[0],
+                score=score)
             return (params, opt_state, best, offset), (tsums, vsums, score)
 
         (params, opt_state, best, _), (tsums, vsums, scores) = jax.lax.scan(
@@ -673,7 +700,8 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
 def make_select_fit_early_stop_fn(loss_fn, tx, binary_decoders,
                                   gate_empty_batches: bool = False,
                                   scan_unroll=None,
-                                  reshuffle: bool = False):
+                                  reshuffle: bool = False,
+                                  on_epoch=None):
     """``make_select_fit_fn`` with ON-DEVICE early stopping: the epoch loop
     is a ``lax.while_loop`` that exits once the validation AUROC+BAC score
     has not improved for ``patience`` consecutive epochs (data-dependent
@@ -715,6 +743,11 @@ def make_select_fit_early_stop_fn(loss_fn, tx, binary_decoders,
                 params, val_data, val_targets, val_mask, erng, val_seqs,
                 offset)
             score = selection_score(outputs, val_targets, val_mask)
+            _emit_epoch_callback(
+                on_epoch, epoch=eid,
+                train_loss=jnp.mean(tsums["err_loss"]) / targets.shape[0],
+                val_loss=jnp.mean(vsums["err_loss"]) / val_targets.shape[0],
+                score=score)
             return params, opt_state, offset, tsums, vsums, score, eid
 
         # Preallocate the stacked per-epoch outputs (abstract shapes only —

@@ -76,6 +76,15 @@ def _cache_key(obj):
     return obj
 
 
+def _wrap_on_epoch(user_cb):
+    """Adapter for the fused programs' jax.debug.callback payloads: numpy
+    scalars -> plain python, then the user's callback."""
+    def cb(payload):
+        user_cb({k: (int(v) if k == "epoch" else float(v))
+                 for k, v in payload.items()})
+    return cb
+
+
 class MultiModN:
     def __init__(
         self,
@@ -662,9 +671,15 @@ class MultiModN:
         history: Optional[MultiModNHistory] = None,
         val_loader=None,
         val_tag: str = "val",
+        on_epoch: Optional[Callable] = None,
     ):
         """Train for N epochs (optionally validating each) in ONE device
         dispatch — the fused multi-epoch program (see make_fit_fn).
+
+        ``on_epoch``: optional progress callback streamed from INSIDE the
+        fused program (jax.debug.callback, ordered): called once per epoch
+        with {"epoch", "train_loss"[, "val_loss"]}. Costs one host
+        round-trip per epoch — leave None for maximum throughput.
 
         Equivalent to the reference pipelines' host loop of
         ``train_epoch(...); test(..., tag='val')`` per epoch
@@ -683,6 +698,10 @@ class MultiModN:
         # epoch on one frozen order.
         reshuffle = bool(getattr(train_loader, "shuffle", False))
         self._validate_fused_shuffle(reshuffle, train_loader)
+        if on_epoch is not None and self.dp_engine == "shard_map":
+            raise NotImplementedError(
+                "on_epoch callbacks are not wired into the shard_map "
+                "engine's programs; use the auto engine or drop on_epoch.")
         if self.dp_engine == "shard_map":
             self._shard_map_fused_guards(reshuffle, train_loader, val_loader)
         data, targets, mask = self._place(train_loader)
@@ -702,7 +721,8 @@ class MultiModN:
 
         key = ("fit", _cache_key(criterion), order, self.nan_skip,
                _cache_key(optimizer.tx), with_val, reshuffle, per_batch,
-               self.dp_engine)
+               self.dp_engine, None if on_epoch is None
+               else _cache_key(on_epoch))
         if key not in self._fn_cache:
             loss_fn = self._loss_fn(criterion, order, self.nan_skip,
                                     per_batch)
@@ -717,7 +737,9 @@ class MultiModN:
             else:
                 self._fn_cache[key] = make_fit_fn(
                     loss_fn, optimizer.tx, with_val,
-                    scan_unroll=self.scan_unroll, reshuffle=reshuffle)
+                    scan_unroll=self.scan_unroll, reshuffle=reshuffle,
+                    on_epoch=None if on_epoch is None
+                    else _wrap_on_epoch(on_epoch))
         fn = self._fn_cache[key]
 
         rng = jax.random.fold_in(jax.random.PRNGKey(self._seed), self._epoch_counter)
@@ -786,6 +808,7 @@ class MultiModN:
         val_tag: str = "val",
         restore_best: bool = True,
         patience: Optional[int] = None,
+        on_epoch: Optional[Callable] = None,
     ) -> dict:
         """Train N epochs with ON-DEVICE best-checkpoint selection on
         validation AUROC + balanced accuracy (the reference MIMIC experiment
@@ -799,6 +822,10 @@ class MultiModN:
         history/scores cover only the epochs actually run ("epochs_ran" in
         the result). The patience value is a traced scalar, so changing it
         never recompiles.
+
+        ``on_epoch``: optional per-epoch progress callback streamed from
+        inside the program ({"epoch", "train_loss", "val_loss", "score"});
+        same contract and cost as ``fit``'s.
 
         Returns {"best_epoch", "best_score", "best_params", "scores",
         "epochs_ran"}; when ``restore_best`` the model's live params become
@@ -822,6 +849,10 @@ class MultiModN:
         criterion = resolve_criterion(criterion)
         reshuffle = bool(getattr(train_loader, "shuffle", False))
         self._validate_fused_shuffle(reshuffle, train_loader)
+        if on_epoch is not None and self.dp_engine == "shard_map":
+            raise NotImplementedError(
+                "on_epoch callbacks are not wired into the shard_map "
+                "engine's programs; use the auto engine or drop on_epoch.")
         if patience is not None:
             if patience < 1:
                 raise ValueError(f"patience must be >= 1, got {patience}")
@@ -850,7 +881,8 @@ class MultiModN:
         early_stop = patience is not None
         key = ("fit_best", _cache_key(criterion), order, self.nan_skip,
                _cache_key(optimizer.tx), reshuffle, per_batch,
-               self.dp_engine, early_stop)
+               self.dp_engine, early_stop,
+               None if on_epoch is None else _cache_key(on_epoch))
         if key not in self._fn_cache:
             loss_fn = self._loss_fn(criterion, order, self.nan_skip,
                                     per_batch)
@@ -867,11 +899,15 @@ class MultiModN:
                     make_select_fit_early_stop_fn
                 self._fn_cache[key] = make_select_fit_early_stop_fn(
                     loss_fn, optimizer.tx, binary,
-                    scan_unroll=self.scan_unroll, reshuffle=reshuffle)
+                    scan_unroll=self.scan_unroll, reshuffle=reshuffle,
+                    on_epoch=None if on_epoch is None
+                    else _wrap_on_epoch(on_epoch))
             else:
                 self._fn_cache[key] = make_select_fit_fn(
                     loss_fn, optimizer.tx, binary,
-                    scan_unroll=self.scan_unroll, reshuffle=reshuffle)
+                    scan_unroll=self.scan_unroll, reshuffle=reshuffle,
+                    on_epoch=None if on_epoch is None
+                    else _wrap_on_epoch(on_epoch))
         fn = self._fn_cache[key]
 
         rng = jax.random.fold_in(jax.random.PRNGKey(self._seed), self._epoch_counter)

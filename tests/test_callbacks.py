@@ -1,0 +1,113 @@
+"""on_epoch progress callbacks: per-epoch scalar payloads streamed from
+INSIDE the fused programs via ordered jax.debug.callback — the fused
+multi-epoch dispatch is otherwise opaque until it returns (the reference
+prints per batch because its loop is host Python, multimodn.py:214-220)."""
+import numpy as np
+import pytest
+
+from multimodn_tpu import Adam, MultiModN, MultiModNHistory
+from multimodn_tpu.data import ArrayLoader, PartitionDataset
+from multimodn_tpu.decoders import LogisticDecoder
+from multimodn_tpu.encoders import MLPEncoder
+
+
+def _setup(seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(80, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = PartitionDataset(X, y, [3, 3])
+    tr, va, _ = ds.random_split((0.7, 0.3, 0), seed=0)
+    return ArrayLoader(tr, 16), ArrayLoader(va, 16)
+
+
+def _model(seed=0):
+    return MultiModN(2, [MLPEncoder(2, 3, (4,)), MLPEncoder(2, 3, (4,))],
+                     [LogisticDecoder(2)], 0.7, 0.3, seed=seed)
+
+
+def test_fit_callback_streams_every_epoch_in_order():
+    tl, vl = _setup()
+    seen = []
+    m = _model()
+    h = MultiModNHistory(["t"])
+    m.fit(tl, Adam(0.01), "cross_entropy", epochs=6, history=h,
+          val_loader=vl, on_epoch=seen.append)
+    import jax
+    jax.effects_barrier()
+    assert [p["epoch"] for p in seen] == list(range(6))
+    assert all(np.isfinite(p["train_loss"]) and np.isfinite(p["val_loss"])
+               for p in seen)
+    # The streamed train loss equals the history's epoch grid mean.
+    hist_means = [float(np.mean(l)) for l in h.loss["train"]]
+    np.testing.assert_allclose([p["train_loss"] for p in seen], hist_means,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fit_callback_without_val():
+    tl, _ = _setup(1)
+    seen = []
+    m = _model(1)
+    m.fit(tl, Adam(0.01), "cross_entropy", epochs=3, on_epoch=seen.append)
+    import jax
+    jax.effects_barrier()
+    assert len(seen) == 3
+    assert "val_loss" not in seen[0] and "train_loss" in seen[0]
+
+
+def test_fit_best_callback_includes_score():
+    tl, vl = _setup(2)
+    seen = []
+    m = _model(2)
+    r = m.fit_best(tl, Adam(0.01), "cross_entropy", epochs=4,
+                   val_loader=vl, on_epoch=seen.append)
+    import jax
+    jax.effects_barrier()
+    assert len(seen) == 4
+    np.testing.assert_allclose([p["score"] for p in seen], r["scores"],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_early_stop_callback_fires_only_for_ran_epochs():
+    from multimodn_tpu import SGD
+    tl, vl = _setup(3)
+    seen = []
+    m = _model(3)
+    r = m.fit_best(tl, SGD(0.0), "cross_entropy", epochs=20, val_loader=vl,
+                   patience=2, on_epoch=seen.append)
+    import jax
+    jax.effects_barrier()
+    assert r["epochs_ran"] == 3
+    assert [p["epoch"] for p in seen] == [0, 1, 2]
+
+
+def test_callback_does_not_change_training():
+    tl, vl = _setup(4)
+    m1, m2 = _model(4), _model(4)
+    h1, h2 = MultiModNHistory(["t"]), MultiModNHistory(["t"])
+    m1.fit(tl, Adam(0.01), "cross_entropy", epochs=5, history=h1,
+           val_loader=vl)
+    m2.fit(tl, Adam(0.01), "cross_entropy", epochs=5, history=h2,
+           val_loader=vl, on_epoch=lambda p: None)
+    for e in range(5):
+        np.testing.assert_allclose(h1.loss["train"][e], h2.loss["train"][e],
+                                   rtol=1e-6, atol=1e-7)
+    import jax
+    for a, b in zip(jax.tree_util.tree_leaves(m1.state_dict()),
+                    jax.tree_util.tree_leaves(m2.state_dict())):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_shard_map_rejects_on_epoch():
+    from multimodn_tpu.parallel import make_mesh
+    tl, vl = _setup(5)
+    mesh = make_mesh(axis_names=("data",))
+    m = MultiModN(2, [MLPEncoder(2, 3, (4,)), MLPEncoder(2, 3, (4,))],
+                  [LogisticDecoder(2)], 0.7, 0.3, mesh=mesh,
+                  dp_engine="shard_map")
+    with pytest.raises(NotImplementedError, match="on_epoch"):
+        m.fit(tl, Adam(0.01), "cross_entropy", epochs=2,
+              on_epoch=lambda p: None)
+    with pytest.raises(NotImplementedError, match="on_epoch"):
+        m.fit_best(tl, Adam(0.01), "cross_entropy", epochs=2,
+                   val_loader=vl, on_epoch=lambda p: None)
