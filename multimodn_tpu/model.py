@@ -76,15 +76,6 @@ def _cache_key(obj):
     return obj
 
 
-def _wrap_on_epoch(user_cb):
-    """Adapter for the fused programs' jax.debug.callback payloads: numpy
-    scalars -> plain python, then the user's callback."""
-    def cb(payload):
-        user_cb({k: (int(v) if k == "epoch" else float(v))
-                 for k, v in payload.items()})
-    return cb
-
-
 class MultiModN:
     def __init__(
         self,
@@ -204,6 +195,7 @@ class MultiModN:
             self.params = shard_params(self.params, mesh)
 
         self._opt = None            # Optimizer wrapper currently in use
+        self._on_epoch_user = None  # transient per-call progress callback
         self.opt_state = None
         self._fn_cache = {}
         self._epoch_counter = 0
@@ -662,6 +654,30 @@ class MultiModN:
             return self.test(train_loader, criterion, history=None)
         return None
 
+    def _check_on_epoch(self, on_epoch):
+        """on_epoch uses ORDERED jax.debug.callback, which XLA supports only
+        for single-device programs; reject BEFORE any state swap (a rejected
+        call must not discard live optimizer moments)."""
+        if on_epoch is None:
+            return
+        if self.dp_engine == "shard_map" or self.mesh is not None:
+            raise NotImplementedError(
+                "on_epoch callbacks use ordered jax.debug.callback, which "
+                "XLA supports only for single-device programs — drop "
+                "on_epoch on meshed/shard_map models (monitor long runs "
+                "via checkpointed chunks instead, e.g. fit_resumable).")
+
+    def _dispatch_on_epoch(self, payload):
+        """The ONE host-side sink baked into callback-enabled programs.
+        Reads the per-call user callback from a mutable cell, so different
+        callbacks reuse the same traced program (programs are cached on
+        callback PRESENCE, not identity); payloads are guaranteed delivered
+        before fit/fit_best returns (jax.effects_barrier)."""
+        cb = self._on_epoch_user
+        if cb is not None:
+            cb({k: (int(v) if k == "epoch" else float(v))
+                for k, v in payload.items()})
+
     def fit(
         self,
         train_loader,
@@ -678,8 +694,10 @@ class MultiModN:
 
         ``on_epoch``: optional progress callback streamed from INSIDE the
         fused program (jax.debug.callback, ordered): called once per epoch
-        with {"epoch", "train_loss"[, "val_loss"]}. Costs one host
-        round-trip per epoch — leave None for maximum throughput.
+        with {"epoch", "train_loss"[, "val_loss"]}, all payloads delivered
+        before this method returns. Costs one host round-trip per epoch —
+        leave None for maximum throughput. Different callbacks reuse the
+        same traced program (cached on presence); single-device only.
 
         Equivalent to the reference pipelines' host loop of
         ``train_epoch(...); test(..., tag='val')`` per epoch
@@ -698,10 +716,7 @@ class MultiModN:
         # epoch on one frozen order.
         reshuffle = bool(getattr(train_loader, "shuffle", False))
         self._validate_fused_shuffle(reshuffle, train_loader)
-        if on_epoch is not None and self.dp_engine == "shard_map":
-            raise NotImplementedError(
-                "on_epoch callbacks are not wired into the shard_map "
-                "engine's programs; use the auto engine or drop on_epoch.")
+        self._check_on_epoch(on_epoch)
         if self.dp_engine == "shard_map":
             self._shard_map_fused_guards(reshuffle, train_loader, val_loader)
         data, targets, mask = self._place(train_loader)
@@ -721,8 +736,7 @@ class MultiModN:
 
         key = ("fit", _cache_key(criterion), order, self.nan_skip,
                _cache_key(optimizer.tx), with_val, reshuffle, per_batch,
-               self.dp_engine, None if on_epoch is None
-               else _cache_key(on_epoch))
+               self.dp_engine, on_epoch is not None)
         if key not in self._fn_cache:
             loss_fn = self._loss_fn(criterion, order, self.nan_skip,
                                     per_batch)
@@ -739,8 +753,9 @@ class MultiModN:
                     loss_fn, optimizer.tx, with_val,
                     scan_unroll=self.scan_unroll, reshuffle=reshuffle,
                     on_epoch=None if on_epoch is None
-                    else _wrap_on_epoch(on_epoch))
+                    else self._dispatch_on_epoch)
         fn = self._fn_cache[key]
+        self._on_epoch_user = on_epoch
 
         rng = jax.random.fold_in(jax.random.PRNGKey(self._seed), self._epoch_counter)
         epoch_ids = jnp.arange(epochs)
@@ -775,6 +790,10 @@ class MultiModN:
             self._epoch_counter += epochs
             self._advance_cycle(epochs * train_loader.n_samples)
             vsums = None
+
+        if on_epoch is not None:
+            jax.effects_barrier()   # all payloads delivered before we return
+            self._on_epoch_user = None
 
         if history is not None:
             tsums = jax.tree_util.tree_map(np.asarray, tsums)
@@ -825,7 +844,7 @@ class MultiModN:
 
         ``on_epoch``: optional per-epoch progress callback streamed from
         inside the program ({"epoch", "train_loss", "val_loss", "score"});
-        same contract and cost as ``fit``'s.
+        same contract, delivery guarantee, and cost as ``fit``'s.
 
         Returns {"best_epoch", "best_score", "best_params", "scores",
         "epochs_ran"}; when ``restore_best`` the model's live params become
@@ -849,10 +868,7 @@ class MultiModN:
         criterion = resolve_criterion(criterion)
         reshuffle = bool(getattr(train_loader, "shuffle", False))
         self._validate_fused_shuffle(reshuffle, train_loader)
-        if on_epoch is not None and self.dp_engine == "shard_map":
-            raise NotImplementedError(
-                "on_epoch callbacks are not wired into the shard_map "
-                "engine's programs; use the auto engine or drop on_epoch.")
+        self._check_on_epoch(on_epoch)
         if patience is not None:
             if patience < 1:
                 raise ValueError(f"patience must be >= 1, got {patience}")
@@ -881,8 +897,7 @@ class MultiModN:
         early_stop = patience is not None
         key = ("fit_best", _cache_key(criterion), order, self.nan_skip,
                _cache_key(optimizer.tx), reshuffle, per_batch,
-               self.dp_engine, early_stop,
-               None if on_epoch is None else _cache_key(on_epoch))
+               self.dp_engine, early_stop, on_epoch is not None)
         if key not in self._fn_cache:
             loss_fn = self._loss_fn(criterion, order, self.nan_skip,
                                     per_batch)
@@ -901,14 +916,15 @@ class MultiModN:
                     loss_fn, optimizer.tx, binary,
                     scan_unroll=self.scan_unroll, reshuffle=reshuffle,
                     on_epoch=None if on_epoch is None
-                    else _wrap_on_epoch(on_epoch))
+                    else self._dispatch_on_epoch)
             else:
                 self._fn_cache[key] = make_select_fit_fn(
                     loss_fn, optimizer.tx, binary,
                     scan_unroll=self.scan_unroll, reshuffle=reshuffle,
                     on_epoch=None if on_epoch is None
-                    else _wrap_on_epoch(on_epoch))
+                    else self._dispatch_on_epoch)
         fn = self._fn_cache[key]
+        self._on_epoch_user = on_epoch
 
         rng = jax.random.fold_in(jax.random.PRNGKey(self._seed), self._epoch_counter)
         extra = (seqs, val_seqs) if per_batch else ()
@@ -927,6 +943,9 @@ class MultiModN:
                 self.params, self.opt_state, data, targets, mask, vdata,
                 vtargets, vmask, jnp.arange(epochs), rng, *extra, **kw)
             epochs_ran = epochs
+        if on_epoch is not None:
+            jax.effects_barrier()   # all payloads delivered before we return
+            self._on_epoch_user = None
         self._epoch_counter += epochs_ran
         self._advance_cycle(
             epochs_ran * (train_loader.n_samples + val_loader.n_samples))
@@ -1220,6 +1239,7 @@ class MultiModN:
         state["params"] = jax.tree_util.tree_map(np.asarray, self.params)
         state["opt_state"] = None
         state["_opt"] = None
+        state["_on_epoch_user"] = None
         state["mesh"] = None
         # Meshes don't pickle; without one the explicit engine cannot run,
         # so an unpickled model falls back to the auto engine.

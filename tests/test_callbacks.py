@@ -32,8 +32,7 @@ def test_fit_callback_streams_every_epoch_in_order():
     h = MultiModNHistory(["t"])
     m.fit(tl, Adam(0.01), "cross_entropy", epochs=6, history=h,
           val_loader=vl, on_epoch=seen.append)
-    import jax
-    jax.effects_barrier()
+    # No effects_barrier here: fit guarantees delivery before returning.
     assert [p["epoch"] for p in seen] == list(range(6))
     assert all(np.isfinite(p["train_loss"]) and np.isfinite(p["val_loss"])
                for p in seen)
@@ -48,8 +47,6 @@ def test_fit_callback_without_val():
     seen = []
     m = _model(1)
     m.fit(tl, Adam(0.01), "cross_entropy", epochs=3, on_epoch=seen.append)
-    import jax
-    jax.effects_barrier()
     assert len(seen) == 3
     assert "val_loss" not in seen[0] and "train_loss" in seen[0]
 
@@ -60,8 +57,6 @@ def test_fit_best_callback_includes_score():
     m = _model(2)
     r = m.fit_best(tl, Adam(0.01), "cross_entropy", epochs=4,
                    val_loader=vl, on_epoch=seen.append)
-    import jax
-    jax.effects_barrier()
     assert len(seen) == 4
     np.testing.assert_allclose([p["score"] for p in seen], r["scores"],
                                rtol=1e-5, atol=1e-6)
@@ -74,8 +69,6 @@ def test_early_stop_callback_fires_only_for_ran_epochs():
     m = _model(3)
     r = m.fit_best(tl, SGD(0.0), "cross_entropy", epochs=20, val_loader=vl,
                    patience=2, on_epoch=seen.append)
-    import jax
-    jax.effects_barrier()
     assert r["epochs_ran"] == 3
     assert [p["epoch"] for p in seen] == [0, 1, 2]
 
@@ -96,6 +89,47 @@ def test_callback_does_not_change_training():
                     jax.tree_util.tree_leaves(m2.state_dict())):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_fresh_callbacks_reuse_one_program():
+    """Programs are cached on callback PRESENCE: per-call lambdas must not
+    retrace the fused program (review finding — identity-keyed caching
+    recompiled per closure and pinned it forever)."""
+    tl, vl = _setup(6)
+    m = _model(6)
+    opt = Adam(0.01)
+    m.fit(tl, opt, "cross_entropy", epochs=2, val_loader=vl,
+          on_epoch=lambda p: None)
+    n_programs = len(m._fn_cache)
+    fit_fn = next(v for k, v in m._fn_cache.items()
+                  if k[0] == "fit" and k[-1] is True)
+    seen = []
+    m.fit(tl, opt, "cross_entropy", epochs=2, val_loader=vl,
+          on_epoch=seen.append)   # different callback object
+    assert len(m._fn_cache) == n_programs
+    assert fit_fn._cache_size() == 1
+    assert [p["epoch"] for p in seen] == [0, 1]
+
+
+def test_mesh_rejects_on_epoch_before_state_swap():
+    """Ordered debug callbacks are single-device-only in XLA: a meshed
+    model must reject on_epoch with a clear error BEFORE swapping the
+    optimizer state (review finding: it used to crash at dispatch with a
+    raw 'ordered effects' error after discarding live Adam moments)."""
+    from multimodn_tpu.parallel import make_mesh
+    tl, vl = _setup(7)
+    mesh = make_mesh(axis_names=("data",))
+    m = MultiModN(2, [MLPEncoder(2, 3, (4,)), MLPEncoder(2, 3, (4,))],
+                  [LogisticDecoder(2)], 0.7, 0.3, mesh=mesh)
+    opt = Adam(0.01)
+    m.fit(tl, opt, "cross_entropy", epochs=1)     # live opt state
+    st_before = m.opt_state
+    with pytest.raises(NotImplementedError, match="on_epoch"):
+        m.fit(tl, opt, "cross_entropy", epochs=2, on_epoch=lambda p: None)
+    assert m.opt_state is st_before, "rejected call discarded opt state"
+    with pytest.raises(NotImplementedError, match="on_epoch"):
+        m.fit_best(tl, opt, "cross_entropy", epochs=2, val_loader=vl,
+                   on_epoch=lambda p: None)
 
 
 def test_shard_map_rejects_on_epoch():
