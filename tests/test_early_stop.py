@@ -123,3 +123,72 @@ def test_validation():
     with pytest.raises(ValueError, match="patience"):
         m.fit_best(tl, Adam(0.01), "cross_entropy", epochs=4,
                    val_loader=vl, patience=0)
+
+
+def test_randomized_early_stop_equivalence_soak():
+    """Randomized cross-program soak: across random geometries (E, widths,
+    batch size incl. ragged tails, NaN injection, nan_skip mode,
+    shuffle_mode, optimizer family), the while_loop program with
+    patience >= epochs must reproduce the scan program bit-for-bit
+    (scores AND final params), and a small patience must yield an exact
+    executed prefix. Catches geometry-specific divergences the fixed-config
+    tests can't."""
+    import jax
+
+    from multimodn_tpu import Adam8bit, SGD
+
+    master = np.random.default_rng(20260817)
+    for trial in range(6):
+        rng = np.random.default_rng(master.integers(2**31))
+        E = int(rng.integers(1, 4))
+        widths = [int(rng.integers(2, 5)) for _ in range(E)]
+        n = int(rng.integers(30, 70))
+        batch = int(rng.choice([8, 16, 0]))  # 0 = full batch
+        nan_skip = str(rng.choice(["sample", "batch"]))
+        shuffle_mode = bool(rng.integers(0, 2)) and E > 1
+        opt_kind = str(rng.choice(["adam", "adam8bit", "sgd"]))
+        epochs = int(rng.integers(3, 6))
+
+        X = rng.normal(size=(n, sum(widths))).astype(np.float32)
+        if rng.integers(0, 2):
+            X[:: int(rng.integers(2, 5)), : widths[0]] = np.nan
+        y = (np.nansum(X, axis=1, keepdims=True) > 0).astype(np.int64)
+        ds = PartitionDataset(X, y, widths)
+        tr, va, _ = ds.random_split((0.7, 0.3, 0), seed=trial)
+        tl, vl = ArrayLoader(tr, batch), ArrayLoader(va, batch)
+
+        def build():
+            return MultiModN(
+                2, [MLPEncoder(2, w, (3,)) for w in widths],
+                [LogisticDecoder(2)], 0.7, 0.3, seed=trial,
+                nan_skip=nan_skip, shuffle_mode=shuffle_mode)
+
+        def opt():
+            return {"adam": lambda: Adam(0.02),
+                    "adam8bit": lambda: Adam8bit(0.02),
+                    "sgd": lambda: SGD(0.05)}[opt_kind]()
+
+        cfg = (f"trial {trial}: E={E} widths={widths} n={n} batch={batch} "
+               f"nan_skip={nan_skip} shuffle={shuffle_mode} opt={opt_kind}")
+
+        m_scan = build()
+        r_scan = m_scan.fit_best(tl, opt(), "cross_entropy", epochs=epochs,
+                                 val_loader=vl)
+        m_while = build()
+        r_while = m_while.fit_best(tl, opt(), "cross_entropy", epochs=epochs,
+                                   val_loader=vl, patience=epochs)
+        assert r_while["epochs_ran"] == epochs, cfg
+        np.testing.assert_allclose(r_while["scores"], r_scan["scores"],
+                                   rtol=1e-6, atol=1e-7, err_msg=cfg)
+        for a, b in zip(jax.tree_util.tree_leaves(m_scan.state_dict()),
+                        jax.tree_util.tree_leaves(m_while.state_dict())):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7, err_msg=cfg)
+
+        m_es = build()
+        r_es = m_es.fit_best(tl, opt(), "cross_entropy", epochs=epochs,
+                             val_loader=vl, patience=1)
+        k = r_es["epochs_ran"]
+        assert 1 <= k <= epochs, cfg
+        np.testing.assert_allclose(r_es["scores"], r_scan["scores"][:k],
+                                   rtol=1e-6, atol=1e-7, err_msg=cfg)
