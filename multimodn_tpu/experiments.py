@@ -22,7 +22,9 @@ import numpy as np
 
 from multimodn_tpu.core.fusion import default_order
 from multimodn_tpu.core.losses import resolve_criterion
-from multimodn_tpu.core.step import epoch_reduction, make_select_fit_fn
+from multimodn_tpu.core.step import (epoch_reduction,
+                                     make_select_fit_early_stop_fn,
+                                     make_select_fit_fn)
 from multimodn_tpu.optim import Optimizer
 
 
@@ -94,9 +96,11 @@ def _model_signature(model):
 
 
 def _cached_select_fit(template, criterion, optimizer, order, per_batch,
-                       binary, gate_empty: bool, reshuffle: bool):
+                       binary, gate_empty: bool, reshuffle: bool,
+                       early_stop: bool = False):
     """Return the fused select-fit program for this configuration, reusing
-    a structurally-identical previously-traced one when safe."""
+    a structurally-identical previously-traced one when safe.
+    ``early_stop=True`` builds the while_loop program (traced patience)."""
     sig = _model_signature(template)
     opt_sig = getattr(optimizer, "signature", None)
     key = None
@@ -107,7 +111,7 @@ def _cached_select_fit(template, criterion, optimizer, order, per_batch,
         crit_key = criterion if isinstance(criterion, str) \
             else ("fn", criterion)
         key = (sig, crit_key, opt_sig, tuple(order), per_batch,
-               tuple(binary), gate_empty, reshuffle)
+               tuple(binary), gate_empty, reshuffle, early_stop)
         try:
             cached = _FIT_PROGRAM_CACHE.get(key)
         except TypeError:  # unhashable component value -> uncacheable
@@ -116,10 +120,12 @@ def _cached_select_fit(template, criterion, optimizer, order, per_batch,
             return cached
     loss_fn = template._loss_fn(criterion, order, template.nan_skip,
                                 per_batch)
-    fit = make_select_fit_fn(loss_fn, optimizer.tx, binary,
-                             gate_empty_batches=gate_empty,
-                             scan_unroll=template.scan_unroll,
-                             reshuffle=reshuffle)
+    builder = make_select_fit_early_stop_fn if early_stop \
+        else make_select_fit_fn
+    fit = builder(loss_fn, optimizer.tx, binary,
+                  gate_empty_batches=gate_empty,
+                  scan_unroll=template.scan_unroll,
+                  reshuffle=reshuffle)
     # Mark cache-eligible programs so derived wrappers (the sweep jit) can
     # key their own caches on the fit object without growing unboundedly
     # when structural caching is disabled for a call.
@@ -168,8 +174,16 @@ def kfold_fit_best(
     seeds: Optional[Sequence[int]] = None,
     mesh=None,
     fold_axis: str = "fold",
+    patience: Optional[int] = None,
 ) -> List[dict]:
     """Train one model per fold simultaneously.
+
+    ``patience``: optional on-device early stopping per fold (same Keras
+    semantics as ``MultiModN.fit_best``). Under vmap the while_loop runs
+    until the SLOWEST fold stops (finished folds' state is frozen), so
+    device time scales with max per-fold epochs, not the fixed budget;
+    each result dict gains "epochs_ran" and its scores/sums are trimmed
+    to the fold's own executed epochs.
 
     Args:
         model_factory: seed -> MultiModN; every fold's model must be
@@ -199,6 +213,8 @@ def kfold_fit_best(
     """
     criterion = resolve_criterion(criterion)
     _check_vmap_safe(optimizer)
+    if patience is not None and patience < 1:
+        raise ValueError(f"patience must be >= 1, got {patience}")
     folds = list(folds)
     n_real = len(folds)
     seeds = list(seeds) if seeds is not None else list(range(n_real))
@@ -308,7 +324,8 @@ def kfold_fit_best(
     # exact-skip gating must be on here.
     fit = _cached_select_fit(template, criterion, optimizer, order,
                              per_batch, binary, gate_empty=True,
-                             reshuffle=reshuffle)
+                             reshuffle=reshuffle,
+                             early_stop=patience is not None)
 
     # In scan-chain mode the loss fn expects ONE stacked modality array
     # (see MultiModN._place). Mesh-free templates (the common case and the
@@ -374,19 +391,27 @@ def kfold_fit_best(
         if per_batch:
             tseqs, vseqs = place(tseqs), place(vseqs)
 
+    pat = () if patience is None else (jnp.asarray(patience, jnp.int32),)
+    pat_ax = () if patience is None else (None,)
     if per_batch:
-        vfit = jax.vmap(fit,
-                        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, 0, 0, 0))
-        (params, opt_state, tsums, vsums, best_params, best_score,
-         best_epoch, scores) = vfit(params, opt_state, data, targets, mask,
-                                    vdata, vtargets, vmask,
-                                    jnp.arange(epochs), rngs, tseqs, vseqs)
+        vfit = jax.vmap(fit, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)
+                        + pat_ax + (0, 0, 0))
+        outs = vfit(params, opt_state, data, targets, mask,
+                    vdata, vtargets, vmask, jnp.arange(epochs), *pat,
+                    rngs, tseqs, vseqs)
     else:
-        vfit = jax.vmap(fit, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, 0))
+        vfit = jax.vmap(fit, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)
+                        + pat_ax + (0,))
+        outs = vfit(params, opt_state, data, targets, mask,
+                    vdata, vtargets, vmask, jnp.arange(epochs), *pat, rngs)
+    if patience is None:
         (params, opt_state, tsums, vsums, best_params, best_score,
-         best_epoch, scores) = vfit(params, opt_state, data, targets, mask,
-                                    vdata, vtargets, vmask,
-                                    jnp.arange(epochs), rngs)
+         best_epoch, scores) = outs
+        epochs_ran = np.full((n_folds,), epochs, np.int32)
+    else:
+        (params, opt_state, tsums, vsums, best_params, best_score,
+         best_epoch, scores, ran) = outs
+        epochs_ran = np.asarray(ran, np.int32)
 
     results = []
     best_params = jax.tree_util.tree_map(np.asarray, best_params)
@@ -395,24 +420,27 @@ def kfold_fit_best(
     for f, model in enumerate(models[:n_real]):
         fold_best = jax.tree_util.tree_map(lambda x: x[f], best_params)
         model.load_state_dict(fold_best)
+        ran = int(epochs_ran[f])
         # Leave each fold model exactly as per-fold fit_best would: the
-        # training consumed epochs*(n_train+n_val) StaticInitState cycle
-        # states in-program and epochs rng epochs, and the OPTIMIZER state
+        # training consumed ran*(n_train+n_val) StaticInitState cycle
+        # states in-program and ran rng epochs, and the OPTIMIZER state
         # is the fold's trained moments (load_state_dict resets it) — a
         # later test()/predict()/continued training on the returned model
         # must continue from there.
         model._advance_cycle(
-            epochs * (folds[f][0].n_samples + folds[f][1].n_samples))
-        model._epoch_counter += epochs
+            ran * (folds[f][0].n_samples + folds[f][1].n_samples))
+        model._epoch_counter += ran
         model.opt_state = jax.tree_util.tree_map(lambda x: x[f], opt_state)
         model._opt = optimizer
         results.append({
             "model": model,
             "best_epoch": int(np.asarray(best_epoch)[f]),
             "best_score": float(np.asarray(best_score)[f]),
-            "scores": np.asarray(scores)[f],
-            "train_sums": jax.tree_util.tree_map(lambda x: x[f], tsums),
-            "val_sums": jax.tree_util.tree_map(lambda x: x[f], vsums),
+            "scores": np.asarray(scores)[f][:ran],
+            "epochs_ran": ran,
+            "train_sums": jax.tree_util.tree_map(lambda x: x[f][:ran],
+                                                 tsums),
+            "val_sums": jax.tree_util.tree_map(lambda x: x[f][:ran], vsums),
             "n_train_batches": train_stacks[f][1].shape[0],
             "n_val_batches": val_stacks[f][1].shape[0],
         })
@@ -429,6 +457,7 @@ def sweep_fit_best(
     seeds: Sequence[int] = (0,),
     mesh=None,
     sweep_axis: str = "fold",
+    patience: Optional[int] = None,
 ) -> List[dict]:
     """Seed-replicate axis: N independent inits of ONE (train, val) workload
     train in a single dispatch (VERDICT r2 next-#4).
@@ -447,11 +476,15 @@ def sweep_fit_best(
 
     ``mesh``: optional — shards the seed axis over ``sweep_axis`` exactly
     like kfold's fold axis (data replicated; zero cross-seed collectives).
+    ``patience``: optional per-seed on-device early stopping (same
+    semantics as ``kfold_fit_best``'s).
 
     Returns per-seed dicts shaped like ``kfold_fit_best``'s.
     """
     criterion = resolve_criterion(criterion)
     _check_vmap_safe(optimizer)
+    if patience is not None and patience < 1:
+        raise ValueError(f"patience must be >= 1, got {patience}")
     seeds = list(seeds)
     n_real = len(seeds)
     if mesh is not None:
@@ -495,7 +528,8 @@ def sweep_fit_best(
 
     fit = _cached_select_fit(template, criterion, optimizer, order,
                              per_batch, binary, gate_empty=False,
-                             reshuffle=reshuffle)
+                             reshuffle=reshuffle,
+                             early_stop=patience is not None)
 
     def _host_place(loader):
         d, t, m = loader.host_stacks()
@@ -535,10 +569,14 @@ def sweep_fit_best(
     # per-seed fit_best. Passing the data with in_axes=None instead changes
     # the dot_general batching and rounds differently (one threshold flip
     # observed in AUROC scores at fp32).
-    sweep_key = (fit, per_batch)
+    early_stop = patience is not None
+    sweep_key = (fit, per_batch, early_stop)
     sweep_jit = _SWEEP_PROGRAM_CACHE.get(sweep_key)
     if sweep_jit is None:
         def sweep_prog(params, opt_state, *rest):
+            rest = list(rest)
+            pat = (rest.pop(7),) if early_stop else ()
+            pat_ax = (None,) if early_stop else ()
             if per_batch:
                 (data, targets, mask, vdata, vtargets, vmask, epoch_ids,
                  rngs, seqs, val_seqs) = rest
@@ -549,24 +587,35 @@ def sweep_fit_best(
             bc = lambda tree: jax.tree_util.tree_map(
                 lambda x: jnp.broadcast_to(x, (S,) + x.shape), tree)
             if per_batch:
-                return jax.vmap(fit, in_axes=(0,) * 8 + (None, 0, 0, 0))(
+                return jax.vmap(fit, in_axes=(0,) * 8 + (None,) + pat_ax
+                                + (0, 0, 0))(
                     params, opt_state, bc(data), bc(targets), bc(mask),
-                    bc(vdata), bc(vtargets), bc(vmask), epoch_ids, rngs,
-                    bc(seqs), bc(val_seqs))
-            return jax.vmap(fit, in_axes=(0,) * 8 + (None, 0))(
+                    bc(vdata), bc(vtargets), bc(vmask), epoch_ids, *pat,
+                    rngs, bc(seqs), bc(val_seqs))
+            return jax.vmap(fit, in_axes=(0,) * 8 + (None,) + pat_ax + (0,))(
                 params, opt_state, bc(data), bc(targets), bc(mask), bc(vdata),
-                bc(vtargets), bc(vmask), epoch_ids, rngs)
+                bc(vtargets), bc(vmask), epoch_ids, *pat, rngs)
 
         sweep_jit = jax.jit(sweep_prog)
         if getattr(fit, "_mmtpu_cached", False):
             _SWEEP_PROGRAM_CACHE[sweep_key] = sweep_jit
 
     args = (params, opt_state, data, targets, mask, vdata, vtargets, vmask,
-            jnp.arange(epochs), rngs)
+            jnp.arange(epochs))
+    if early_stop:
+        args += (jnp.asarray(patience, jnp.int32),)
+    args += (rngs,)
     if per_batch:
         args += (seqs, val_seqs)
-    (params, opt_state, tsums, vsums, best_params, best_score,
-     best_epoch, scores) = sweep_jit(*args)
+    outs = sweep_jit(*args)
+    if early_stop:
+        (params, opt_state, tsums, vsums, best_params, best_score,
+         best_epoch, scores, ran) = outs
+        epochs_ran = np.asarray(ran, np.int32)
+    else:
+        (params, opt_state, tsums, vsums, best_params, best_score,
+         best_epoch, scores) = outs
+        epochs_ran = np.full((len(seeds),), epochs, np.int32)
 
     results = []
     best_params = jax.tree_util.tree_map(np.asarray, best_params)
@@ -575,18 +624,21 @@ def sweep_fit_best(
     for i, model in enumerate(models[:n_real]):
         model.load_state_dict(
             jax.tree_util.tree_map(lambda x: x[i], best_params))
+        ran = int(epochs_ran[i])
         model._advance_cycle(
-            epochs * (train_loader.n_samples + val_loader.n_samples))
-        model._epoch_counter += epochs
+            ran * (train_loader.n_samples + val_loader.n_samples))
+        model._epoch_counter += ran
         model.opt_state = jax.tree_util.tree_map(lambda x: x[i], opt_state)
         model._opt = optimizer
         results.append({
             "model": model,
             "best_epoch": int(np.asarray(best_epoch)[i]),
             "best_score": float(np.asarray(best_score)[i]),
-            "scores": np.asarray(scores)[i],
-            "train_sums": jax.tree_util.tree_map(lambda x: x[i], tsums),
-            "val_sums": jax.tree_util.tree_map(lambda x: x[i], vsums),
+            "scores": np.asarray(scores)[i][:ran],
+            "epochs_ran": ran,
+            "train_sums": jax.tree_util.tree_map(lambda x: x[i][:ran],
+                                                 tsums),
+            "val_sums": jax.tree_util.tree_map(lambda x: x[i][:ran], vsums),
             "n_train_batches": train_loader.n_batches,
             "n_val_batches": val_loader.n_batches,
         })

@@ -192,3 +192,95 @@ def test_randomized_early_stop_equivalence_soak():
         assert 1 <= k <= epochs, cfg
         np.testing.assert_allclose(r_es["scores"], r_scan["scores"][:k],
                                    rtol=1e-6, atol=1e-7, err_msg=cfg)
+
+
+def test_kfold_patience_matches_looped_fit_best():
+    """Experiment-level early stopping: the vmapped while_loop program must
+    reproduce looped per-fold fit_best(patience=...) exactly — per-fold
+    epochs_ran, trimmed scores, and final params (vmap-of-while freezes
+    finished folds via masking)."""
+    import jax
+    from multimodn_tpu.experiments import kfold_fit_best
+
+    rng = np.random.default_rng(21)
+    folds, loaders = [], []
+    for k in range(3):
+        n = 48 + 16 * k                     # unequal folds -> padded batches
+        X = rng.normal(size=(n, 6)).astype(np.float32)
+        y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+        ds = PartitionDataset(X, y, [3, 3])
+        tr, va, _ = ds.random_split((0.7, 0.3, 0), seed=k)
+        loaders.append((ArrayLoader(tr, 16), ArrayLoader(va, 16)))
+    folds = loaders
+
+    def factory(seed):
+        return MultiModN(2, [MLPEncoder(2, 3, (4,)), MLPEncoder(2, 3, (4,))],
+                         [LogisticDecoder(2)], 0.7, 0.3, seed=seed)
+
+    epochs, patience = 8, 2
+    kres = kfold_fit_best(factory, folds, Adam(0.02), "cross_entropy",
+                          epochs=epochs, patience=patience)
+    for f, (tl, vl) in enumerate(folds):
+        m = factory(f)
+        r = m.fit_best(tl, Adam(0.02), "cross_entropy", epochs=epochs,
+                       val_loader=vl, patience=patience)
+        assert kres[f]["epochs_ran"] == r["epochs_ran"], f"fold {f}"
+        np.testing.assert_allclose(kres[f]["scores"], r["scores"],
+                                   rtol=1e-5, atol=1e-6)
+        assert kres[f]["best_epoch"] == r["best_epoch"]
+        for a, b in zip(
+                jax.tree_util.tree_leaves(kres[f]["model"].state_dict()),
+                jax.tree_util.tree_leaves(m.state_dict())):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_kfold_large_patience_equals_plain_kfold():
+    import jax
+    from multimodn_tpu.experiments import kfold_fit_best
+
+    rng = np.random.default_rng(22)
+    folds = []
+    for k in range(2):
+        X = rng.normal(size=(48, 6)).astype(np.float32)
+        y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+        ds = PartitionDataset(X, y, [3, 3])
+        tr, va, _ = ds.random_split((0.7, 0.3, 0), seed=k)
+        folds.append((ArrayLoader(tr, 16), ArrayLoader(va, 16)))
+
+    def factory(seed):
+        return MultiModN(2, [MLPEncoder(2, 3, (4,)), MLPEncoder(2, 3, (4,))],
+                         [LogisticDecoder(2)], 0.7, 0.3, seed=seed)
+
+    plain = kfold_fit_best(factory, folds, Adam(0.02), "cross_entropy",
+                           epochs=5)
+    es = kfold_fit_best(factory, folds, Adam(0.02), "cross_entropy",
+                        epochs=5, patience=5)
+    for f in range(2):
+        assert es[f]["epochs_ran"] == 5
+        np.testing.assert_allclose(es[f]["scores"], plain[f]["scores"],
+                                   rtol=1e-6, atol=1e-7)
+        for a, b in zip(
+                jax.tree_util.tree_leaves(es[f]["model"].state_dict()),
+                jax.tree_util.tree_leaves(plain[f]["model"].state_dict())):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+
+def test_sweep_patience_per_seed():
+    from multimodn_tpu import SGD
+    from multimodn_tpu.experiments import sweep_fit_best
+
+    tl, vl = _setup(23)
+
+    def factory(seed):
+        return MultiModN(2, [MLPEncoder(2, 3, (4,)), MLPEncoder(2, 3, (4,))],
+                         [LogisticDecoder(2)], 0.7, 0.3, seed=seed)
+
+    # lr=0 plateau: every seed stops after exactly 1 + patience epochs.
+    res = sweep_fit_best(factory, tl, vl, SGD(0.0), "cross_entropy",
+                         epochs=12, seeds=[0, 1, 2], patience=2)
+    for r in res:
+        assert r["epochs_ran"] == 3
+        assert len(r["scores"]) == 3
+        assert r["best_epoch"] == 0
