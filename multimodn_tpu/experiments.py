@@ -208,8 +208,10 @@ def kfold_fit_best(
         fold_axis: mesh axis name the fold dimension shards over.
     Returns:
         Per-fold dicts: {model (best params restored), best_epoch,
-        best_score, scores, train_sums, val_sums, n_train_batches,
-        n_val_batches}.
+        best_score, scores, epochs_ran, train_sums, val_sums,
+        n_train_batches, n_val_batches}. "epochs_ran" is always present
+        (= epochs unless patience stopped the fold early); scores/sums
+        cover exactly the executed epochs.
     """
     criterion = resolve_criterion(criterion)
     _check_vmap_safe(optimizer)
@@ -574,9 +576,12 @@ def sweep_fit_best(
     sweep_jit = _SWEEP_PROGRAM_CACHE.get(sweep_key)
     if sweep_jit is None:
         def sweep_prog(params, opt_state, *rest):
-            rest = list(rest)
-            pat = (rest.pop(7),) if early_stop else ()
-            pat_ax = (None,) if early_stop else ()
+            # patience travels as the LEADING extra (right after opt_state)
+            # so the data-args unpacking below stays position-stable.
+            if early_stop:
+                pat, pat_ax, rest = (rest[0],), (None,), rest[1:]
+            else:
+                pat, pat_ax = (), ()
             if per_batch:
                 (data, targets, mask, vdata, vtargets, vmask, epoch_ids,
                  rngs, seqs, val_seqs) = rest
@@ -600,11 +605,11 @@ def sweep_fit_best(
         if getattr(fit, "_mmtpu_cached", False):
             _SWEEP_PROGRAM_CACHE[sweep_key] = sweep_jit
 
-    args = (params, opt_state, data, targets, mask, vdata, vtargets, vmask,
-            jnp.arange(epochs))
+    args = (params, opt_state)
     if early_stop:
         args += (jnp.asarray(patience, jnp.int32),)
-    args += (rngs,)
+    args += (data, targets, mask, vdata, vtargets, vmask,
+             jnp.arange(epochs), rngs)
     if per_batch:
         args += (seqs, val_seqs)
     outs = sweep_jit(*args)

@@ -203,15 +203,14 @@ def test_kfold_patience_matches_looped_fit_best():
     from multimodn_tpu.experiments import kfold_fit_best
 
     rng = np.random.default_rng(21)
-    folds, loaders = [], []
+    folds = []
     for k in range(3):
         n = 48 + 16 * k                     # unequal folds -> padded batches
         X = rng.normal(size=(n, 6)).astype(np.float32)
         y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
         ds = PartitionDataset(X, y, [3, 3])
         tr, va, _ = ds.random_split((0.7, 0.3, 0), seed=k)
-        loaders.append((ArrayLoader(tr, 16), ArrayLoader(va, 16)))
-    folds = loaders
+        folds.append((ArrayLoader(tr, 16), ArrayLoader(va, 16)))
 
     def factory(seed):
         return MultiModN(2, [MLPEncoder(2, 3, (4,)), MLPEncoder(2, 3, (4,))],
@@ -284,3 +283,66 @@ def test_sweep_patience_per_seed():
         assert r["epochs_ran"] == 3
         assert len(r["scores"]) == 3
         assert r["best_epoch"] == 0
+
+
+def test_kfold_and_sweep_patience_with_per_batch_sequences():
+    """The per_batch (encoding-sequence) variants of the patience paths:
+    the traced-patience arg splicing must survive the extra seqs/val_seqs
+    arguments in both programs (review finding: this branch was untested)."""
+    import jax
+    from multimodn_tpu.data import Subset
+    from multimodn_tpu.experiments import kfold_fit_best, sweep_fit_best
+
+    class BatchSeqDS(PartitionDataset):
+        def __init__(self, X, y, parts):
+            super().__init__(X, y, parts)
+            self._rows = np.asarray([[0, 1], [1, 0]], np.int64)
+
+        def __getitem__(self, i):
+            xs, y = super().__getitem__(i)[:2]
+            return xs, y, self._rows[(i // 16) % 2]
+
+        def arrays(self):
+            xs, y = super().arrays()[:2]
+            seq = np.stack([self._rows[(i // 16) % 2]
+                            for i in range(len(self))])
+            return xs, y, seq
+
+    rng = np.random.default_rng(24)
+    X = rng.normal(size=(64, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = BatchSeqDS(X, y, [3, 3])
+
+    def factory(seed):
+        return MultiModN(2, [MLPEncoder(2, 3, (4,)), MLPEncoder(2, 3, (4,))],
+                         [LogisticDecoder(2)], 0.7, 0.3, seed=seed)
+
+    def folds():
+        return [
+            (ArrayLoader(Subset(ds, list(range(0, 32))), 16),
+             ArrayLoader(Subset(ds, list(range(32, 48))), 16)),
+            (ArrayLoader(Subset(ds, list(range(32, 64))), 16),
+             ArrayLoader(Subset(ds, list(range(0, 16))), 16)),
+        ]
+
+    epochs, patience = 8, 2
+    kres = kfold_fit_best(factory, folds(), Adam(0.02), "cross_entropy",
+                          epochs=epochs, patience=patience)
+    for f, (tr, va) in enumerate(folds()):
+        m = factory(f)
+        ref = m.fit_best(tr, Adam(0.02), "cross_entropy", epochs=epochs,
+                         val_loader=va, patience=patience)
+        assert kres[f]["epochs_ran"] == ref["epochs_ran"], f"fold {f}"
+        np.testing.assert_allclose(kres[f]["scores"], ref["scores"],
+                                   rtol=1e-5, atol=1e-6)
+
+    tr, va = folds()[0]
+    sres = sweep_fit_best(factory, tr, va, Adam(0.02), "cross_entropy",
+                          epochs=epochs, seeds=[0, 1], patience=patience)
+    for i, seed in enumerate([0, 1]):
+        m = factory(seed)
+        ref = m.fit_best(tr, Adam(0.02), "cross_entropy", epochs=epochs,
+                         val_loader=va, patience=patience)
+        assert sres[i]["epochs_ran"] == ref["epochs_ran"], f"seed {seed}"
+        np.testing.assert_allclose(sres[i]["scores"], ref["scores"],
+                                   rtol=1e-5, atol=1e-6)
