@@ -174,9 +174,15 @@ class ViTEncoder(TransformerEncoder):
                          chunk=patch_size * patch_size * channels,
                          dropout_rate=dropout_rate, activation=activation)
         # chunk divides H*W*C exactly, so the parent's token count is the
-        # patch grid and its zero-pad is 0 by construction.
-        assert self.pad == 0 and self.n_tokens == (H // patch_size) * \
-            (W // patch_size)
+        # patch grid and its zero-pad is 0 by construction. Raise (not
+        # assert, which python -O strips) so a parent-tokenization change
+        # can never silently mis-patch images (ADVICE r3).
+        if self.pad != 0 or self.n_tokens != (H // patch_size) * \
+                (W // patch_size):
+            raise ValueError(
+                f"parent tokenization diverged from the patch grid: pad="
+                f"{self.pad}, n_tokens={self.n_tokens} (expected 0 and "
+                f"{(H // patch_size) * (W // patch_size)})")
         self.image_size = (H, W)
         self.patch_size = patch_size
         self.channels = channels

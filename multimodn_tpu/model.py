@@ -11,10 +11,12 @@ Known intentional divergences (each gated or documented):
   NaN skip; pass ``nan_skip='batch'`` for exact reference behavior (quirk #2).
 - ``log_interval`` logging emits after the epoch completes (values identical;
   the epoch runs as one device program so there is no mid-epoch host hook).
-- ``shuffle_mode`` on homogeneous chains permutes per batch INSIDE the jitted
-  program (reference cadence); on heterogeneous chains it falls back to a
-  fresh order per train_epoch call (each permutation is a cached trace;
-  E <= 9 for all shipped heterogeneous configs).
+- ``shuffle_mode`` permutes per batch INSIDE the jitted program (reference
+  cadence, ``multimodn.py:527-529``) on every auto-planned chain: homogeneous
+  chains via the stacked-parameter scan, heterogeneous chains via the
+  ``lax.switch`` traced-order chain (``core/scan_chain.py``). Only an
+  EXPLICIT ``chain_mode='unrolled'`` keeps the host-side fresh-order-per-call
+  fallback (one cached trace per permutation; a deliberate user opt-out).
 """
 from __future__ import annotations
 
@@ -760,40 +762,46 @@ class MultiModN:
         rng = jax.random.fold_in(jax.random.PRNGKey(self._seed), self._epoch_counter)
         epoch_ids = jnp.arange(epochs)
 
-        if with_val:
-            vdata, vtargets, vmask = self._place(val_loader)
-            off = self._cycle_base()
-            kw = {} if off is None else {"offset0": off}
-            if per_batch:
-                self.params, self.opt_state, tsums, vsums = fn(
-                    self.params, self.opt_state, data, targets, mask,
-                    vdata, vtargets, vmask, epoch_ids, rng, seqs, val_seqs,
-                    **kw)
+        # try/finally: a dispatch that raises (shape error, OOM) must still
+        # drain pending ordered payloads and drop the strong callback
+        # reference — otherwise a stale _on_epoch_user could fire into a
+        # LATER call's effects_barrier (ADVICE r3).
+        try:
+            if with_val:
+                vdata, vtargets, vmask = self._place(val_loader)
+                off = self._cycle_base()
+                kw = {} if off is None else {"offset0": off}
+                if per_batch:
+                    self.params, self.opt_state, tsums, vsums = fn(
+                        self.params, self.opt_state, data, targets, mask,
+                        vdata, vtargets, vmask, epoch_ids, rng, seqs,
+                        val_seqs, **kw)
+                else:
+                    self.params, self.opt_state, tsums, vsums = fn(
+                        self.params, self.opt_state, data, targets, mask,
+                        vdata, vtargets, vmask, epoch_ids, rng, **kw)
+                self._epoch_counter += epochs
+                self._advance_cycle(
+                    epochs * (train_loader.n_samples + val_loader.n_samples))
             else:
-                self.params, self.opt_state, tsums, vsums = fn(
-                    self.params, self.opt_state, data, targets, mask,
-                    vdata, vtargets, vmask, epoch_ids, rng, **kw)
-            self._epoch_counter += epochs
-            self._advance_cycle(
-                epochs * (train_loader.n_samples + val_loader.n_samples))
-        else:
-            off = self._cycle_base()
-            kw = {} if off is None else {"offset0": off}
-            if per_batch:
-                self.params, self.opt_state, tsums = fn(
-                    self.params, self.opt_state, data, targets, mask,
-                    epoch_ids, rng, seqs, **kw)
-            else:
-                self.params, self.opt_state, tsums = fn(
-                    self.params, self.opt_state, data, targets, mask,
-                    epoch_ids, rng, **kw)
-            self._epoch_counter += epochs
-            self._advance_cycle(epochs * train_loader.n_samples)
-            vsums = None
-
-        if on_epoch is not None:
-            jax.effects_barrier()   # all payloads delivered before we return
-            self._on_epoch_user = None
+                off = self._cycle_base()
+                kw = {} if off is None else {"offset0": off}
+                if per_batch:
+                    self.params, self.opt_state, tsums = fn(
+                        self.params, self.opt_state, data, targets, mask,
+                        epoch_ids, rng, seqs, **kw)
+                else:
+                    self.params, self.opt_state, tsums = fn(
+                        self.params, self.opt_state, data, targets, mask,
+                        epoch_ids, rng, **kw)
+                self._epoch_counter += epochs
+                self._advance_cycle(epochs * train_loader.n_samples)
+                vsums = None
+        finally:
+            if on_epoch is not None:
+                # all payloads delivered before we return (or re-raise)
+                jax.effects_barrier()
+                self._on_epoch_user = None
 
         if history is not None:
             tsums = jax.tree_util.tree_map(np.asarray, tsums)
@@ -930,22 +938,27 @@ class MultiModN:
         extra = (seqs, val_seqs) if per_batch else ()
         off = self._cycle_base()
         kw = {} if off is None else {"offset0": off}
-        if early_stop:
-            (self.params, self.opt_state, tsums, vsums, best_params,
-             best_score, best_epoch, scores, epochs_ran_dev) = fn(
-                self.params, self.opt_state, data, targets, mask, vdata,
-                vtargets, vmask, jnp.arange(epochs),
-                jnp.asarray(patience, jnp.int32), rng, *extra, **kw)
-            epochs_ran = int(epochs_ran_dev)
-        else:
-            (self.params, self.opt_state, tsums, vsums, best_params,
-             best_score, best_epoch, scores) = fn(
-                self.params, self.opt_state, data, targets, mask, vdata,
-                vtargets, vmask, jnp.arange(epochs), rng, *extra, **kw)
-            epochs_ran = epochs
-        if on_epoch is not None:
-            jax.effects_barrier()   # all payloads delivered before we return
-            self._on_epoch_user = None
+        # try/finally mirrors fit()'s: drain payloads + drop the callback
+        # reference even when the dispatch raises (ADVICE r3).
+        try:
+            if early_stop:
+                (self.params, self.opt_state, tsums, vsums, best_params,
+                 best_score, best_epoch, scores, epochs_ran_dev) = fn(
+                    self.params, self.opt_state, data, targets, mask, vdata,
+                    vtargets, vmask, jnp.arange(epochs),
+                    jnp.asarray(patience, jnp.int32), rng, *extra, **kw)
+                epochs_ran = int(epochs_ran_dev)
+            else:
+                (self.params, self.opt_state, tsums, vsums, best_params,
+                 best_score, best_epoch, scores) = fn(
+                    self.params, self.opt_state, data, targets, mask, vdata,
+                    vtargets, vmask, jnp.arange(epochs), rng, *extra, **kw)
+                epochs_ran = epochs
+        finally:
+            if on_epoch is not None:
+                # all payloads delivered before we return (or re-raise)
+                jax.effects_barrier()
+                self._on_epoch_user = None
         self._epoch_counter += epochs_ran
         self._advance_cycle(
             epochs_ran * (train_loader.n_samples + val_loader.n_samples))

@@ -98,6 +98,13 @@ def quantize_rows(x, fmt: str = "fp8"):
 
     Returns (codes like x, scales f32 ``scale_shape(x.shape)``);
     dequantize with ``codes * scales``. Zero rows get scale 0 / codes 0.
+
+    Divergence behavior (NaN/Inf gradients): a non-finite absmax fails the
+    ``absmax > 0`` test, so finite elements code to 0 while the row SCALE
+    becomes NaN/Inf — the whole row dequantizes to NaN on the next step.
+    Diverged runs therefore still fail loudly like fp32 Adam, at row
+    rather than element granularity (ADVICE r3; the row is the coarsest
+    unit this layout can poison).
     """
     x = x.astype(jnp.float32)
     if x.ndim == 0:
