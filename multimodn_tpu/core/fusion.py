@@ -44,6 +44,20 @@ def default_order(n_encoders: int) -> Tuple[Tuple[int, int], ...]:
     return tuple((i, i) for i in range(n_encoders))
 
 
+def global_any(flag, nan_axis: Optional[str]):
+    """Make the batch-granular any-NaN decision GLOBAL across explicit
+    shards. The reference skips an encoder when ANY row of the whole batch
+    is NaN (``multimodn.py:167-169``); under the auto engine the batch is
+    one logical array, so ``jnp.any`` already reduces globally (GSPMD
+    inserts the collective). Inside a ``shard_map`` region the same
+    ``jnp.any`` sees only the LOCAL shard — ``nan_axis`` names the data
+    mesh axis and a ``psum`` of the local flag restores the whole-batch
+    decision, so every shard skips (or runs) the encoder in lockstep."""
+    if nan_axis is None:
+        return flag
+    return jax.lax.psum(flag.astype(jnp.float32), nan_axis) > 0
+
+
 def masked_mean_sq_diff(new_state, old_state, sample_mask):
     """State-change penalty term: mean over (valid samples x features) of the
     squared state delta (reference ``multimodn.py:174``). Accumulated in
@@ -66,8 +80,12 @@ def forward_chain(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     init_offset=0,
+    nan_axis: Optional[str] = None,
 ):
     """Run the encoder chain, collecting per-metric-row states.
+
+    ``nan_axis``: shard_map data-axis name for the batch-granular any-NaN
+    decision (see ``global_any``); None under jit/auto-sharding.
 
     Returns:
         states_by_row: (E+1, B, S) — row 0 is the initial state, row e+1 the
@@ -125,7 +143,8 @@ def forward_chain(
             if nan_skip == "batch":
                 # Reference semantics: ONE NaN anywhere in the (real) batch
                 # skips this encoder for the whole batch (multimodn.py:167-169).
-                any_nan = jnp.any(sample_has_nan & (sample_mask > 0))
+                any_nan = global_any(
+                    jnp.any(sample_has_nan & (sample_mask > 0)), nan_axis)
                 ok = jnp.where(any_nan, 0.0, 1.0)
                 state = jnp.where(any_nan, old_state, new_state)
                 counted = n_real * ok
@@ -177,6 +196,7 @@ def forward_chain_executions(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     init_offset=0,
+    nan_axis: Optional[str] = None,
 ):
     """Execution-indexed variant of ``forward_chain`` for orders with
     repeated encoders: row k+1 is the state after the k-th EXECUTION
@@ -221,7 +241,8 @@ def forward_chain_executions(
             new_state = enc.apply(params["encoders"][enc_idx], state, xz,
                                   train=train, rng=step_rng, **extra)
             if nan_skip == "batch":
-                any_nan = jnp.any(sample_has_nan & (sample_mask > 0))
+                any_nan = global_any(
+                    jnp.any(sample_has_nan & (sample_mask > 0)), nan_axis)
                 ok = jnp.where(any_nan, 0.0, 1.0)
                 state = jnp.where(any_nan, old_state, new_state)
                 counted = n_real * ok

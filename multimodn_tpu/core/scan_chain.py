@@ -25,7 +25,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from multimodn_tpu.core.fusion import masked_mean_sq_diff
+from multimodn_tpu.core.fusion import global_any, masked_mean_sq_diff
 
 
 
@@ -79,6 +79,7 @@ def forward_chain_scan(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     init_offset=0,
+    nan_axis: Optional[str] = None,
 ):
     """Scan-based equivalent of ``fusion.forward_chain`` for homogeneous
     chains. Same contract: returns (states_by_row (E+1, B, S), state_change
@@ -133,7 +134,8 @@ def forward_chain_scan(
             new_state = encoder.apply(p_k, state, xz, train=train,
                                       rng=step_rng, **mask_kw)
             if nan_skip == "batch":
-                any_nan = jnp.any(sample_has_nan & (sample_mask > 0))
+                any_nan = global_any(
+                    jnp.any(sample_has_nan & (sample_mask > 0)), nan_axis)
                 ok = jnp.where(any_nan, 0.0, 1.0)
                 state = jnp.where(any_nan, old_state, new_state)
                 counted = n_real * ok
@@ -194,6 +196,7 @@ def forward_chain_switch(
     train: bool = False,
     rng=None,
     init_offset=0,
+    nan_axis: Optional[str] = None,
 ):
     """Dynamic (traced) encoder order for HETEROGENEOUS chains.
 
@@ -254,7 +257,8 @@ def forward_chain_switch(
             xz = jnp.nan_to_num(x)
             new_state = jax.lax.switch(e_idx, branches, (state, xz, step_rng))
             if nan_skip == "batch":
-                any_nan = jnp.any(sample_has_nan & (sample_mask > 0))
+                any_nan = global_any(
+                    jnp.any(sample_has_nan & (sample_mask > 0)), nan_axis)
                 ok = jnp.where(any_nan, 0.0, 1.0)
                 state = jnp.where(any_nan, old_state, new_state)
                 counted = n_real * ok

@@ -35,7 +35,8 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
                        err_penalty: float, state_change_penalty: float,
                        order: Sequence[Tuple[int, int]], nan_skip: str,
                        chain: str = "unrolled", shuffle: bool = False,
-                       compute_dtype=None, per_batch_seq: bool = False):
+                       compute_dtype=None, per_batch_seq: bool = False,
+                       nan_axis=None):
     """Pure (params, batch...) -> (loss, aux) for one padded batch.
 
     ``state_change_penalty`` arrives already scaled by the constructor's 0.01
@@ -46,6 +47,11 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
     modality order is drawn per batch INSIDE the program (the reference's
     shuffle_mode, ``multimodn.py:527-529``), which the unrolled chain cannot
     express without retracing.
+
+    ``nan_axis``: shard_map data-axis name threaded to the chains so the
+    batch-granular any-NaN decision stays GLOBAL when the batch axis is
+    sharded over explicit devices (fusion.global_any); None outside
+    shard_map regions.
 
     ``per_batch_seq=True``: the returned loss_fn takes a traced ``seq``
     argument — this batch's (L,) encoder order (the reference's per-batch
@@ -106,14 +112,14 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
                         sample_mask,
                         data_order=b_data[perm], enc_order=b_enc[perm],
                         nan_skip=nan_skip, train=train, rng=rng,
-                        init_offset=init_offset)
+                        init_offset=init_offset, nan_axis=nan_axis)
             else:
                 states, state_change, row_ok, n_counted, final_state = \
                     forward_chain_switch(
                         encoders, init_state, params, data, sample_mask,
                         data_order=b_data[perm], enc_order=b_enc[perm],
                         nan_skip=nan_skip, train=train, rng=rng,
-                        init_offset=init_offset)
+                        init_offset=init_offset, nan_axis=nan_axis)
         elif repeats:
             # Repeated-encoder order: decode per EXECUTION, then fold back
             # into the reference's encoder-indexed grid (counts accumulate,
@@ -123,7 +129,7 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
                 forward_chain_executions(
                     encoders, init_state, params, data, sample_mask,
                     order=order, nan_skip=nan_skip, train=train, rng=rng,
-                    init_offset=init_offset)
+                    init_offset=init_offset, nan_axis=nan_axis)
             exec_grid = decode_grid(decoders, params, states_x, targets,
                                     sample_mask, ok_x, criterion)
             comb = combine_executions(order, n_enc, exec_grid, sc_x, ok_x,
@@ -139,7 +145,7 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
                 forward_chain(
                     encoders, init_state, params, data, sample_mask,
                     order=order, nan_skip=nan_skip, train=train, rng=rng,
-                    init_offset=init_offset)
+                    init_offset=init_offset, nan_axis=nan_axis)
         if not repeats or chain in ("scan", "switch"):
             grid = decode_grid(decoders, params, states, targets,
                                sample_mask, row_ok, criterion)

@@ -119,8 +119,10 @@ class MultiModN:
         explicit-collective epoch program (scan-over-batches inside one
         shard_map region with hand-placed psums —
         parallel/shard_map_step.make_shard_map_epoch_fn). Requires a
-        data-axis mesh and nan_skip='sample'; numerically equivalent
-        (tests/test_shard_map.py)."""
+        data-axis mesh; every nan_skip mode is supported ('batch' adds one
+        psum'd any-NaN flag per encoder step so the whole-batch skip
+        decision crosses shards — fusion.global_any); numerically
+        equivalent (tests/test_shard_map.py)."""
         self.state_size = state_size
         self.encoders = list(encoders)
         self.decoders = list(decoders)
@@ -162,12 +164,6 @@ class MultiModN:
                     "dp_engine='shard_map' is data-parallel only (its "
                     "in_specs replicate parameters); use the auto engine "
                     "for DP x TP meshes.")
-            if nan_skip != "sample":
-                raise ValueError(
-                    "dp_engine='shard_map' requires nan_skip='sample' "
-                    "(per-sample masks compose across shards; the "
-                    "batch-granular parity mode needs a global skip "
-                    "decision — use the auto engine for that).")
         self.dp_engine = dp_engine
         self._seed = seed
         self._shuffle_rng = _pyrandom.Random(seed)
@@ -234,7 +230,8 @@ class MultiModN:
             return "switch", True
         return "unrolled", False
 
-    def _loss_fn(self, criterion, order, nan_skip, per_batch: bool = False):
+    def _loss_fn(self, criterion, order, nan_skip, per_batch: bool = False,
+                 nan_axis=None):
         chain, shuffle = self._chain_plan()
         if not per_batch and chain in ("scan", "switch"):
             from multimodn_tpu.core.fusion import has_repeated_encoders
@@ -252,21 +249,30 @@ class MultiModN:
         # compiled program through id reuse (tests/test_fit.py::
         # test_fn_cache_survives_criterion_gc).
         key = ("loss", _cache_key(criterion), order, nan_skip, chain, shuffle,
-               per_batch, str(self.compute_dtype))
+               per_batch, str(self.compute_dtype), nan_axis)
         if key not in self._fn_cache:
             self._fn_cache[key] = make_batch_loss_fn(
                 self.encoders, self.decoders, self.init_state, criterion,
                 self.err_penalty, self.state_change_penalty, order, nan_skip,
                 chain=chain, shuffle=shuffle,
-                compute_dtype=self.compute_dtype, per_batch_seq=per_batch)
+                compute_dtype=self.compute_dtype, per_batch_seq=per_batch,
+                nan_axis=nan_axis)
         return self._fn_cache[key]
+
+    def _sm_nan_axis(self):
+        """Data-axis name for shard_map-engine loss fns: the batch-granular
+        any-NaN decision must psum across shards (fusion.global_any);
+        sample/none modes compose shard-locally and skip the collective."""
+        return "data" if self.nan_skip == "batch" else None
 
     def _train_fn(self, criterion, order, optimizer, per_batch: bool = False):
         key = ("train", _cache_key(criterion), order, self.nan_skip,
                _cache_key(optimizer.tx), per_batch, self.dp_engine)
         if key not in self._fn_cache:
+            nan_axis = self._sm_nan_axis() \
+                if self.dp_engine == "shard_map" else None
             loss_fn = self._loss_fn(criterion, order, self.nan_skip,
-                                    per_batch)
+                                    per_batch, nan_axis=nan_axis)
             if self.dp_engine == "shard_map" and per_batch:
                 raise ValueError(
                     "dp_engine='shard_map' does not support per-batch "
@@ -740,8 +746,10 @@ class MultiModN:
                _cache_key(optimizer.tx), with_val, reshuffle, per_batch,
                self.dp_engine, on_epoch is not None)
         if key not in self._fn_cache:
-            loss_fn = self._loss_fn(criterion, order, self.nan_skip,
-                                    per_batch)
+            loss_fn = self._loss_fn(
+                criterion, order, self.nan_skip, per_batch,
+                nan_axis=self._sm_nan_axis()
+                if self.dp_engine == "shard_map" else None)
             if self.dp_engine == "shard_map":
                 from multimodn_tpu.parallel.shard_map_step import \
                     make_shard_map_fit_fn
@@ -907,8 +915,10 @@ class MultiModN:
                _cache_key(optimizer.tx), reshuffle, per_batch,
                self.dp_engine, early_stop, on_epoch is not None)
         if key not in self._fn_cache:
-            loss_fn = self._loss_fn(criterion, order, self.nan_skip,
-                                    per_batch)
+            loss_fn = self._loss_fn(
+                criterion, order, self.nan_skip, per_batch,
+                nan_axis=self._sm_nan_axis()
+                if self.dp_engine == "shard_map" else None)
             if self.dp_engine == "shard_map":
                 from multimodn_tpu.parallel.shard_map_step import \
                     make_shard_map_select_fit_fn

@@ -8,9 +8,13 @@ collective placement (e.g. to overlap or fuse them manually) or to extend
 toward custom pallas collectives (see ops/ and the ring patterns in the
 Pallas guide).
 
-Note: use with ``nan_skip='sample'`` — per-sample masking composes across
-shards; the batch-granular parity mode would make per-shard skip decisions
-(the auto-sharded epoch programs handle that mode globally).
+NaN-skip granularities: ``nan_skip='sample'`` masking composes across
+shards with no extra traffic; ``nan_skip='batch'`` (the reference's — and
+the MNAR headline's — granularity, ``multimodn.py:167-169``) threads
+``nan_axis='data'`` into the loss so each encoder step psums one any-NaN
+flag and every shard takes the IDENTICAL whole-batch skip decision
+(``fusion.global_any``) — verified equal to single-device and to the auto
+engine in tests/test_shard_map.py.
 
 Semantics: identical to the auto-sharded step — per-device batch shards
 compute local grads and local metric grids; ``psum`` averages grads by
@@ -67,16 +71,16 @@ def _sm_batch_update(loss_fn, tx, data_axis):
         (loss, aux), grads = jax.value_and_grad(scaled_loss, has_aux=True)(
             params)
         grads = jax.lax.psum(grads, data_axis)          # global-mean grads
-        fused = getattr(tx, "fused_apply", None)
-        if fused is not None:
-            # Fused update+apply (optim.FusedGradientTransformation, e.g.
-            # Adam8bit) — params are replicated (P()), so the identical
-            # update runs on every shard, same as the two-step path.
-            params, opt_state = fused(grads, opt_state, params)
-        else:
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = jax.tree_util.tree_map(lambda p, u: p + u, params,
-                                            updates)
+        # gated_update (enabled=False) is the auto engine's exact update
+        # body: fused update+apply when the optimizer has one (params are
+        # replicated P(), so the identical update runs on every shard), and
+        # per-encoder enc_gates threading for torch-parity skip semantics —
+        # under nan_skip='batch' the gates derive from the GLOBAL (psum'd)
+        # row_ok, so every shard gates identically.
+        from multimodn_tpu.core.step import gated_update
+        params, opt_state = gated_update(tx, grads, opt_state, params, mask,
+                                         enabled=False,
+                                         enc_gates=aux["enc_gates"])
         return (params, opt_state, _psum_grids(aux, scale, data_axis),
                 loss, aux, global_valid, scale)
 

@@ -108,10 +108,12 @@ def test_shard_map_engine_validation():
     with pytest.raises(ValueError, match="requires a mesh"):
         MultiModN(3, [MLPEncoder(3, 3, (4,))], [LogisticDecoder(3)],
                   1.0, 0.0, dp_engine="shard_map")
-    with pytest.raises(ValueError, match="nan_skip"):
-        MultiModN(3, [MLPEncoder(3, 3, (4,))], [LogisticDecoder(3)],
+    # nan_skip='batch' is SUPPORTED on the explicit engine since round 4
+    # (psum'd any-NaN flag, fusion.global_any) — construction must succeed.
+    m = MultiModN(3, [MLPEncoder(3, 3, (4,))], [LogisticDecoder(3)],
                   1.0, 0.0, mesh=make_mesh(axis_names=("data",)),
                   dp_engine="shard_map", nan_skip="batch")
+    assert m._sm_nan_axis() == "data"
 
 
 def _dp_pair(engine, seed=5, n_mult=8):
@@ -219,6 +221,7 @@ def test_randomized_shard_map_fused_soak():
         batch = n_dev * int(rng.choice([1, 2, 4]))
         n = batch * int(rng.integers(3, 6)) + int(rng.integers(0, batch))
         nan_frac = float(rng.choice([0.0, 0.3]))
+        nan_mode = str(rng.choice(["sample", "batch"]))
         epochs = int(rng.integers(2, 5))
         seed = int(rng.integers(0, 1000))
 
@@ -239,7 +242,7 @@ def test_randomized_shard_map_fused_soak():
             return MultiModN(state, [MLPEncoder(state, w, (4,))
                                      for w in widths],
                              [LogisticDecoder(state)], 0.7, 0.3, seed=seed,
-                             nan_skip="sample", mesh=mesh, dp_engine=engine)
+                             nan_skip=nan_mode, mesh=mesh, dp_engine=engine)
 
         results = {}
         for engine in ("auto", "shard_map"):
@@ -263,5 +266,6 @@ def test_randomized_shard_map_fused_soak():
             raise AssertionError(
                 f"trial {trial}: E={E} widths={widths} state={state} "
                 f"batch={batch} n={n} (tr={n_tr}, va={n_va}) "
-                f"nan={nan_frac} epochs={epochs} seed={seed}\n{err}"
+                f"nan={nan_frac}/{nan_mode} epochs={epochs} seed={seed}\n"
+                f"{err}"
             ) from err
