@@ -36,7 +36,8 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
                        order: Sequence[Tuple[int, int]], nan_skip: str,
                        chain: str = "unrolled", shuffle: bool = False,
                        compute_dtype=None, per_batch_seq: bool = False,
-                       nan_axis=None):
+                       nan_axis=None, presence_dropout: float = 0.0,
+                       presence_penalty: float = 0.0):
     """Pure (params, batch...) -> (loss, aux) for one padded batch.
 
     ``state_change_penalty`` arrives already scaled by the constructor's 0.01
@@ -57,6 +58,28 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
     argument — this batch's (L,) encoder order (the reference's per-batch
     ``encoding_sequence``, ``multimodn.py:509-523``) — instead of the static
     ``order``; requires a traced-order chain ('scan' or 'switch').
+
+    MNAR-robustness opt-ins for ``nan_skip='sample'`` (RESULTS.md: the
+    per-sample skip exposes a presence-of-modality channel that
+    class-conditional missingness makes exploitable):
+
+    ``presence_dropout`` (p in [0, 1)): during TRAINING, each (sample,
+    modality) is independently re-marked missing with probability p by
+    injecting NaNs into the batch BEFORE the chain runs — label-independent
+    skip noise that dilutes the presence<->class correlation. Works with
+    every chain/order/shuffle combination because the chains' existing NaN
+    machinery does the masking.
+
+    ``presence_penalty`` (lambda >= 0): adds
+    ``lambda * mean_k [miss_frac_k * mean_present ||state_delta_k||^2]``
+    to the training loss — each modality's state updates on PRESENT rows
+    are damped in proportion to that modality's observed missingness in
+    the batch. At high class-conditional missingness (where the presence
+    exploit is catastrophic) this drives the modality's influence toward
+    zero — the batch-granular mode's robustness — while leaving complete
+    modalities untouched. Requires a STATIC order (no in-program shuffle /
+    per-batch sequences / repeated encoders): the penalty reconstructs
+    execution-order state deltas from the row-indexed stack.
     """
     n_enc = len(encoders)
     n_dec = len(decoders)
@@ -74,6 +97,65 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
                                                    forward_chain_switch)
         base_data = jnp.asarray([d for d, _e in order], jnp.int32)
         base_enc = jnp.asarray([e for _d, e in order], jnp.int32)
+    if presence_dropout or presence_penalty:
+        if nan_skip != "sample":
+            raise ValueError(
+                "presence_dropout/presence_penalty are sample-granularity "
+                "mitigations; they require nan_skip='sample' (batch mode is "
+                "already presence-robust, 'none' never skips).")
+    if presence_penalty and (shuffle or per_batch_seq or repeats):
+        raise ValueError(
+            "presence_penalty needs a STATIC modality order (no "
+            "shuffle_mode, per-batch encoding sequences, or repeated "
+            "encoders): the penalty reconstructs execution-order state "
+            "deltas from the row-indexed stack.")
+
+    def _sample_missing(x):
+        nan_here = jnp.isnan(x)
+        return jnp.any(nan_here, axis=tuple(range(1, x.ndim))) \
+            if x.ndim > 1 else nan_here
+
+    def _inject_presence_dropout(data, rng):
+        """Re-mark (sample, modality) pairs missing with prob p by writing
+        NaNs; the chains' skip machinery then treats them as absent."""
+        drng = jax.random.fold_in(rng, 715827883)
+        if isinstance(data, tuple):
+            out = []
+            for m, x in enumerate(data):
+                drop = jax.random.bernoulli(
+                    jax.random.fold_in(drng, m), presence_dropout,
+                    (x.shape[0],))
+                shp = (-1,) + (1,) * (x.ndim - 1)
+                out.append(jnp.where(drop.reshape(shp), jnp.nan, x))
+            return tuple(out)
+        drop = jax.random.bernoulli(drng, presence_dropout,
+                                    data.shape[:2])          # (B, E)
+        shp = drop.shape + (1,) * (data.ndim - 2)
+        return jnp.where(drop.reshape(shp), jnp.nan, data)
+
+    def _presence_penalty_term(states, data, sample_mask):
+        """Missingness-weighted mean squared state delta over PRESENT rows,
+        averaged over execution steps (static ``order``: execution k reads
+        row order[k-1].enc+1 -> order[k].enc+1)."""
+        mask_b = sample_mask > 0
+        n_valid = jnp.maximum(jnp.sum(sample_mask.astype(jnp.float32)), 1.0)
+        prev = states[0]
+        pen = jnp.zeros(())
+        for k, (d_idx, e_idx) in enumerate(order):
+            cur = states[e_idx + 1]
+            x = data[d_idx] if isinstance(data, tuple) else data[:, d_idx]
+            missing = _sample_missing(x) & mask_b
+            present = (~_sample_missing(x)) & mask_b
+            miss_frac = jnp.sum(missing.astype(jnp.float32)) / n_valid
+            delta = jnp.mean(
+                (cur.astype(jnp.float32) - prev.astype(jnp.float32)) ** 2,
+                axis=-1)
+            pres_f = present.astype(jnp.float32)
+            present_delta = jnp.sum(delta * pres_f) / \
+                jnp.maximum(jnp.sum(pres_f), 1.0)
+            pen = pen + miss_frac * present_delta
+            prev = cur
+        return pen / max(len(order), 1)
 
     def loss_fn(params, data, targets, sample_mask, rng, init_offset,
                 train: bool, seq=None):
@@ -89,6 +171,8 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
             params = jax.tree_util.tree_map(cast, params)
             data = tuple(cast(x) for x in data) \
                 if isinstance(data, tuple) else cast(data)
+        if presence_dropout and train:
+            data = _inject_presence_dropout(data, rng)
         if chain in ("scan", "switch"):
             if per_batch_seq:
                 # Reference get_encoder_iterable: data_idx enumerates the
@@ -154,6 +238,9 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
         global_err = jnp.sum(grid["err_loss"]) / (n_dec * (n_enc + 1))
         global_sc = jnp.sum(state_change) / n_enc
         loss = global_err * err_penalty + global_sc * state_change_penalty
+        if presence_penalty and train:
+            loss = loss + presence_penalty * _presence_penalty_term(
+                states, data, sample_mask)
         if nan_skip == "batch":
             # Per-encoder executed flags for torch-parity optimizer gating
             # (optim._torch_adam): a batch-NaN-skipped (or never-executed)

@@ -92,7 +92,9 @@ def _model_signature(model):
     return (model.state_size, model.err_penalty,
             model.state_change_penalty, model.nan_skip, model.chain_mode,
             model._chain_plan(), str(model.compute_dtype),
-            model.scan_unroll, model.shuffle_mode, tuple(parts))
+            model.scan_unroll, model.shuffle_mode,
+            getattr(model, "presence_dropout", 0.0),
+            getattr(model, "presence_penalty", 0.0), tuple(parts))
 
 
 def _cached_select_fit(template, criterion, optimizer, order, per_batch,

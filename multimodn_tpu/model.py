@@ -96,6 +96,8 @@ class MultiModN:
         compute_dtype=None,
         scan_unroll=None,
         dp_engine: str = "auto",
+        presence_dropout: float = 0.0,
+        presence_penalty: float = 0.0,
     ):
         """``chain_mode``: 'unrolled' traces each encoder step inline (any
         encoder mix); 'scan' compiles the chain as one lax.scan step over
@@ -122,7 +124,19 @@ class MultiModN:
         data-axis mesh; every nan_skip mode is supported ('batch' adds one
         psum'd any-NaN flag per encoder step so the whole-batch skip
         decision crosses shards — fusion.global_any); numerically
-        equivalent (tests/test_shard_map.py)."""
+        equivalent (tests/test_shard_map.py).
+
+        ``presence_dropout`` / ``presence_penalty``: opt-in MNAR-robustness
+        mitigations for ``nan_skip='sample'`` (the default's measured
+        failure mode under class-conditional missingness — RESULTS.md).
+        ``presence_dropout=p`` re-marks each (sample, modality) missing
+        with probability p during training (label-independent skip noise);
+        ``presence_penalty=lambda`` damps each modality's state updates on
+        present rows in proportion to its observed batch missingness,
+        converging to the batch-granular mode's never-key-on-the-channel
+        robustness exactly where the exploit is worst. Both measured at
+        full MNAR protocol scale in RESULTS.md; see
+        core/step.make_batch_loss_fn."""
         self.state_size = state_size
         self.encoders = list(encoders)
         self.decoders = list(decoders)
@@ -153,12 +167,31 @@ class MultiModN:
         self.chain_mode = chain_mode
         self.compute_dtype = compute_dtype
         self.scan_unroll = scan_unroll
+        if not (0.0 <= float(presence_dropout) < 1.0):
+            raise ValueError(
+                f"presence_dropout must be in [0, 1), got {presence_dropout}")
+        if float(presence_penalty) < 0.0:
+            raise ValueError(
+                f"presence_penalty must be >= 0, got {presence_penalty}")
+        if (presence_dropout or presence_penalty) and nan_skip != "sample":
+            raise ValueError(
+                "presence_dropout/presence_penalty are sample-granularity "
+                "MNAR mitigations; they require nan_skip='sample' ('batch' "
+                "is already presence-robust, 'none' never skips).")
+        self.presence_dropout = float(presence_dropout)
+        self.presence_penalty = float(presence_penalty)
         if dp_engine not in ("auto", "shard_map"):
             raise ValueError(
                 f"dp_engine must be 'auto' or 'shard_map', got {dp_engine!r}")
         if dp_engine == "shard_map":
             if mesh is None:
                 raise ValueError("dp_engine='shard_map' requires a mesh")
+            if presence_penalty:
+                raise NotImplementedError(
+                    "presence_penalty under dp_engine='shard_map' would "
+                    "compute shard-LOCAL missingness fractions (a different "
+                    "penalty than single-device); use the auto engine — its "
+                    "GSPMD reductions keep the penalty global.")
             if "model" in mesh.axis_names and mesh.shape["model"] > 1:
                 raise ValueError(
                     "dp_engine='shard_map' is data-parallel only (its "
@@ -256,7 +289,9 @@ class MultiModN:
                 self.err_penalty, self.state_change_penalty, order, nan_skip,
                 chain=chain, shuffle=shuffle,
                 compute_dtype=self.compute_dtype, per_batch_seq=per_batch,
-                nan_axis=nan_axis)
+                nan_axis=nan_axis,
+                presence_dropout=getattr(self, "presence_dropout", 0.0),
+                presence_penalty=getattr(self, "presence_penalty", 0.0))
         return self._fn_cache[key]
 
     def _sm_nan_axis(self):

@@ -38,10 +38,12 @@ MISS_PERCS = (0.0, 20.0, 40.0, 60.0, 80.0, 100.0)
 
 
 def main(patients: int = 300, epochs: int = 100, nfold: int = 5,
-         nan_skip: str = "batch"):
+         nan_skip: str = "batch", presence_penalty: float = 0.0):
     """``nan_skip='batch'`` is the reference's exact skip granularity and
     the protocol's headline setting (see MimicConfig.nan_skip); pass
-    'sample' to measure the per-sample-skip variant."""
+    'sample' to measure the per-sample-skip variant, and
+    ``presence_penalty>0`` with it for the round-4 mitigation variant
+    (summary tagged ``sample_pp<lambda>``)."""
     from pipelines.mimic.common import MimicConfig
     from pipelines.mimic.mimic_single_task_mnar_missingness_pipeline import \
         main as mnar_main
@@ -50,7 +52,8 @@ def main(patients: int = 300, epochs: int = 100, nfold: int = 5,
     t_total = time.time()
     for mp in MISS_PERCS:
         cfg = MimicConfig(epochs=epochs, nfold=nfold,
-                          synthetic_patients=patients, nan_skip=nan_skip)
+                          synthetic_patients=patients, nan_skip=nan_skip,
+                          presence_penalty=presence_penalty)
         t0 = time.time()
         res = mnar_main(["-p", str(mp), "-s", "0"], cfg)
         dt = time.time() - t0
@@ -69,8 +72,10 @@ def main(patients: int = 300, epochs: int = 100, nfold: int = 5,
     # Guard the protocol artifacts: runs below protocol scale (smoke tests,
     # debugging) write to a "_smoke" filename so they can never clobber the
     # published full-protocol summaries.
-    tag = nan_skip if (patients >= 300 and epochs >= 100 and nfold >= 5) \
-        else f"{nan_skip}_smoke"
+    variant = nan_skip if not presence_penalty \
+        else f"{nan_skip}_pp{presence_penalty:g}"
+    tag = variant if (patients >= 300 and epochs >= 100 and nfold >= 5) \
+        else f"{variant}_smoke"
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results", f"mnar_robustness_summary_{tag}.csv")
     os.makedirs(os.path.dirname(out), exist_ok=True)
@@ -85,7 +90,7 @@ def main(patients: int = 300, epochs: int = 100, nfold: int = 5,
     print(f"wrote {rows_out}")
 
     # Markdown robustness table: degraded-test (both=True) AUROC per level.
-    print(f"\n### MNAR robustness, nan_skip={nan_skip} (flipped-class "
+    print(f"\n### MNAR robustness, variant={variant} (flipped-class "
           "degraded test, mean AUROC over targets x folds)\n")
     header = "| model | " + " | ".join(f"{int(mp)}%" for mp in MISS_PERCS) \
         + " |"
@@ -107,6 +112,8 @@ def main(patients: int = 300, epochs: int = 100, nfold: int = 5,
 if __name__ == "__main__":
     # First three args are ints (patients, epochs, nfold); the optional
     # fourth is the nan_skip string ('batch'|'sample') — int()-coercing all
-    # argv made the documented 'sample' variant unreachable from the CLI.
+    # argv made the documented 'sample' variant unreachable from the CLI —
+    # and the optional fifth is presence_penalty (float).
     _a = sys.argv[1:]
-    main(*([int(x) for x in _a[:3]] + _a[3:4]))
+    main(*([int(x) for x in _a[:3]] + _a[3:4]
+           + [float(x) for x in _a[4:5]]))

@@ -61,6 +61,11 @@ class MimicConfig:
     # exposes a per-row presence channel that MNAR training can exploit;
     # see RESULTS.md.)
     nan_skip: str = "sample"
+    # Opt-in MNAR mitigation for nan_skip='sample': missingness-weighted
+    # state-change damping on present rows (MultiModN(presence_penalty=);
+    # measured at protocol scale in RESULTS.md — rescues the flipped-class
+    # test the bare 'sample' mode fails).
+    presence_penalty: float = 0.0
     # Synthetic data size when no real embeddings CSV is configured.
     synthetic_patients: int = 120
     # Train all folds of a target simultaneously via jax.vmap (one device
@@ -185,7 +190,7 @@ def build_modn(cfg: MimicConfig, partitions: List[int], targets: List[str],
                 for _ in targets]
     return MultiModN(cfg.state_size, encoders, decoders, cfg.err_penalty,
                      cfg.state_change_penalty, nan_skip=cfg.nan_skip,
-                     seed=seed)
+                     presence_penalty=cfg.presence_penalty, seed=seed)
 
 
 def run_fold_modn(cfg: MimicConfig, dataset_modn, partitions, targets,
