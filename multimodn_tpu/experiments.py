@@ -137,6 +137,43 @@ def _cached_select_fit(template, criterion, optimizer, order, per_batch,
     return fit
 
 
+def _shard_map_experiment_fit(template, criterion, optimizer, order,
+                              binary, gate_empty: bool, patience,
+                              reshuffle: bool, per_batch: bool, mesh,
+                              loaders):
+    """Build the explicit-engine fused select-fit for the experiment
+    programs (VERDICT r3 next-#3: the shard_map story extended to
+    kfold/sweep). The fold/seed axis rides OUTSIDE the shard_map region via
+    ``jax.vmap`` (shard_map has a batching rule: the vmapped axis enters
+    every per-device block as a leading batch dimension), while each fold's
+    batch axis keeps the engine's hand-placed psums/all_gathers over the
+    template's data mesh. Validates the same envelope as
+    ``MultiModN.fit_best`` under the engine, plus the experiment-only
+    constraints."""
+    if patience is not None:
+        raise NotImplementedError(
+            "patience (early stopping) is built on the auto engine's "
+            "while_loop program; dp_engine='shard_map' runs fixed epoch "
+            "counts — drop patience or build auto-engine models.")
+    if mesh is not None:
+        raise ValueError(
+            "fold/seed-axis sharding (mesh=) and dp_engine='shard_map' "
+            "models are mutually exclusive: the template's data mesh "
+            "carries the explicit collectives; the fold axis is vmapped "
+            "over it. Drop mesh= or build auto-engine models.")
+    template._shard_map_reject_per_batch(per_batch)
+    template._shard_map_fused_guards(reshuffle, *loaders)
+    loss_fn = template._loss_fn(criterion, order, template.nan_skip,
+                                per_batch, nan_axis=template._sm_nan_axis())
+    from multimodn_tpu.parallel.shard_map_step import \
+        make_shard_map_select_fit_fn
+    n_mod = None if template._chain_plan()[0] == "scan" \
+        else len(template.encoders)
+    return make_shard_map_select_fit_fn(
+        loss_fn, optimizer.tx, template.mesh, binary, n_mod,
+        scan_unroll=template.scan_unroll, gate_empty_batches=gate_empty)
+
+
 def _pad_batches(stacks, max_nb: int):
     """Pad (data, targets, mask) epoch stacks to ``max_nb`` batches. ``data``
     is a tuple of per-modality arrays (unrolled chain) or one stacked array
@@ -238,12 +275,6 @@ def kfold_fit_best(
             "exclusive: model_factory must build mesh-free models (the fold "
             "axis is the parallel axis here; batch/TP sharding would nest "
             "meshes). Drop mesh= from the factory or from kfold_fit_best.")
-    if template.dp_engine == "shard_map":
-        raise NotImplementedError(
-            "kfold_fit_best builds the auto-engine fused program; a "
-            "dp_engine='shard_map' model would silently train without its "
-            "explicit collectives (the swap MultiModN.fit refuses). Build "
-            "auto-engine models in model_factory or loop fit_best per fold.")
     binary = [d.n_classes == 2 for d in template.decoders]
     if not any(binary):
         raise ValueError(
@@ -326,10 +357,15 @@ def kfold_fit_best(
 
     # Folds get padded to a common batch count -> empty batches exist, so the
     # exact-skip gating must be on here.
-    fit = _cached_select_fit(template, criterion, optimizer, order,
-                             per_batch, binary, gate_empty=True,
-                             reshuffle=reshuffle,
-                             early_stop=patience is not None)
+    if template.dp_engine == "shard_map":
+        fit = _shard_map_experiment_fit(
+            template, criterion, optimizer, order, binary, True, patience,
+            reshuffle, per_batch, mesh, all_loaders)
+    else:
+        fit = _cached_select_fit(template, criterion, optimizer, order,
+                                 per_batch, binary, gate_empty=True,
+                                 reshuffle=reshuffle,
+                                 early_stop=patience is not None)
 
     # In scan-chain mode the loss fn expects ONE stacked modality array
     # (see MultiModN._place). Mesh-free templates (the common case and the
@@ -503,11 +539,6 @@ def sweep_fit_best(
             "seed-axis sharding and a model-owned mesh are mutually "
             "exclusive (same rule as kfold_fit_best): model_factory must "
             "build mesh-free models.")
-    if template.dp_engine == "shard_map":
-        raise NotImplementedError(
-            "sweep_fit_best builds the auto-engine fused program; a "
-            "dp_engine='shard_map' model would silently train without its "
-            "explicit collectives (same rule as kfold_fit_best).")
     binary = [d.n_classes == 2 for d in template.decoders]
     if not any(binary):
         raise ValueError(
@@ -530,10 +561,15 @@ def sweep_fit_best(
     template._validate_pairings(order, train_loader,
                                 template._batch_seqs(train_loader))
 
-    fit = _cached_select_fit(template, criterion, optimizer, order,
-                             per_batch, binary, gate_empty=False,
-                             reshuffle=reshuffle,
-                             early_stop=patience is not None)
+    if template.dp_engine == "shard_map":
+        fit = _shard_map_experiment_fit(
+            template, criterion, optimizer, order, binary, False, patience,
+            reshuffle, per_batch, mesh, (train_loader, val_loader))
+    else:
+        fit = _cached_select_fit(template, criterion, optimizer, order,
+                                 per_batch, binary, gate_empty=False,
+                                 reshuffle=reshuffle,
+                                 early_stop=patience is not None)
 
     def _host_place(loader):
         d, t, m = loader.host_stacks()

@@ -54,10 +54,16 @@ def _psum_grids(aux, scale, data_axis):
     return sums
 
 
-def _sm_batch_update(loss_fn, tx, data_axis):
+def _sm_batch_update(loss_fn, tx, data_axis, gate_empty: bool = False):
     """The one explicit-DP train-batch body every shard_map engine program
     shares (single step, epoch scan, fused fit/select-fit): global-weighted
     scaled loss, grad psum, optimizer apply, psum'd metric grids.
+
+    ``gate_empty``: skip the optimizer update exactly when the GLOBAL batch
+    is fully padded (psum'd valid count == 0) — the shard_map twin of
+    ``core.step.gated_update(enabled=True)``, needed when fold-stacked
+    experiment programs pad every fold to a common batch count (Adam
+    moments must stay bit-identical to never having seen the batch).
 
     Returns (params, opt_state, sums, loss, aux, global_valid, scale)."""
 
@@ -71,16 +77,19 @@ def _sm_batch_update(loss_fn, tx, data_axis):
         (loss, aux), grads = jax.value_and_grad(scaled_loss, has_aux=True)(
             params)
         grads = jax.lax.psum(grads, data_axis)          # global-mean grads
-        # gated_update (enabled=False) is the auto engine's exact update
-        # body: fused update+apply when the optimizer has one (params are
-        # replicated P(), so the identical update runs on every shard), and
-        # per-encoder enc_gates threading for torch-parity skip semantics —
-        # under nan_skip='batch' the gates derive from the GLOBAL (psum'd)
-        # row_ok, so every shard gates identically.
+        # gated_update is the auto engine's exact update body: fused
+        # update+apply when the optimizer has one (params are replicated
+        # P(), so the identical update runs on every shard), per-encoder
+        # enc_gates threading for torch-parity skip semantics (under
+        # nan_skip='batch' the gates derive from the GLOBAL psum'd row_ok,
+        # so every shard gates identically), and — for the experiment
+        # programs — the empty-batch lax.cond keyed on the GLOBAL valid
+        # count, identical on every shard.
         from multimodn_tpu.core.step import gated_update
-        params, opt_state = gated_update(tx, grads, opt_state, params, mask,
-                                         enabled=False,
-                                         enc_gates=aux["enc_gates"])
+        params, opt_state = gated_update(
+            tx, grads, opt_state, params,
+            global_valid if gate_empty else mask,
+            enabled=gate_empty, enc_gates=aux["enc_gates"])
         return (params, opt_state, _psum_grids(aux, scale, data_axis),
                 loss, aux, global_valid, scale)
 
@@ -187,10 +196,11 @@ def make_shard_map_epoch_fn(loss_fn, tx, mesh: Mesh, n_modalities: int,
 # psum per batch step, and (for select-fit) one val all_gather per epoch.
 # ---------------------------------------------------------------------------
 
-def _sm_train_scan(loss_fn, tx, data_axis, scan_unroll):
+def _sm_train_scan(loss_fn, tx, data_axis, scan_unroll,
+                   gate_empty: bool = False):
     """Per-device one-epoch training scan with explicit collectives; the
     shard_map twin of core.step._train_scan_body's epoch loop."""
-    batch_update = _sm_batch_update(loss_fn, tx, data_axis)
+    batch_update = _sm_batch_update(loss_fn, tx, data_axis, gate_empty)
 
     def run(params, opt_state, data, targets, sample_mask, erng):
         n_batches = targets.shape[0]
@@ -309,7 +319,8 @@ def make_shard_map_fit_fn(loss_fn, tx, mesh: Mesh, with_val: bool,
 
 def make_shard_map_select_fit_fn(loss_fn, tx, mesh: Mesh, binary_decoders,
                                  n_modalities, data_axis: str = "data",
-                                 scan_unroll=None):
+                                 scan_unroll=None,
+                                 gate_empty_batches: bool = False):
     """Explicit-collective twin of ``core.step.make_select_fit_fn`` (the
     fused MIMIC protocol: train + val + on-device AUROC+BAC best-checkpoint
     selection). The per-epoch selection score needs GLOBAL validation
@@ -320,7 +331,8 @@ def make_shard_map_select_fit_fn(loss_fn, tx, mesh: Mesh, binary_decoders,
     (without seqs/offset0)."""
     from multimodn_tpu.core.step import make_selection_score
 
-    train_epoch = _sm_train_scan(loss_fn, tx, data_axis, scan_unroll)
+    train_epoch = _sm_train_scan(loss_fn, tx, data_axis, scan_unroll,
+                                 gate_empty_batches)
     eval_epoch = _sm_eval_scan(loss_fn, data_axis, scan_unroll,
                                with_final_outputs=True)
 

@@ -523,10 +523,13 @@ def test_sweep_program_cache_reused():
         np.testing.assert_array_equal(a["scores"], b["scores"])
 
 
-def test_experiment_axes_reject_shard_map_engine():
-    """kfold/sweep build the auto-engine program; a dp_engine='shard_map'
-    factory must be refused, not silently run through the auto engine
-    (the same swap MultiModN.fit refuses)."""
+def test_experiment_axes_accept_shard_map_engine():
+    """Round 4 (VERDICT r3 next-#3): kfold/sweep run dp_engine='shard_map'
+    factories through the explicit-collective fused program (fold/seed axis
+    vmapped over the shard_map region) instead of rejecting them. The
+    equality-vs-auto tests live in tests/test_shard_map.py; here: the
+    2-device path runs, and the engine's envelope guards still fire
+    (indivisible batch sizes rejected up front)."""
     import jax
     import pytest
 
@@ -541,10 +544,20 @@ def test_experiment_axes_reject_shard_map_engine():
                          mesh=mesh, dp_engine="shard_map",
                          nan_skip="sample")
 
-    with pytest.raises(NotImplementedError, match="shard_map"):
-        kfold_fit_best(sm_factory, _folds(), Adam(0.01), "cross_entropy",
-                       epochs=1)
+    # _folds() uses batch 16 (divisible by the 2-device axis) -> runs.
+    res = kfold_fit_best(sm_factory, _folds(), Adam(0.01), "cross_entropy",
+                         epochs=2)
+    assert len(res) == 2
+    assert all(np.isfinite(r["best_score"]) for r in res)
     tr, va = _one_pair()
-    with pytest.raises(NotImplementedError, match="shard_map"):
-        sweep_fit_best(sm_factory, tr, va, Adam(0.01), "cross_entropy",
-                       epochs=1, seeds=[0])
+    res = sweep_fit_best(sm_factory, tr, va, Adam(0.01), "cross_entropy",
+                         epochs=2, seeds=[0, 1])
+    assert all(np.isfinite(r["best_score"]) for r in res)
+    # Envelope guard: indivisible batch size -> the engine's loud error.
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(30, 6)).astype(np.float32)
+    y = rng.integers(0, 2, size=(30, 1))
+    odd = ArrayLoader(PartitionDataset(X, y, [3, 3]), 15)
+    with pytest.raises(ValueError, match="divide the data mesh axis"):
+        kfold_fit_best(sm_factory, [(odd, odd)], Adam(0.01),
+                       "cross_entropy", epochs=1)
