@@ -158,7 +158,8 @@ def _write_resume_payload(state_path, model, epoch, history, **extra):
 
 def fit_resumable(model, train_loader, optimizer, criterion=None, *,
                   epochs: int, checkpoint_dir: str, chunk_epochs: int = 10,
-                  history=None, val_loader=None, val_tag: str = "val"):
+                  history=None, val_loader=None, val_tag: str = "val",
+                  on_chunk=None):
     """Preemption-safe training: fused ``fit`` in chunks with a full-state
     checkpoint (params + optimizer state + epoch counter + history) written
     atomically after every chunk, and automatic resume from the newest
@@ -171,6 +172,12 @@ def fit_resumable(model, train_loader, optimizer, criterion=None, *,
     identical to issuing the same ``fit`` calls manually; a resumed run
     continues bit-for-bit from the interrupted chunk boundary
     (tests/test_resume.py).
+
+    ``on_chunk(epochs_done, epochs_total)``: optional host callback fired
+    after every chunk's checkpoint lands — the engine-agnostic progress
+    pattern for fused mesh runs (unlike ``on_epoch`` it needs no in-program
+    effects, so it works under every engine including shard_map; cadence
+    is ``chunk_epochs``). Tested in tests/test_callbacks.py.
 
     Returns (history, epochs_run_this_invocation).
     """
@@ -186,13 +193,16 @@ def fit_resumable(model, train_loader, optimizer, criterion=None, *,
         start += n
         ran += n
         _write_resume_payload(state_path, model, start, history)
+        if on_chunk is not None:
+            on_chunk(start, epochs)
     return history, ran
 
 
 def fit_best_resumable(model, train_loader, optimizer, criterion=None, *,
                        epochs: int, checkpoint_dir: str, val_loader,
                        chunk_epochs: int = 10, history=None,
-                       val_tag: str = "val", restore_best: bool = True):
+                       val_tag: str = "val", restore_best: bool = True,
+                       on_chunk=None):
     """Preemption-safe fused ``fit_best``: the north-star MIMIC protocol
     (train + val + on-device AUROC/BAC best-checkpoint selection,
     reference ``mimic_single_task_pipeline.py:141-158``) in resumable
@@ -239,6 +249,9 @@ def fit_best_resumable(model, train_loader, optimizer, criterion=None, *,
         ran += n
         _write_resume_payload(state_path, model, start, history,
                               best=best, scores=all_scores)
+        if on_chunk is not None:
+            # Same contract as fit_resumable's hook (see its docstring).
+            on_chunk(start, epochs)
     if restore_best and best["params"] is not None:
         model.load_state_dict(best["params"])
     return {

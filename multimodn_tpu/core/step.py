@@ -528,22 +528,28 @@ def epoch_permute(data, targets, sample_mask, erng):
             regroup(sample_mask))
 
 
-def _emit_epoch_callback(on_epoch, **scalars):
+def _emit_epoch_callback(on_epoch, ordered: bool = True, **scalars):
     """Opt-in per-epoch progress hook: stream tiny scalar payloads to the
-    host from INSIDE the fused program via jax.debug.callback (ordered, so
-    epochs arrive in sequence). The reference can print per batch because
-    its loop lives on the host (multimodn.py:214-220); fused multi-epoch
-    dispatches are otherwise opaque until they return. Each emission costs
-    one host round-trip per epoch (~30 ms on the tunnel link) — that is
-    why it is opt-in."""
+    host from INSIDE the fused program via jax.debug.callback. The
+    reference can print per batch because its loop lives on the host
+    (multimodn.py:214-220); fused multi-epoch dispatches are otherwise
+    opaque until they return. Each emission costs one host round-trip per
+    epoch (~30 ms on the tunnel link) — that is why it is opt-in.
+
+    ``ordered=True`` (single-device): payloads arrive in epoch order.
+    ``ordered=False`` (meshed programs — XLA rejects ordered effects in
+    multi-device executables): one callback per epoch with the GLOBAL
+    (fully-reduced) scalars, but arrival ORDER is not guaranteed; payloads
+    carry their epoch id, and delivery before the fit call returns is
+    still guaranteed (jax.effects_barrier)."""
     if on_epoch is not None:
-        jax.debug.callback(on_epoch, dict(scalars), ordered=True)
+        jax.debug.callback(on_epoch, dict(scalars), ordered=ordered)
 
 
 def make_fit_fn(loss_fn, tx, with_val: bool,
                 gate_empty_batches: bool = False,
                 scan_unroll=None, reshuffle: bool = False,
-                on_epoch=None):
+                on_epoch=None, on_epoch_ordered: bool = True):
     """Build the jitted MULTI-epoch training program: N epochs (optionally
     each followed by a validation sweep) in ONE device dispatch.
 
@@ -602,7 +608,7 @@ def make_fit_fn(loss_fn, tx, with_val: bool,
                     params, val_data, val_targets, val_mask, erng, val_seqs,
                     offset)
                 _emit_epoch_callback(
-                    on_epoch, epoch=eid,
+                    on_epoch, on_epoch_ordered, epoch=eid,
                     train_loss=jnp.mean(tsums["err_loss"]) / targets.shape[0],
                     val_loss=jnp.mean(vsums["err_loss"])
                     / val_targets.shape[0])
@@ -622,7 +628,7 @@ def make_fit_fn(loss_fn, tx, with_val: bool,
                 params, opt_state, offset, tsums = run_train_epoch(
                     params, opt_state, d, t, m, erng, seqs, offset)
                 _emit_epoch_callback(
-                    on_epoch, epoch=eid,
+                    on_epoch, on_epoch_ordered, epoch=eid,
                     train_loss=jnp.mean(tsums["err_loss"]) / targets.shape[0])
                 return (params, opt_state, offset), tsums
 
@@ -730,7 +736,7 @@ def _update_best(best, params, score, epoch_id):
 def make_select_fit_fn(loss_fn, tx, binary_decoders,
                        gate_empty_batches: bool = False,
                        scan_unroll=None, reshuffle: bool = False,
-                       on_epoch=None):
+                       on_epoch=None, on_epoch_ordered: bool = True):
     """Fused multi-epoch training WITH on-device best-checkpoint selection.
 
     Reproduces the reference MIMIC experiment loop's per-epoch rule
@@ -775,7 +781,7 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
             score = selection_score(outputs, val_targets, val_mask)
             best, _improved = _update_best(best, params, score, eid)
             _emit_epoch_callback(
-                on_epoch, epoch=eid,
+                on_epoch, on_epoch_ordered, epoch=eid,
                 train_loss=jnp.mean(tsums["err_loss"]) / targets.shape[0],
                 val_loss=jnp.mean(vsums["err_loss"]) / val_targets.shape[0],
                 score=score)
@@ -794,7 +800,8 @@ def make_select_fit_early_stop_fn(loss_fn, tx, binary_decoders,
                                   gate_empty_batches: bool = False,
                                   scan_unroll=None,
                                   reshuffle: bool = False,
-                                  on_epoch=None):
+                                  on_epoch=None,
+                                  on_epoch_ordered: bool = True):
     """``make_select_fit_fn`` with ON-DEVICE early stopping: the epoch loop
     is a ``lax.while_loop`` that exits once the validation AUROC+BAC score
     has not improved for ``patience`` consecutive epochs (data-dependent
@@ -837,7 +844,7 @@ def make_select_fit_early_stop_fn(loss_fn, tx, binary_decoders,
                 offset)
             score = selection_score(outputs, val_targets, val_mask)
             _emit_epoch_callback(
-                on_epoch, epoch=eid,
+                on_epoch, on_epoch_ordered, epoch=eid,
                 train_loss=jnp.mean(tsums["err_loss"]) / targets.shape[0],
                 val_loss=jnp.mean(vsums["err_loss"]) / val_targets.shape[0],
                 score=score)

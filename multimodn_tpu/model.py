@@ -698,17 +698,27 @@ class MultiModN:
         return None
 
     def _check_on_epoch(self, on_epoch):
-        """on_epoch uses ORDERED jax.debug.callback, which XLA supports only
-        for single-device programs; reject BEFORE any state swap (a rejected
-        call must not discard live optimizer moments)."""
+        """Progress-callback envelope. Single-device: ordered callbacks
+        (payloads arrive in epoch order). Auto-engine meshes: UNORDERED
+        callbacks (XLA rejects ordered effects in multi-device
+        executables) — one callback per epoch with the global scalars,
+        epoch id in the payload, arrival order not guaranteed, delivery
+        before the call returns still guaranteed. shard_map engine:
+        rejected BEFORE any state swap — the emission site lives inside
+        the per-device region and would fire once PER DEVICE per epoch;
+        use the auto engine for callback-monitored mesh runs, or chunked
+        ``checkpoint.fit_resumable(chunk_epochs=...)`` (tested in
+        tests/test_callbacks.py) for explicit-engine progress."""
         if on_epoch is None:
             return
-        if self.dp_engine == "shard_map" or self.mesh is not None:
+        if self.dp_engine == "shard_map":
             raise NotImplementedError(
-                "on_epoch callbacks use ordered jax.debug.callback, which "
-                "XLA supports only for single-device programs — drop "
-                "on_epoch on meshed/shard_map models (monitor long runs "
-                "via checkpointed chunks instead, e.g. fit_resumable).")
+                "on_epoch is not supported under dp_engine='shard_map' "
+                "(the emission site is inside the per-device shard_map "
+                "region and would fire once per device per epoch). Use "
+                "the auto engine — meshed auto models stream unordered "
+                "per-epoch payloads — or monitor explicit-engine runs via "
+                "chunked checkpoint.fit_resumable(chunk_epochs=...).")
 
     def _dispatch_on_epoch(self, payload):
         """The ONE host-side sink baked into callback-enabled programs.
@@ -736,11 +746,14 @@ class MultiModN:
         dispatch — the fused multi-epoch program (see make_fit_fn).
 
         ``on_epoch``: optional progress callback streamed from INSIDE the
-        fused program (jax.debug.callback, ordered): called once per epoch
-        with {"epoch", "train_loss"[, "val_loss"]}, all payloads delivered
+        fused program (jax.debug.callback): called once per epoch with
+        {"epoch", "train_loss"[, "val_loss"]}, all payloads delivered
         before this method returns. Costs one host round-trip per epoch —
         leave None for maximum throughput. Different callbacks reuse the
-        same traced program (cached on presence); single-device only.
+        same traced program (cached on presence). Single-device: payloads
+        arrive in epoch order. Meshed auto-engine models: unordered
+        delivery (the epoch id is in the payload); shard_map engine:
+        rejected — see ``_check_on_epoch``.
 
         Equivalent to the reference pipelines' host loop of
         ``train_epoch(...); test(..., tag='val')`` per epoch
@@ -798,7 +811,8 @@ class MultiModN:
                     loss_fn, optimizer.tx, with_val,
                     scan_unroll=self.scan_unroll, reshuffle=reshuffle,
                     on_epoch=None if on_epoch is None
-                    else self._dispatch_on_epoch)
+                    else self._dispatch_on_epoch,
+                    on_epoch_ordered=self.mesh is None)
         fn = self._fn_cache[key]
         self._on_epoch_user = on_epoch
 
@@ -969,13 +983,15 @@ class MultiModN:
                     loss_fn, optimizer.tx, binary,
                     scan_unroll=self.scan_unroll, reshuffle=reshuffle,
                     on_epoch=None if on_epoch is None
-                    else self._dispatch_on_epoch)
+                    else self._dispatch_on_epoch,
+                    on_epoch_ordered=self.mesh is None)
             else:
                 self._fn_cache[key] = make_select_fit_fn(
                     loss_fn, optimizer.tx, binary,
                     scan_unroll=self.scan_unroll, reshuffle=reshuffle,
                     on_epoch=None if on_epoch is None
-                    else self._dispatch_on_epoch)
+                    else self._dispatch_on_epoch,
+                    on_epoch_ordered=self.mesh is None)
         fn = self._fn_cache[key]
         self._on_epoch_user = on_epoch
 

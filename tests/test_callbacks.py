@@ -111,25 +111,50 @@ def test_fresh_callbacks_reuse_one_program():
     assert [p["epoch"] for p in seen] == [0, 1]
 
 
-def test_mesh_rejects_on_epoch_before_state_swap():
-    """Ordered debug callbacks are single-device-only in XLA: a meshed
-    model must reject on_epoch with a clear error BEFORE swapping the
-    optimizer state (review finding: it used to crash at dispatch with a
-    raw 'ordered effects' error after discarding live Adam moments)."""
+def test_mesh_on_epoch_unordered_delivery():
+    """Round 4 (VERDICT r3 next-#4): meshed auto-engine models stream
+    per-epoch payloads via UNORDERED jax.debug.callback (XLA rejects
+    ordered effects in multi-device executables). One payload per epoch
+    with the GLOBAL scalars; order not guaranteed (the epoch id is in the
+    payload); values equal the single-device ordered run's."""
     from multimodn_tpu.parallel import make_mesh
     tl, vl = _setup(7)
     mesh = make_mesh(axis_names=("data",))
+    m_mesh = MultiModN(2, [MLPEncoder(2, 3, (4,)), MLPEncoder(2, 3, (4,))],
+                       [LogisticDecoder(2)], 0.7, 0.3, mesh=mesh)
+    m_single = _model()
+    mesh_seen, single_seen = [], []
+    m_mesh.fit(tl, Adam(0.01), "cross_entropy", epochs=5, val_loader=vl,
+               on_epoch=mesh_seen.append)
+    m_single.fit(_setup(7)[0], Adam(0.01), "cross_entropy", epochs=5,
+                 val_loader=_setup(7)[1], on_epoch=single_seen.append)
+    # Delivery guaranteed before fit returns; exactly one payload/epoch.
+    assert sorted(p["epoch"] for p in mesh_seen) == list(range(5))
+    by_epoch = {p["epoch"]: p for p in mesh_seen}
+    for p in single_seen:
+        np.testing.assert_allclose(by_epoch[p["epoch"]]["train_loss"],
+                                   p["train_loss"], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(by_epoch[p["epoch"]]["val_loss"],
+                                   p["val_loss"], rtol=1e-5, atol=1e-6)
+
+
+def test_mesh_on_epoch_fit_best_with_patience():
+    """The while_loop early-stop program also streams unordered payloads on
+    the mesh, only for epochs that actually ran."""
+    from multimodn_tpu import SGD
+    from multimodn_tpu.parallel import make_mesh
+    tl, vl = _setup(3)
+    mesh = make_mesh(axis_names=("data",))
     m = MultiModN(2, [MLPEncoder(2, 3, (4,)), MLPEncoder(2, 3, (4,))],
-                  [LogisticDecoder(2)], 0.7, 0.3, mesh=mesh)
-    opt = Adam(0.01)
-    m.fit(tl, opt, "cross_entropy", epochs=1)     # live opt state
-    st_before = m.opt_state
-    with pytest.raises(NotImplementedError, match="on_epoch"):
-        m.fit(tl, opt, "cross_entropy", epochs=2, on_epoch=lambda p: None)
-    assert m.opt_state is st_before, "rejected call discarded opt state"
-    with pytest.raises(NotImplementedError, match="on_epoch"):
-        m.fit_best(tl, opt, "cross_entropy", epochs=2, val_loader=vl,
-                   on_epoch=lambda p: None)
+                  [LogisticDecoder(2)], 0.7, 0.3, seed=3, mesh=mesh)
+    seen = []
+    r = m.fit_best(tl, SGD(0.0), "cross_entropy", epochs=20, val_loader=vl,
+                   patience=2, on_epoch=seen.append)
+    assert r["epochs_ran"] == 3
+    assert sorted(p["epoch"] for p in seen) == [0, 1, 2]
+    np.testing.assert_allclose(
+        sorted(p["score"] for p in seen), sorted(r["scores"]),
+        rtol=1e-5, atol=1e-6)
 
 
 def test_shard_map_rejects_on_epoch():
@@ -139,9 +164,33 @@ def test_shard_map_rejects_on_epoch():
     m = MultiModN(2, [MLPEncoder(2, 3, (4,)), MLPEncoder(2, 3, (4,))],
                   [LogisticDecoder(2)], 0.7, 0.3, mesh=mesh,
                   dp_engine="shard_map")
-    with pytest.raises(NotImplementedError, match="on_epoch"):
+    with pytest.raises(NotImplementedError, match="auto engine"):
         m.fit(tl, Adam(0.01), "cross_entropy", epochs=2,
               on_epoch=lambda p: None)
-    with pytest.raises(NotImplementedError, match="on_epoch"):
+    with pytest.raises(NotImplementedError, match="fit_resumable"):
         m.fit_best(tl, Adam(0.01), "cross_entropy", epochs=2,
                    val_loader=vl, on_epoch=lambda p: None)
+
+
+def test_chunked_fit_resumable_progress_pattern():
+    """The documented explicit-engine progress pattern: chunked
+    fit_resumable surfaces per-chunk progress on the host while matching
+    one-shot training exactly (the _check_on_epoch error points here)."""
+    import tempfile
+
+    from multimodn_tpu import MultiModNHistory
+    from multimodn_tpu.checkpoint import fit_resumable
+
+    tl, _ = _setup(8)
+    m1, m2 = _model(8), _model(8)
+    h1, h2 = MultiModNHistory(["t"]), MultiModNHistory(["t"])
+    m1.fit(tl, Adam(0.01), "cross_entropy", epochs=6, history=h1)
+    progress = []
+    with tempfile.TemporaryDirectory() as d:
+        fit_resumable(m2, tl, Adam(0.01), "cross_entropy", epochs=6,
+                      checkpoint_dir=d, chunk_epochs=2, history=h2,
+                      on_chunk=lambda done, total: progress.append(done))
+    assert progress == [2, 4, 6]
+    for e in range(6):
+        np.testing.assert_allclose(h1.loss["train"][e], h2.loss["train"][e],
+                                   rtol=1e-6, atol=1e-7)
