@@ -8,7 +8,12 @@ from multimodn_tpu.data.dataset import (
 from multimodn_tpu.data.loader import ArrayLoader, DataLoader
 from multimodn_tpu.data.titanic import TitanicDataset, titanic_preprocessing
 from multimodn_tpu.data.mimic import MIMICDataset, load_mimic_data
-from multimodn_tpu.data.streaming import StreamingLoader, train_epoch_streaming
+from multimodn_tpu.data.streaming import (
+    StreamingLoader,
+    fit_best_streaming,
+    test_epoch_streaming,
+    train_epoch_streaming,
+)
 
 __all__ = [
     "MultiModDataset",
@@ -23,5 +28,7 @@ __all__ = [
     "MIMICDataset",
     "load_mimic_data",
     "StreamingLoader",
+    "fit_best_streaming",
+    "test_epoch_streaming",
     "train_epoch_streaming",
 ]
