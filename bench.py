@@ -81,6 +81,16 @@ def measure_jax() -> dict:
         # turns the timing into a dispatch-latency measurement.
         return float(np.asarray(model.params["init_state"]["value"])[0, 0])
 
+    # Separate the device-claim cost from program compilation: the first
+    # dispatch of ANY program pays the tunnel claim (seconds to minutes of
+    # service-side latency, CLAUDE.md) — a tiny matmul absorbs it so
+    # compile_seconds below reflects trace + compile-cache load + first
+    # fused dispatch only.
+    import jax.numpy as jnp
+    t0 = time.perf_counter()
+    float(np.asarray(jnp.ones((128, 128)) @ jnp.ones((128, 128)))[0, 0])
+    claim_s = time.perf_counter() - t0
+
     # Warmup: compile the fused program + one timed-region dry pass.
     t0 = time.perf_counter()
     model.fit(loader, opt, "cross_entropy", epochs=EPOCHS_PER_DISPATCH)
@@ -99,6 +109,7 @@ def measure_jax() -> dict:
     per_epoch = float(np.median(times)) / EPOCHS_PER_DISPATCH
     return {
         "platform": str(jax.devices()[0]),
+        "claim_seconds": claim_s,
         "compile_seconds": compile_s,
         "epoch_seconds": per_epoch,
         "epoch_seconds_min": float(np.min(times)) / EPOCHS_PER_DISPATCH,
