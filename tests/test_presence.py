@@ -157,3 +157,58 @@ def test_presence_penalty_through_kfold_fit_best():
         assert r["best_epoch"] == res[f]["best_epoch"]
         np.testing.assert_allclose(r["scores"], res[f]["scores"],
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_presence_penalty_on_mesh_matches_single_device():
+    """The penalty's reductions (missingness fractions, present-row
+    deltas) are GSPMD-global on the auto engine: DP and DP x TP training
+    with presence_penalty equals single-device."""
+    import jax
+
+    from multimodn_tpu import MultiModNHistory
+    from multimodn_tpu.parallel import make_mesh
+
+    train_ds, _ = _mnar_problem(n=128, seed=11)
+
+    def run(mesh):
+        m = _model(presence_penalty=10.0, mesh=mesh)
+        h = MultiModNHistory(["t"])
+        m.fit(ArrayLoader(train_ds, 16), Adam(0.01), "cross_entropy",
+              epochs=3, history=h)
+        return np.asarray(h.loss["train"]), m.state_dict()
+
+    g0, p0 = run(None)
+    for shape, names in (((8,), ("data",)), ((4, 2), ("data", "model"))):
+        g, p = run(make_mesh(shape, names))
+        np.testing.assert_allclose(g0, g, rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(p0),
+                        jax.tree_util.tree_leaves(p)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_streamed_fit_best_with_nan_and_presence_penalty():
+    """Streamed fused selection composes with the NaN machinery: NaN-laden
+    data + presence_penalty streams bit-equal to the fused fit_best."""
+    import jax
+
+    from multimodn_tpu.data import StreamingLoader, fit_best_streaming
+    from multimodn_tpu.data.dataset import Subset
+
+    train_ds, _ = _mnar_problem(n=160, seed=12)
+    tr, va = Subset(train_ds, list(range(120))), \
+        Subset(train_ds, list(range(120, 160)))
+    m1 = _model(presence_penalty=10.0)
+    m2 = _model(presence_penalty=10.0)
+    r1 = m1.fit_best(ArrayLoader(tr, 16), Adam(0.01), "cross_entropy",
+                     epochs=3, val_loader=ArrayLoader(va, 16))
+    r2 = fit_best_streaming(m2, StreamingLoader(tr, 16), Adam(0.01),
+                            "cross_entropy", epochs=3,
+                            val_loader=StreamingLoader(va, 16))
+    assert r1["best_epoch"] == r2["best_epoch"]
+    np.testing.assert_allclose(r1["scores"], r2["scores"], rtol=1e-6,
+                               atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(m1.state_dict()),
+                    jax.tree_util.tree_leaves(m2.state_dict())):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
