@@ -117,7 +117,12 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
 
     def _inject_presence_dropout(data, rng):
         """Re-mark (sample, modality) pairs missing with prob p by writing
-        NaNs; the chains' skip machinery then treats them as absent."""
+        NaNs; the chains' skip machinery then treats them as absent. The
+        per-modality draw is fold_in(drng, m) in BOTH layouts (modality
+        tuple and scan-stacked (B, E, F)), so the injected pattern for a
+        given model/seed is identical whichever entry point shaped the
+        batch (review finding: a layout-dependent stream made runs
+        irreproducible between fused fit and the streaming path)."""
         drng = jax.random.fold_in(rng, 715827883)
         if isinstance(data, tuple):
             out = []
@@ -128,8 +133,10 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
                 shp = (-1,) + (1,) * (x.ndim - 1)
                 out.append(jnp.where(drop.reshape(shp), jnp.nan, x))
             return tuple(out)
-        drop = jax.random.bernoulli(drng, presence_dropout,
-                                    data.shape[:2])          # (B, E)
+        drop = jnp.stack([
+            jax.random.bernoulli(jax.random.fold_in(drng, m),
+                                 presence_dropout, (data.shape[0],))
+            for m in range(data.shape[1])], axis=1)          # (B, E)
         shp = drop.shape + (1,) * (data.ndim - 2)
         return jnp.where(drop.reshape(shp), jnp.nan, data)
 

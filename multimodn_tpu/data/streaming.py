@@ -54,6 +54,13 @@ class StreamingLoader:
         self._rng = np.random.default_rng(seed)
         self._order = np.arange(self.n_samples)
 
+    @property
+    def modality_widths(self):
+        """Per-modality feature widths (the host-side pairing check
+        ``MultiModN._validate_pairings`` consumes)."""
+        return [int(np.prod(x.shape[1:])) if x.ndim > 1 else 1
+                for x in self._xs]
+
     def __len__(self) -> int:
         return self.n_batches
 
@@ -81,6 +88,21 @@ class StreamingLoader:
             yield data, targets, mask
 
 
+def _check_streaming_model(model):
+    """The streaming paths run plain single-device jitted steps: a meshed
+    or shard_map-engine model must be rejected loudly (the exact silent
+    engine/sharding swap MultiModN.fit refuses) instead of streaming
+    everything through device 0 unsharded."""
+    if model.dp_engine == "shard_map" or model.mesh is not None:
+        raise NotImplementedError(
+            "the streaming paths (train_epoch_streaming / "
+            "test_epoch_streaming / fit_best_streaming) run single-device "
+            "per-batch programs; a meshed or dp_engine='shard_map' model "
+            "would silently lose its sharding/explicit collectives. Build "
+            "a mesh-free auto-engine model for streaming, or use "
+            "ArrayLoader for mesh training.")
+
+
 def train_epoch_streaming(model, loader: StreamingLoader, optimizer,
                           criterion=None, history=None):
     """One training epoch over a StreamingLoader: per-batch jitted steps,
@@ -93,12 +115,14 @@ def train_epoch_streaming(model, loader: StreamingLoader, optimizer,
     from multimodn_tpu.core.step import _GRID_KEYS, epoch_reduction, \
         gated_update
 
+    _check_streaming_model(model)
     criterion = resolve_criterion(criterion)
     if model._opt is not optimizer or model.opt_state is None:
         model._opt = optimizer
         model.opt_state = optimizer.init(model.params)
     loader.reshuffle()
     order = model._resolve_order(None, None, train=True)
+    model._validate_pairings(order, loader)
     loss_fn = model._loss_fn(criterion, order, model.nan_skip)
 
     from multimodn_tpu.model import _cache_key
@@ -186,8 +210,10 @@ def test_epoch_streaming(model, loader: StreamingLoader, criterion=None,
     from multimodn_tpu.core.metrics import get_performance_metrics
     from multimodn_tpu.core.step import _GRID_KEYS, epoch_reduction
 
+    _check_streaming_model(model)
     criterion = resolve_criterion(criterion)
     order = model._resolve_order(None, None, train=False)
+    model._validate_pairings(order, loader)
     loss_fn = model._loss_fn(criterion, order, model.nan_skip)
 
     from multimodn_tpu.model import _cache_key
@@ -291,11 +317,17 @@ def fit_best_streaming(model, train_loader: StreamingLoader, optimizer,
         raise ValueError(
             "fit_best_streaming requires at least one binary decoder "
             "(same AUROC+BAC selection contract as fit_best).")
+    _check_streaming_model(model)
+    # An unrolled-chain shuffle_mode model would freeze ONE random order
+    # for every epoch here (no in-program redraw) — the same configuration
+    # model.fit_best rejects; reuse its guard.
+    model._validate_fused_shuffle(False, train_loader)
     criterion = resolve_criterion(criterion)
     if model._opt is not optimizer or model.opt_state is None:
         model._opt = optimizer
         model.opt_state = optimizer.init(model.params)
     order = model._resolve_order(None, None, train=True)
+    model._validate_pairings(order, train_loader)
     loss_fn = model._loss_fn(criterion, order, model.nan_skip)
     selection_score = make_selection_score(binary)
 

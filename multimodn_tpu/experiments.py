@@ -163,15 +163,42 @@ def _shard_map_experiment_fit(template, criterion, optimizer, order,
             "over it. Drop mesh= or build auto-engine models.")
     template._shard_map_reject_per_batch(per_batch)
     template._shard_map_fused_guards(reshuffle, *loaders)
+    # Structural program cache, like _cached_select_fit's: a protocol loop
+    # calling kfold per grid point would otherwise re-trace/re-compile the
+    # whole vmapped shard_map program every call (30-500 s each through
+    # the remote-compile tunnel). jax.sharding.Mesh is hashable, so it
+    # rides the key; any unhashable component disables caching for the
+    # call (same conservatism as the auto path).
+    sig = _model_signature(template)
+    opt_sig = getattr(optimizer, "signature", None)
+    key = None
+    if sig is not None and opt_sig is not None and \
+            (isinstance(criterion, str) or
+             getattr(criterion, "__module__", "").startswith(
+                 "multimodn_tpu.")):
+        crit_key = criterion if isinstance(criterion, str) \
+            else ("fn", criterion)
+        key = ("shard_map", sig, crit_key, opt_sig, tuple(order),
+               tuple(binary), gate_empty, template.mesh)
+        try:
+            cached = _FIT_PROGRAM_CACHE.get(key)
+        except TypeError:
+            key, cached = None, None
+        if cached is not None:
+            return cached
     loss_fn = template._loss_fn(criterion, order, template.nan_skip,
                                 per_batch, nan_axis=template._sm_nan_axis())
     from multimodn_tpu.parallel.shard_map_step import \
         make_shard_map_select_fit_fn
     n_mod = None if template._chain_plan()[0] == "scan" \
         else len(template.encoders)
-    return make_shard_map_select_fit_fn(
+    fit = make_shard_map_select_fit_fn(
         loss_fn, optimizer.tx, template.mesh, binary, n_mod,
         scan_unroll=template.scan_unroll, gate_empty_batches=gate_empty)
+    fit._mmtpu_cached = key is not None
+    if key is not None:
+        _FIT_PROGRAM_CACHE[key] = fit
+    return fit
 
 
 def _pad_batches(stacks, max_nb: int):

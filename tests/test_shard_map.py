@@ -379,3 +379,28 @@ def test_shard_map_experiment_guards():
     with pytest.raises(NotImplementedError, match="patience"):
         sweep_fit_best(make, tr, va, Adam(0.01), "cross_entropy", epochs=2,
                        seeds=(0, 1), patience=1)
+
+
+def test_shard_map_experiment_program_cached():
+    """Review finding: repeated shard_map kfold calls (a protocol loop)
+    must reuse the traced program via the structural cache, not re-trace
+    per call."""
+    from multimodn_tpu import experiments
+    from multimodn_tpu.experiments import kfold_fit_best
+
+    _, folds, _ = _sm_fold_setup(seed=31)
+
+    def make(seed):
+        return MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                         [LogisticDecoder(3)], 0.7, 0.3, seed=seed,
+                         mesh=make_mesh(axis_names=("data",)),
+                         dp_engine="shard_map")
+
+    experiments._FIT_PROGRAM_CACHE.clear()
+    r1 = kfold_fit_best(make, folds, Adam(0.01), "cross_entropy", epochs=2)
+    n = len(experiments._FIT_PROGRAM_CACHE)
+    assert n >= 1
+    r2 = kfold_fit_best(make, folds, Adam(0.01), "cross_entropy", epochs=2)
+    assert len(experiments._FIT_PROGRAM_CACHE) == n
+    for a, b in zip(r1, r2):
+        np.testing.assert_array_equal(a["scores"], b["scores"])

@@ -205,3 +205,100 @@ def test_streaming_fit_best_rejects_shuffle():
         fit_best_streaming(m, StreamingLoader(ds, 16, shuffle=True),
                            Adam(0.01), "cross_entropy", epochs=1,
                            val_loader=StreamingLoader(ds, 16))
+
+
+def test_streaming_rejects_meshed_and_shard_map_models():
+    """Review finding: the streaming paths must refuse meshed/shard_map
+    models loudly instead of silently streaming through device 0 without
+    the configured sharding/collectives."""
+    import pytest
+
+    from multimodn_tpu.data import fit_best_streaming, test_epoch_streaming
+    from multimodn_tpu.parallel import make_mesh
+
+    ds = _setup(n=48, seed=9)
+    mesh = make_mesh(axis_names=("data",))
+    meshed = MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                       [LogisticDecoder(3)], 0.7, 0.3, mesh=mesh)
+    sm = MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                   [LogisticDecoder(3)], 0.7, 0.3, mesh=mesh,
+                   dp_engine="shard_map")
+    for m in (meshed, sm):
+        with pytest.raises(NotImplementedError, match="streaming"):
+            train_epoch_streaming(m, StreamingLoader(ds, 16), Adam(0.01),
+                                  "cross_entropy")
+        with pytest.raises(NotImplementedError, match="streaming"):
+            test_epoch_streaming(m, StreamingLoader(ds, 16),
+                                 "cross_entropy")
+        with pytest.raises(NotImplementedError, match="streaming"):
+            fit_best_streaming(m, StreamingLoader(ds, 16), Adam(0.01),
+                               "cross_entropy", epochs=1,
+                               val_loader=StreamingLoader(ds, 16))
+
+
+def test_streaming_fit_best_rejects_unrolled_shuffle_mode():
+    """Review finding: an unrolled-chain shuffle_mode model would freeze
+    ONE order for every streamed epoch — reject like model.fit_best."""
+    import pytest
+
+    from multimodn_tpu.data import fit_best_streaming
+
+    ds = _setup(n=48, seed=10)
+    m = MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (6,))],
+                  [LogisticDecoder(3)], 0.7, 0.3, shuffle_mode=True,
+                  chain_mode="unrolled")
+    with pytest.raises(NotImplementedError, match="shuffle"):
+        fit_best_streaming(m, StreamingLoader(ds, 16), Adam(0.01),
+                           "cross_entropy", epochs=1,
+                           val_loader=StreamingLoader(ds, 16))
+
+
+def test_streaming_validates_modality_widths():
+    """Review finding: test_epoch_streaming must reject wrong-width
+    (modality, encoder) pairings up front like model.test (StreamingLoader
+    now exposes modality_widths)."""
+    import pytest
+
+    from multimodn_tpu.data import test_epoch_streaming
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(32, 5)).astype(np.float32)
+    y = rng.integers(0, 2, size=(32, 1))
+    bad = PartitionDataset(X, y, [3, 2])   # encoder 1 expects width 3
+    m = _model()
+    assert StreamingLoader(bad, 16).modality_widths == [3, 2]
+    with pytest.raises(ValueError, match="width"):
+        test_epoch_streaming(m, StreamingLoader(bad, 16), "cross_entropy")
+
+
+def test_presence_dropout_layout_invariant_stream():
+    """Review finding: the injected presence-dropout pattern must be
+    identical whichever entry point shaped the batch — scan-chain models
+    take the STACKED (B, E, F) layout through fused programs but the
+    modality TUPLE through streaming; same seed must give same params."""
+    from multimodn_tpu import MultiModNHistory
+    from multimodn_tpu.data import FeatureWiseDataset
+    from multimodn_tpu.encoders import MLPFeatureEncoder
+
+    rng = np.random.default_rng(12)
+    E = 16   # auto plan picks the scan chain at E >= 16
+    X = rng.normal(size=(48, E)).astype(np.float32)
+    y = (X @ rng.normal(size=E) > 0).astype(np.int64)[:, None]
+    ds = FeatureWiseDataset(X, y)
+
+    def build():
+        return MultiModN(3, [MLPFeatureEncoder(3, 4) for _ in range(E)],
+                         [LogisticDecoder(3)], 0.7, 0.3,
+                         presence_dropout=0.4)
+
+    m1, m2 = build(), build()
+    assert m1._chain_plan()[0] == "scan"
+    o1, o2 = Adam(0.01), Adam(0.01)
+    for _ in range(2):
+        m1.train_epoch(ArrayLoader(ds, 16), o1, "cross_entropy")
+        train_epoch_streaming(m2, StreamingLoader(ds, 16), o2,
+                              "cross_entropy")
+    for a, b in zip(jax.tree_util.tree_leaves(m1.state_dict()),
+                    jax.tree_util.tree_leaves(m2.state_dict())):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
