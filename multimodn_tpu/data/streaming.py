@@ -280,7 +280,8 @@ def test_epoch_streaming(model, loader: StreamingLoader, criterion=None,
 def fit_best_streaming(model, train_loader: StreamingLoader, optimizer,
                        criterion=None, *, epochs: int,
                        val_loader: StreamingLoader,
-                       restore_best: bool = True):
+                       restore_best: bool = True, history=None,
+                       val_tag: str = "val"):
     """Streamed fused-selection training (VERDICT r3 next-#5): the
     north-star fit_best protocol — train + val + AUROC/BAC best-checkpoint
     selection — over StreamingLoaders, so the full epoch stacks never need
@@ -296,12 +297,17 @@ def fit_best_streaming(model, train_loader: StreamingLoader, optimizer,
     path's in-program permutation crosses batch boundaries, which a
     batch-by-batch stream cannot replicate.
 
+    ``history``: like ``fit_best``'s — per-epoch train AND ``val_tag``
+    grids appended (one host transfer of the reduced grids per epoch when
+    set; with ``history=None`` only scalars ever leave the device).
+
     Returns {"best_epoch", "best_score", "best_params", "scores",
     "epochs_ran"} like ``fit_best``.
     """
     from multimodn_tpu.core.losses import resolve_criterion
     from multimodn_tpu.core.step import (_GRID_KEYS, _update_best,
-                                         gated_update, make_selection_score)
+                                         epoch_reduction, gated_update,
+                                         make_selection_score)
 
     if val_loader is None:
         raise ValueError("fit_best_streaming requires a val_loader")
@@ -339,17 +345,20 @@ def fit_best_streaming(model, train_loader: StreamingLoader, optimizer,
         tx = optimizer.tx
 
         @jax.jit
-        def tstep(params, opt_state, offset, data, targets, mask, brng):
+        def tstep(params, opt_state, sums, offset, data, targets, mask,
+                  brng):
             (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, tuple(data), targets, mask, brng, offset, True)
             params, opt_state = gated_update(tx, grads, opt_state, params,
                                              mask,
                                              enc_gates=aux["enc_gates"])
-            return params, opt_state, offset + jnp.sum(mask).astype(jnp.int32)
+            sums = {k: sums[k] + aux[k] for k in _GRID_KEYS}
+            return (params, opt_state, sums,
+                    offset + jnp.sum(mask).astype(jnp.int32))
 
         @jax.jit
-        def vstep(params, offset, bufs, tbuf, mbuf, b, data, targets, mask,
-                  brng):
+        def vstep(params, sums, offset, bufs, tbuf, mbuf, b, data, targets,
+                  mask, brng):
             _, aux = loss_fn(params, tuple(data), targets, mask, brng,
                              offset, False)
             B = mask.shape[0]
@@ -360,8 +369,9 @@ def fit_best_streaming(model, train_loader: StreamingLoader, optimizer,
                     for buf, o in zip(bufs, aux["final_outputs"])]
             tbuf = upd(tbuf, targets)
             mbuf = upd(mbuf, mask)
-            return (offset + jnp.sum(mask).astype(jnp.int32), bufs, tbuf,
-                    mbuf)
+            sums = {k: sums[k] + aux[k] for k in _GRID_KEYS}
+            return (sums, offset + jnp.sum(mask).astype(jnp.int32), bufs,
+                    tbuf, mbuf)
 
         @jax.jit
         def select(best, params, bufs, tbuf, mbuf, eid):
@@ -381,8 +391,18 @@ def fit_best_streaming(model, train_loader: StreamingLoader, optimizer,
     best = (jax.tree_util.tree_map(lambda x: x, params),
             jnp.full((), -jnp.inf), jnp.asarray(-1, jnp.int32))
     n_val = val_loader.n_batches * val_loader.batch_size
-    D = len(model.decoders)
+    E, D = len(model.encoders), len(model.decoders)
     scores = []
+
+    def zero_sums():
+        return {
+            "err_loss": jnp.zeros((E + 1, D)),
+            "state_change": jnp.zeros((E,)),
+            "n_correct": jnp.zeros((E + 1, D)),
+            "tp": jnp.zeros((E + 1, D)), "tn": jnp.zeros((E + 1, D)),
+            "fp": jnp.zeros((E + 1, D)), "fn": jnp.zeros((E + 1, D)),
+            "n_counted": jnp.zeros((E + 1,)),
+        }
 
     def put(batch):
         data, targets, mask = batch
@@ -391,6 +411,7 @@ def fit_best_streaming(model, train_loader: StreamingLoader, optimizer,
 
     for eid in range(epochs):
         erng = jax.random.fold_in(rng, jnp.asarray(eid))
+        tsums, vsums = zero_sums(), zero_sums()
         # --- train sweep (double-buffered) ---
         it = train_loader.iter_batches()
         nxt = next(it, None)
@@ -402,8 +423,8 @@ def fit_best_streaming(model, train_loader: StreamingLoader, optimizer,
             pending = put(nxt) if nxt is not None else None
             data, targets, mask = cur
             brng = jax.random.fold_in(erng, b)
-            params, opt_state, offset = tstep(params, opt_state, offset,
-                                              data, targets, mask, brng)
+            params, opt_state, tsums, offset = tstep(
+                params, opt_state, tsums, offset, data, targets, mask, brng)
             b += 1
         # --- val sweep into device-resident buffers ---
         bufs = [jnp.zeros((n_val, dec.n_classes)) for dec in model.decoders]
@@ -419,13 +440,23 @@ def fit_best_streaming(model, train_loader: StreamingLoader, optimizer,
             pending = put(nxt) if nxt is not None else None
             data, targets, mask = cur
             brng = jax.random.fold_in(erng, b)
-            offset, bufs, tbuf, mbuf = vstep(params, offset, bufs, tbuf,
-                                             mbuf, jnp.asarray(b, jnp.int32),
-                                             data, targets, mask, brng)
+            vsums, offset, bufs, tbuf, mbuf = vstep(
+                params, vsums, offset, bufs, tbuf, mbuf,
+                jnp.asarray(b, jnp.int32), data, targets, mask, brng)
             b += 1
         best, score = select(best, params, bufs, tbuf, mbuf,
                              jnp.asarray(eid))
         scores.append(score)     # device scalar; fetched once at the end
+        if history is not None:
+            tstats = jax.tree_util.tree_map(np.asarray, epoch_reduction(
+                tsums, train_loader.n_batches,
+                model.ones_initialized_counts))
+            history.append_epoch("train", tstats,
+                                 state_change=tstats["state_change_loss"])
+            vstats = jax.tree_util.tree_map(np.asarray, epoch_reduction(
+                vsums, val_loader.n_batches,
+                model.ones_initialized_counts))
+            history.append_epoch(val_tag, vstats)
 
     model.params, model.opt_state = params, opt_state
     model._epoch_counter += epochs

@@ -302,3 +302,62 @@ def test_presence_dropout_layout_invariant_stream():
                     jax.tree_util.tree_leaves(m2.state_dict())):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_streaming_fit_best_history_matches_fused():
+    """fit_best_streaming(history=) appends the same per-epoch train/val
+    grids as the fused fit_best."""
+    from multimodn_tpu.data import fit_best_streaming
+    from multimodn_tpu.data.dataset import Subset
+
+    ds = _setup(n=96, seed=13)
+    tr, va = Subset(ds, list(range(64))), Subset(ds, list(range(64, 96)))
+    m1, m2 = _model(), _model()
+    h1, h2 = MultiModNHistory(["t"]), MultiModNHistory(["t"])
+    m1.fit_best(ArrayLoader(tr, 16), Adam(0.01), "cross_entropy", epochs=3,
+                val_loader=ArrayLoader(va, 16), history=h1)
+    fit_best_streaming(m2, StreamingLoader(tr, 16), Adam(0.01),
+                       "cross_entropy", epochs=3,
+                       val_loader=StreamingLoader(va, 16), history=h2)
+    for tag in ("train", "val"):
+        for k in ("loss", "accuracy", "sensitivity", "specificity"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(h1, k)[tag]),
+                np.asarray(getattr(h2, k)[tag]),
+                rtol=1e-6, atol=1e-7, err_msg=f"{k}[{tag}]")
+
+
+def test_presence_penalty_scan_chain_matches_unrolled():
+    """presence_penalty under the scan chain's STACKED (B, E, F) layout
+    equals the unrolled chain (the penalty indexes data[:, d_idx] there)."""
+    from multimodn_tpu.data import FeatureWiseDataset
+    from multimodn_tpu.encoders import MLPFeatureEncoder
+
+    rng = np.random.default_rng(14)
+    E = 6
+    X = rng.normal(size=(48, E)).astype(np.float32)
+    y = (X @ rng.normal(size=E) > 0).astype(np.int64)[:, None]
+    X[rng.random(48) < 0.3, 2] = np.nan      # modality 2 partially missing
+    ds = FeatureWiseDataset(X, y)
+
+    outs = []
+    for mode in ("scan", "unrolled"):
+        m = MultiModN(3, [MLPFeatureEncoder(3, 4) for _ in range(E)],
+                      [LogisticDecoder(3)], 0.7, 0.3, chain_mode=mode,
+                      presence_penalty=10.0)
+        opt = Adam(0.01)
+        for _ in range(3):
+            m.train_epoch(ArrayLoader(ds, 16), opt, "cross_entropy")
+        p = m.state_dict()
+        if not isinstance(p["encoders"], (list, tuple)):
+            # scan mode stores STACKED encoder params (leading E axis);
+            # unstack for a like-for-like comparison.
+            p = dict(p)
+            p["encoders"] = [
+                jax.tree_util.tree_map(lambda s, i=i: s[i], p["encoders"])
+                for i in range(E)]
+        outs.append(p)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0]),
+                    jax.tree_util.tree_leaves(outs[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
