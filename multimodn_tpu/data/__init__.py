@@ -11,6 +11,7 @@ from multimodn_tpu.data.mimic import MIMICDataset, load_mimic_data
 from multimodn_tpu.data.streaming import (
     StreamingLoader,
     fit_best_streaming,
+    fit_streaming,
     test_epoch_streaming,
     train_epoch_streaming,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "load_mimic_data",
     "StreamingLoader",
     "fit_best_streaming",
+    "fit_streaming",
     "test_epoch_streaming",
     "train_epoch_streaming",
 ]

@@ -198,6 +198,31 @@ def train_epoch_streaming(model, loader: StreamingLoader, optimizer,
     return stats
 
 
+def fit_streaming(model, train_loader: StreamingLoader, optimizer,
+                  criterion=None, *, epochs: int, history=None,
+                  val_loader: StreamingLoader = None, val_tag: str = "val"):
+    """Streamed twin of ``MultiModN.fit``: N epochs of streamed training,
+    optionally each followed by a streamed validation sweep, with the same
+    history contract. Composes ``train_epoch_streaming`` +
+    ``test_epoch_streaming`` so every equality guarantee of those paths
+    (vs the fused programs) applies per epoch.
+
+    Note the eval rng parity caveat: like ``model.test``, the streamed
+    eval uses the fixed eval key, which for dropout-free models makes the
+    val grids equal ``fit(val_loader=...)``'s exactly
+    (tests/test_streaming.py).
+
+    Returns ``history``.
+    """
+    for _ in range(epochs):
+        train_epoch_streaming(model, train_loader, optimizer, criterion,
+                              history)
+        if val_loader is not None:
+            test_epoch_streaming(model, val_loader, criterion,
+                                 history=history, tag=val_tag)
+    return history
+
+
 def test_epoch_streaming(model, loader: StreamingLoader, criterion=None,
                          history=None, tag: str = "test"):
     """Streamed evaluation (VERDICT r3 next-#5): ``MultiModN.test`` over a
@@ -281,7 +306,7 @@ def fit_best_streaming(model, train_loader: StreamingLoader, optimizer,
                        criterion=None, *, epochs: int,
                        val_loader: StreamingLoader,
                        restore_best: bool = True, history=None,
-                       val_tag: str = "val"):
+                       val_tag: str = "val", on_epoch=None):
     """Streamed fused-selection training (VERDICT r3 next-#5): the
     north-star fit_best protocol — train + val + AUROC/BAC best-checkpoint
     selection — over StreamingLoaders, so the full epoch stacks never need
@@ -300,6 +325,12 @@ def fit_best_streaming(model, train_loader: StreamingLoader, optimizer,
     ``history``: like ``fit_best``'s — per-epoch train AND ``val_tag``
     grids appended (one host transfer of the reduced grids per epoch when
     set; with ``history=None`` only scalars ever leave the device).
+
+    ``on_epoch``: optional host callback ``{"epoch", "score"}`` fired
+    after each epoch's selection (the host loop makes this trivial — no
+    in-program effects, so it works identically everywhere). Fetching the
+    score forces a per-epoch device sync; leave None for maximum
+    pipelining.
 
     Returns {"best_epoch", "best_score", "best_params", "scores",
     "epochs_ran"} like ``fit_best``.
@@ -447,6 +478,8 @@ def fit_best_streaming(model, train_loader: StreamingLoader, optimizer,
         best, score = select(best, params, bufs, tbuf, mbuf,
                              jnp.asarray(eid))
         scores.append(score)     # device scalar; fetched once at the end
+        if on_epoch is not None:
+            on_epoch({"epoch": eid, "score": float(score)})
         if history is not None:
             tstats = jax.tree_util.tree_map(np.asarray, epoch_reduction(
                 tsums, train_loader.n_batches,

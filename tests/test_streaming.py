@@ -361,3 +361,42 @@ def test_presence_penalty_scan_chain_matches_unrolled():
                     jax.tree_util.tree_leaves(outs[1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_fit_streaming_matches_fused_fit():
+    """fit_streaming (train + per-epoch val sweeps over streams) produces
+    the same history grids as the fused fit(val_loader=...)."""
+    from multimodn_tpu.data import fit_streaming
+    from multimodn_tpu.data.dataset import Subset
+
+    ds = _setup(n=96, seed=15)
+    tr, va = Subset(ds, list(range(64))), Subset(ds, list(range(64, 96)))
+    m1, m2 = _model(), _model()
+    h1, h2 = MultiModNHistory(["t"]), MultiModNHistory(["t"])
+    m1.fit(ArrayLoader(tr, 16), Adam(0.01), "cross_entropy", epochs=3,
+           history=h1, val_loader=ArrayLoader(va, 16))
+    fit_streaming(m2, StreamingLoader(tr, 16), Adam(0.01), "cross_entropy",
+                  epochs=3, history=h2, val_loader=StreamingLoader(va, 16))
+    for tag in ("train", "val"):
+        for k in ("loss", "accuracy"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(h1, k)[tag]),
+                np.asarray(getattr(h2, k)[tag]),
+                rtol=1e-5, atol=1e-6, err_msg=f"{k}[{tag}]")
+
+
+def test_streaming_fit_best_on_epoch():
+    from multimodn_tpu.data import fit_best_streaming
+    from multimodn_tpu.data.dataset import Subset
+
+    ds = _setup(n=64, seed=16)
+    tr, va = Subset(ds, list(range(48))), Subset(ds, list(range(48, 64)))
+    m = _model()
+    seen = []
+    r = fit_best_streaming(m, StreamingLoader(tr, 16), Adam(0.01),
+                           "cross_entropy", epochs=3,
+                           val_loader=StreamingLoader(va, 16),
+                           on_epoch=seen.append)
+    assert [p["epoch"] for p in seen] == [0, 1, 2]
+    np.testing.assert_allclose([p["score"] for p in seen], r["scores"],
+                               rtol=1e-6)
