@@ -10,6 +10,7 @@ from multimodn_tpu.data.titanic import TitanicDataset, titanic_preprocessing
 from multimodn_tpu.data.mimic import MIMICDataset, load_mimic_data
 from multimodn_tpu.data.streaming import (
     StreamingLoader,
+    TorchStreamingLoader,
     fit_best_streaming,
     fit_streaming,
     test_epoch_streaming,
@@ -29,6 +30,7 @@ __all__ = [
     "MIMICDataset",
     "load_mimic_data",
     "StreamingLoader",
+    "TorchStreamingLoader",
     "fit_best_streaming",
     "fit_streaming",
     "test_epoch_streaming",

@@ -88,6 +88,100 @@ class StreamingLoader:
             yield data, targets, mask
 
 
+class TorchStreamingLoader:
+    """True streaming from a ``torch.utils.data.DataLoader``: batches are
+    pulled from the torch loader ON DEMAND each epoch — never materialized
+    into host/device epoch stacks — so torch datasets larger than memory
+    (map- or iterable-style, lazy __getitem__, worker-loaded) drive every
+    streaming entry point (``train_epoch_streaming`` / ``fit_streaming`` /
+    ``test_epoch_streaming`` / ``fit_best_streaming``).
+
+    Contrast with ``interop.adapt_loader``, which MATERIALIZES the torch
+    dataset into an ArrayLoader (right call when it fits: one upload, fused
+    epochs). Batch contract: the torch loader must yield the reference's
+    ``([modality_batch, ...], target_batch)`` pairs
+    (``multimodn/multimodn.py:132-135``); encoding-sequence-carrying
+    3-tuples are rejected like StreamingLoader's. Short tail batches are
+    padded to the static batch size with exact sample masks.
+
+    ``shuffle`` reflects the torch sampler: a RandomSampler loader
+    reshuffles itself every iteration (torch semantics), so
+    ``reshuffle()`` is a no-op; ``fit_best_streaming`` rejects shuffled
+    loaders for fused-parity reasons either way.
+    """
+
+    def __init__(self, torch_loader):
+        from multimodn_tpu.interop import is_torch_dataloader
+        if not is_torch_dataloader(torch_loader):
+            raise TypeError(
+                f"TorchStreamingLoader wraps a torch DataLoader, got "
+                f"{type(torch_loader).__name__}")
+        if getattr(torch_loader, "drop_last", False):
+            raise NotImplementedError(
+                "DataLoader(drop_last=True) has no equivalent here (the "
+                "padded-tail mask keeps the final short batch exact); use "
+                "drop_last=False")
+        import torch.utils.data as tud
+        self._loader = torch_loader
+        self.n_samples = len(torch_loader.dataset)
+        self.batch_size = torch_loader.batch_size or self.n_samples
+        self.n_batches = max(
+            1, math.ceil(self.n_samples / self.batch_size))
+        self.shuffle = isinstance(getattr(torch_loader, "sampler", None),
+                                  tud.RandomSampler)
+        self._widths = None
+        try:    # peek ONE item for the width check (map-style datasets)
+            item = torch_loader.dataset[0]
+            xs = item[0]
+            if len(item) > 2 and item[2] is not None:
+                raise NotImplementedError(
+                    "TorchStreamingLoader does not carry encoding "
+                    "sequences; use ArrayLoader (via interop.adapt_loader) "
+                    "for sequence-carrying datasets.")
+            self._widths = [int(np.prod(np.asarray(x).shape)) for x in xs]
+        except (TypeError, IndexError, KeyError):
+            pass    # iterable-style dataset: widths checked at runtime
+
+    @property
+    def modality_widths(self):
+        return self._widths
+
+    def __len__(self) -> int:
+        return self.n_batches
+
+    def reshuffle(self):
+        pass    # torch's sampler reshuffles on every iteration already
+
+    @staticmethod
+    def _np(t):
+        return t.detach().cpu().numpy() if hasattr(t, "detach")             else np.asarray(t)
+
+    def iter_batches(self):
+        B = self.batch_size
+        for batch in self._loader:
+            if len(batch) > 2 and batch[2] is not None:
+                raise NotImplementedError(
+                    "TorchStreamingLoader does not carry encoding "
+                    "sequences; use ArrayLoader for sequence-carrying "
+                    "datasets.")
+            xs, y = batch[0], batch[1]
+            y = self._np(y)
+            if y.ndim == 1:
+                y = y[:, None]
+            n = y.shape[0]
+            mask = np.zeros((B,), np.float32)
+            mask[:n] = 1.0
+            data = []
+            for x in xs:
+                x = self._np(x).astype(np.float32)
+                buf = np.zeros((B,) + x.shape[1:], np.float32)
+                buf[:n] = x
+                data.append(buf)
+            targets = np.zeros((B, y.shape[1]), np.int32)
+            targets[:n] = y
+            yield data, targets, mask
+
+
 def _check_streaming_model(model):
     """The streaming paths run plain single-device jitted steps: a meshed
     or shard_map-engine model must be rejected loudly (the exact silent

@@ -400,3 +400,86 @@ def test_streaming_fit_best_on_epoch():
     assert [p["epoch"] for p in seen] == [0, 1, 2]
     np.testing.assert_allclose([p["score"] for p in seen], r["scores"],
                                rtol=1e-6)
+
+
+def _torch_pair_loader(ds, batch, shuffle=False):
+    """Reference-idiom torch DataLoader over a MultiMod dataset (items are
+    ([modality arrays], target))."""
+    import torch
+    from torch.utils.data import DataLoader
+
+    class _Wrap(torch.utils.data.Dataset):
+        def __len__(self):
+            return len(ds)
+
+        def __getitem__(self, i):
+            xs, y = ds[i][:2]
+            return [torch.from_numpy(np.ascontiguousarray(x, np.float32))
+                    for x in xs], torch.as_tensor(np.asarray(y))
+
+    return DataLoader(_Wrap(), batch_size=batch, shuffle=shuffle)
+
+
+def test_torch_streaming_loader_matches_array_loader():
+    """TorchStreamingLoader streams a real torch DataLoader batch-by-batch
+    (no materialization) and trains/evals equal to the ArrayLoader path,
+    padded tail included."""
+    from multimodn_tpu.data import (TorchStreamingLoader,
+                                    test_epoch_streaming)
+
+    ds = _setup(n=50, seed=17)
+    tl = TorchStreamingLoader(_torch_pair_loader(ds, 16))
+    assert (tl.n_samples, tl.batch_size, tl.n_batches) == (50, 16, 4)
+    assert tl.modality_widths == [3, 3]
+
+    m1, m2 = _model(), _model()
+    o1, o2 = Adam(0.01), Adam(0.01)
+    h1, h2 = MultiModNHistory(["t"]), MultiModNHistory(["t"])
+    for _ in range(2):
+        m1.train_epoch(ArrayLoader(ds, 16), o1, "cross_entropy", h1)
+        train_epoch_streaming(m2, tl, o2, "cross_entropy", h2)
+    for e in range(2):
+        np.testing.assert_allclose(h1.loss["train"][e], h2.loss["train"][e],
+                                   rtol=1e-5, atol=1e-6)
+    r1 = m1.test(ArrayLoader(ds, 16), "cross_entropy")
+    r2 = test_epoch_streaming(m2, tl, "cross_entropy")
+    np.testing.assert_allclose(r1[0][:4], r2[0][:4], rtol=1e-6, atol=1e-7)
+
+
+def test_torch_streaming_fit_best():
+    """The full streamed selection protocol over torch DataLoaders equals
+    the fused fit_best on the same data."""
+    from multimodn_tpu.data import TorchStreamingLoader, fit_best_streaming
+    from multimodn_tpu.data.dataset import Subset
+
+    ds = _setup(n=96, seed=18)
+    tr, va = Subset(ds, list(range(64))), Subset(ds, list(range(64, 96)))
+    m1, m2 = _model(), _model()
+    r1 = m1.fit_best(ArrayLoader(tr, 16), Adam(0.01), "cross_entropy",
+                     epochs=3, val_loader=ArrayLoader(va, 16))
+    r2 = fit_best_streaming(
+        m2, TorchStreamingLoader(_torch_pair_loader(tr, 16)), Adam(0.01),
+        "cross_entropy", epochs=3,
+        val_loader=TorchStreamingLoader(_torch_pair_loader(va, 16)))
+    assert r1["best_epoch"] == r2["best_epoch"]
+    np.testing.assert_allclose(r1["scores"], r2["scores"], rtol=1e-6,
+                               atol=1e-7)
+
+
+def test_torch_streaming_loader_validation():
+    import pytest
+
+    from multimodn_tpu.data import TorchStreamingLoader
+
+    ds = _setup(n=32, seed=19)
+    with pytest.raises(TypeError, match="DataLoader"):
+        TorchStreamingLoader(ds)
+    import torch
+    bad = _torch_pair_loader(ds, 16)
+    drop = torch.utils.data.DataLoader(bad.dataset, batch_size=16,
+                                       drop_last=True)
+    with pytest.raises(NotImplementedError, match="drop_last"):
+        TorchStreamingLoader(drop)
+    # shuffle detection (fit_best_streaming then rejects it)
+    sh = TorchStreamingLoader(_torch_pair_loader(ds, 16, shuffle=True))
+    assert sh.shuffle
