@@ -147,14 +147,10 @@ def _shard_map_experiment_fit(template, criterion, optimizer, order,
     ``jax.vmap`` (shard_map has a batching rule: the vmapped axis enters
     every per-device block as a leading batch dimension), while each fold's
     batch axis keeps the engine's hand-placed psums/all_gathers over the
-    template's data mesh. Validates the same envelope as
-    ``MultiModN.fit_best`` under the engine, plus the experiment-only
-    constraints."""
-    if patience is not None:
-        raise NotImplementedError(
-            "patience (early stopping) is built on the auto engine's "
-            "while_loop program; dp_engine='shard_map' runs fixed epoch "
-            "counts — drop patience or build auto-engine models.")
+    template's data mesh. ``patience`` builds the explicit engine's
+    while_loop program (vmap freezes finished folds, like the auto path).
+    Validates the same envelope as ``MultiModN.fit_best`` under the
+    engine, plus the experiment-only constraints."""
     if mesh is not None:
         raise ValueError(
             "fold/seed-axis sharding (mesh=) and dp_engine='shard_map' "
@@ -179,7 +175,8 @@ def _shard_map_experiment_fit(template, criterion, optimizer, order,
         crit_key = criterion if isinstance(criterion, str) \
             else ("fn", criterion)
         key = ("shard_map", sig, crit_key, opt_sig, tuple(order),
-               tuple(binary), gate_empty, template.mesh)
+               tuple(binary), gate_empty, patience is not None,
+               template.mesh)
         try:
             cached = _FIT_PROGRAM_CACHE.get(key)
         except TypeError:
@@ -188,11 +185,15 @@ def _shard_map_experiment_fit(template, criterion, optimizer, order,
             return cached
     loss_fn = template._loss_fn(criterion, order, template.nan_skip,
                                 per_batch, nan_axis=template._sm_nan_axis())
-    from multimodn_tpu.parallel.shard_map_step import \
-        make_shard_map_select_fit_fn
+    from multimodn_tpu.parallel.shard_map_step import (
+        make_shard_map_select_fit_early_stop_fn,
+        make_shard_map_select_fit_fn,
+    )
     n_mod = None if template._chain_plan()[0] == "scan" \
         else len(template.encoders)
-    fit = make_shard_map_select_fit_fn(
+    builder = make_shard_map_select_fit_early_stop_fn \
+        if patience is not None else make_shard_map_select_fit_fn
+    fit = builder(
         loss_fn, optimizer.tx, template.mesh, binary, n_mod,
         scan_unroll=template.scan_unroll, gate_empty_batches=gate_empty)
     fit._mmtpu_cached = key is not None

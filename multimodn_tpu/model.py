@@ -934,14 +934,8 @@ class MultiModN:
         reshuffle = bool(getattr(train_loader, "shuffle", False))
         self._validate_fused_shuffle(reshuffle, train_loader)
         self._check_on_epoch(on_epoch)
-        if patience is not None:
-            if patience < 1:
-                raise ValueError(f"patience must be >= 1, got {patience}")
-            if self.dp_engine == "shard_map":
-                raise NotImplementedError(
-                    "patience (early stopping) is built on the auto engine's "
-                    "while_loop program; dp_engine='shard_map' runs fixed "
-                    "epoch counts — drop patience or use the auto engine.")
+        if patience is not None and patience < 1:
+            raise ValueError(f"patience must be >= 1, got {patience}")
         if self.dp_engine == "shard_map":
             self._shard_map_fused_guards(reshuffle, train_loader, val_loader)
         data, targets, mask = self._place(train_loader)
@@ -969,11 +963,15 @@ class MultiModN:
                 nan_axis=self._sm_nan_axis()
                 if self.dp_engine == "shard_map" else None)
             if self.dp_engine == "shard_map":
-                from multimodn_tpu.parallel.shard_map_step import \
-                    make_shard_map_select_fit_fn
+                from multimodn_tpu.parallel.shard_map_step import (
+                    make_shard_map_select_fit_early_stop_fn,
+                    make_shard_map_select_fit_fn,
+                )
                 n_mod = None if self._chain_plan()[0] == "scan" \
                     else len(self.encoders)
-                self._fn_cache[key] = make_shard_map_select_fit_fn(
+                builder = make_shard_map_select_fit_early_stop_fn \
+                    if early_stop else make_shard_map_select_fit_fn
+                self._fn_cache[key] = builder(
                     loss_fn, optimizer.tx, self.mesh, binary, n_mod,
                     scan_unroll=self.scan_unroll)
             elif early_stop:

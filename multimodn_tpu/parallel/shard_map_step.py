@@ -373,3 +373,88 @@ def make_shard_map_select_fit_fn(loss_fn, tx, mesh: Mesh, binary_decoders,
     fit = jax.shard_map(device_fit, mesh=mesh, in_specs=in_specs,
                         out_specs=out_specs, check_vma=False)
     return jax.jit(fit, donate_argnums=(1,))
+
+
+def make_shard_map_select_fit_early_stop_fn(
+        loss_fn, tx, mesh: Mesh, binary_decoders, n_modalities,
+        data_axis: str = "data", scan_unroll=None,
+        gate_empty_batches: bool = False):
+    """Explicit-collective twin of ``core.step.make_select_fit_early_stop_fn``
+    (fused select-fit with ON-DEVICE early stopping): the epoch loop is a
+    ``lax.while_loop`` INSIDE the shard_map region. Every quantity the stop
+    decision reads (the selection score) is computed from all_gather'd
+    global outputs, so it is replicated — every shard exits the loop on the
+    same iteration by construction. ``patience`` is a traced scalar like
+    the auto engine's. Signature matches make_select_fit_early_stop_fn's
+    (without seqs/offset0); semantics equal the auto program over the
+    executed epochs (tests/test_shard_map.py)."""
+    from multimodn_tpu.core.step import (_update_best, make_selection_score)
+
+    train_epoch = _sm_train_scan(loss_fn, tx, data_axis, scan_unroll,
+                                 gate_empty_batches)
+    eval_epoch = _sm_eval_scan(loss_fn, data_axis, scan_unroll,
+                               with_final_outputs=True)
+    gather = lambda x: jax.lax.all_gather(x, data_axis).reshape(
+        (-1,) + x.shape[1:])
+    selection_score = make_selection_score(binary_decoders, gather=gather)
+
+    def device_fit(params, opt_state, data, targets, mask,
+                   vdata, vtargets, vmask, epoch_ids, patience, rng):
+        n_epochs = epoch_ids.shape[0]
+        best0 = (jax.tree_util.tree_map(lambda x: x, params),
+                 jnp.full((), -jnp.inf), jnp.asarray(-1, jnp.int32))
+        patience = jnp.asarray(patience, jnp.int32)
+
+        def epoch_step(params, opt_state, i):
+            eid = epoch_ids[i]
+            erng = jax.random.fold_in(rng, eid)
+            params, opt_state, tsums = train_epoch(
+                params, opt_state, data, targets, mask, erng)
+            vsums, outputs = eval_epoch(params, vdata, vtargets, vmask, erng)
+            score = selection_score(outputs, vtargets, vmask)
+            return params, opt_state, tsums, vsums, score, eid
+
+        # Preallocate stacked per-epoch outputs (abstract shapes only).
+        t_sh, v_sh = jax.eval_shape(
+            lambda p, o: epoch_step(p, o, jnp.zeros((), jnp.int32))[2:4],
+            params, opt_state)
+        tbuf0 = jax.tree_util.tree_map(
+            lambda s: jnp.zeros((n_epochs,) + s.shape, s.dtype), t_sh)
+        vbuf0 = jax.tree_util.tree_map(
+            lambda s: jnp.zeros((n_epochs,) + s.shape, s.dtype), v_sh)
+        sbuf0 = jnp.zeros((n_epochs,), jnp.float32)
+
+        def cond(carry):
+            (_p, _o, _b, i, since, _tb, _vb, _sb) = carry
+            return jnp.logical_and(i < n_epochs, since < patience)
+
+        def body(carry):
+            params, opt_state, best, i, since, tbuf, vbuf, sbuf = carry
+            params, opt_state, tsums, vsums, score, eid = epoch_step(
+                params, opt_state, i)
+            best, improved = _update_best(best, params, score, eid)
+            since = jnp.where(improved, 0, since + 1)
+            tbuf = jax.tree_util.tree_map(
+                lambda buf, v: buf.at[i].set(v), tbuf, tsums)
+            vbuf = jax.tree_util.tree_map(
+                lambda buf, v: buf.at[i].set(v), vbuf, vsums)
+            sbuf = sbuf.at[i].set(score)
+            return (params, opt_state, best, i + 1, since, tbuf, vbuf, sbuf)
+
+        carry0 = (params, opt_state, best0, jnp.zeros((), jnp.int32),
+                  jnp.zeros((), jnp.int32), tbuf0, vbuf0, sbuf0)
+        (params, opt_state, best, i, _since, tbuf, vbuf, sbuf) = \
+            jax.lax.while_loop(cond, body, carry0)
+        best_params, best_score, best_epoch = best
+        return (params, opt_state, tbuf, vbuf,
+                best_params, best_score, best_epoch, sbuf, i)
+
+    dspec = P(None, data_axis) if n_modalities is None else \
+        tuple(P(None, data_axis) for _ in range(n_modalities))
+    in_specs = (P(), P(), dspec, P(None, data_axis), P(None, data_axis),
+                dspec, P(None, data_axis), P(None, data_axis), P(), P(),
+                P())
+    out_specs = (P(),) * 9
+    fit = jax.shard_map(device_fit, mesh=mesh, in_specs=in_specs,
+                        out_specs=out_specs, check_vma=False)
+    return jax.jit(fit, donate_argnums=(1,))

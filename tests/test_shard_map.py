@@ -372,13 +372,27 @@ def test_shard_map_experiment_guards():
                          mesh=make_mesh(axis_names=("data",)),
                          dp_engine="shard_map")
 
-    with pytest.raises(NotImplementedError, match="patience"):
-        kfold_fit_best(make, folds, Adam(0.01), "cross_entropy", epochs=2,
-                       patience=1)
+    # patience is SUPPORTED since round 4 (the explicit engine's
+    # while_loop program, vmapped over folds/seeds): runs and equals the
+    # auto engine per fold.
+    res_sm = kfold_fit_best(make, folds, Adam(0.01), "cross_entropy",
+                            epochs=4, patience=2)
+
+    def make_auto(seed):
+        return MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                         [LogisticDecoder(3)], 0.7, 0.3, seed=seed)
+
+    res_auto = kfold_fit_best(make_auto, folds, Adam(0.01), "cross_entropy",
+                              epochs=4, patience=2)
+    for rs, ra in zip(res_sm, res_auto):
+        assert rs["epochs_ran"] == ra["epochs_ran"]
+        assert rs["best_epoch"] == ra["best_epoch"]
+        np.testing.assert_allclose(rs["scores"], ra["scores"],
+                                   rtol=1e-5, atol=1e-6)
     tr, va = folds[0]
-    with pytest.raises(NotImplementedError, match="patience"):
-        sweep_fit_best(make, tr, va, Adam(0.01), "cross_entropy", epochs=2,
-                       seeds=(0, 1), patience=1)
+    res = sweep_fit_best(make, tr, va, Adam(0.01), "cross_entropy",
+                         epochs=4, seeds=(0, 1), patience=2)
+    assert all(np.isfinite(r["best_score"]) for r in res)
 
 
 def test_shard_map_experiment_program_cached():
@@ -404,3 +418,37 @@ def test_shard_map_experiment_program_cached():
     assert len(experiments._FIT_PROGRAM_CACHE) == n
     for a, b in zip(r1, r2):
         np.testing.assert_array_equal(a["scores"], b["scores"])
+
+
+def test_shard_map_fit_best_patience_matches_auto():
+    """Round 4: on-device early stopping under the EXPLICIT engine — the
+    while_loop runs inside the shard_map region; the stop decision reads
+    the replicated all_gather'd score, so every shard exits together.
+    Epochs-ran, executed-prefix scores, and best selection equal the auto
+    engine's while_loop program."""
+    from multimodn_tpu import SGD
+
+    results = {}
+    for engine in ("auto", "shard_map"):
+        model, tr, va = _dp_pair(engine, seed=41)
+        # SGD(0.0): no improvement after epoch 0 -> stops at patience+1.
+        res = model.fit_best(tr, SGD(0.0), "cross_entropy", epochs=20,
+                             val_loader=va, patience=2)
+        results[engine] = res
+    ra, rs = results["auto"], results["shard_map"]
+    assert ra["epochs_ran"] == rs["epochs_ran"] <= 4
+    assert ra["best_epoch"] == rs["best_epoch"]
+    np.testing.assert_allclose(ra["scores"], rs["scores"], rtol=1e-5,
+                               atol=1e-6)
+
+    # And with a real optimizer (scores vary; prefix equality vs the
+    # fixed-epoch shard_map run of the same workload).
+    m1, tr, va = _dp_pair("shard_map", seed=42)
+    m2, tr2, va2 = _dp_pair("shard_map", seed=42)
+    full = m1.fit_best(tr, Adam(0.01), "cross_entropy", epochs=6,
+                       val_loader=va)
+    es = m2.fit_best(tr2, Adam(0.01), "cross_entropy", epochs=6,
+                     val_loader=va2, patience=6)
+    np.testing.assert_allclose(np.asarray(es["scores"]),
+                               np.asarray(full["scores"])[:es["epochs_ran"]],
+                               rtol=1e-5, atol=1e-6)
