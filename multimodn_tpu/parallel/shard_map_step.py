@@ -143,9 +143,10 @@ def make_shard_map_epoch_fn(loss_fn, tx, mesh: Mesh, n_modalities: int,
 
     ``n_modalities=None`` accepts one pre-stacked (n_batches, B, E, F) data
     array (the scan-chain layout) instead of a tuple. Caveats: per-sample
-    rng draws (dropout) and StaticInitState cycling see shard-local views,
-    so stochastic-encoder runs are deterministic but not bit-equal to
-    single-device; use the auto engine when that parity matters.
+    rng draws (encoder dropout AND presence_dropout) and StaticInitState
+    cycling see shard-local views, so stochastic runs are deterministic
+    but not bit-equal to single-device; use the auto engine when that
+    parity matters.
     """
     from multimodn_tpu.core.step import resolve_unroll
 

@@ -249,3 +249,95 @@ def test_randomized_sweep_equals_looped_fit_best_soak():
                 f"batch={batch} n={n} nan={nan_frac} skip={nan_skip} "
                 f"mimic={use_mimic} seeds={seeds} epochs={epochs}\n{err}"
             ) from err
+
+
+def test_randomized_round4_cross_path_soak():
+    """Round-4 interaction soak: random configurations across
+    {nan_skip granularity, presence knobs, chain mode, mesh/engine,
+    fused-vs-streamed paths} must agree wherever two paths claim
+    equality. Catches interactions no single-feature test crosses."""
+    import jax
+
+    from multimodn_tpu import Adam, MultiModN, MultiModNHistory
+    from multimodn_tpu.data import (ArrayLoader, PartitionDataset,
+                                    StreamingLoader, fit_best_streaming)
+    from multimodn_tpu.data.dataset import Subset
+    from multimodn_tpu.decoders import LogisticDecoder
+    from multimodn_tpu.encoders import MLPEncoder
+    from multimodn_tpu.parallel import make_mesh
+
+    n_dev = len(jax.devices())
+    rng = np.random.default_rng(424242)
+    for trial in range(4):
+        E = int(rng.integers(2, 4))
+        widths = [int(rng.integers(2, 5))] * E
+        state = int(rng.integers(2, 5))
+        batch = n_dev * 2
+        nb = int(rng.integers(5, 8))
+        n = batch * nb
+        nan_mode = str(rng.choice(["sample", "batch"]))
+        pp = float(rng.choice([0.0, 10.0])) if nan_mode == "sample" else 0.0
+        pd = float(rng.choice([0.0, 0.3])) if nan_mode == "sample" else 0.0
+        epochs = int(rng.integers(2, 4))
+        seed = int(rng.integers(0, 99))
+
+        X = rng.normal(size=(n, sum(widths))).astype(np.float32)
+        y = (X @ rng.normal(size=sum(widths)) > 0).astype(np.int64)[:, None]
+        nan_rows = rng.random(n) < 0.25
+        X[nan_rows, :widths[0]] = np.nan
+        ds = PartitionDataset(X, y, widths)
+        n_tr = batch * int(rng.integers(3, nb))   # val keeps >= 1 batch
+        tr, va = Subset(ds, list(range(n_tr))), \
+            Subset(ds, list(range(n_tr, n)))
+
+        def build(mesh=None, engine="auto"):
+            return MultiModN(state,
+                             [MLPEncoder(state, w, (4,)) for w in widths],
+                             [LogisticDecoder(state)], 0.7, 0.3, seed=seed,
+                             nan_skip=nan_mode, presence_penalty=pp,
+                             presence_dropout=pd, mesh=mesh,
+                             dp_engine=engine)
+
+        ctx = (f"trial {trial}: E={E} state={state} nan={nan_mode} "
+               f"pp={pp} pd={pd} epochs={epochs} seed={seed}")
+        try:
+            # Path A: single-device fused fit_best (the anchor).
+            m0 = build()
+            r0 = m0.fit_best(ArrayLoader(tr, batch), Adam(0.01),
+                             "cross_entropy", epochs=epochs,
+                             val_loader=ArrayLoader(va, batch))
+            # Path B: auto engine on the full-device DP mesh.
+            m1 = build(make_mesh(axis_names=("data",)))
+            r1 = m1.fit_best(ArrayLoader(tr, batch), Adam(0.01),
+                             "cross_entropy", epochs=epochs,
+                             val_loader=ArrayLoader(va, batch))
+            np.testing.assert_allclose(r0["scores"], r1["scores"],
+                                       rtol=1e-5, atol=1e-6)
+            assert r0["best_epoch"] == r1["best_epoch"]
+            # Path C: explicit shard_map engine. Excluded when presence
+            # knobs are active: the penalty is unsupported there by
+            # design, and presence_dropout falls under the engine's
+            # documented per-sample-rng caveat (draws see shard-LOCAL
+            # rows, so patterns differ from single-device — same class as
+            # encoder dropout, make_shard_map_epoch_fn docstring).
+            if pp == 0.0 and pd == 0.0:
+                m2 = build(make_mesh(axis_names=("data",)), "shard_map")
+                r2 = m2.fit_best(ArrayLoader(tr, batch), Adam(0.01),
+                                 "cross_entropy", epochs=epochs,
+                                 val_loader=ArrayLoader(va, batch))
+                np.testing.assert_allclose(r0["scores"], r2["scores"],
+                                           rtol=1e-5, atol=1e-6)
+            # Path D: streamed selection (single device).
+            m3 = build()
+            r3 = fit_best_streaming(
+                m3, StreamingLoader(tr, batch), Adam(0.01),
+                "cross_entropy", epochs=epochs,
+                val_loader=StreamingLoader(va, batch))
+            np.testing.assert_allclose(r0["scores"], r3["scores"],
+                                       rtol=1e-5, atol=1e-6)
+            for a, b in zip(jax.tree_util.tree_leaves(m0.state_dict()),
+                            jax.tree_util.tree_leaves(m3.state_dict())):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-5, atol=1e-6)
+        except AssertionError as err:
+            raise AssertionError(f"{ctx}\n{err}") from err
