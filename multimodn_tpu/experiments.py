@@ -44,6 +44,17 @@ from multimodn_tpu.optim import Optimizer
 _SIG_MODULES = ("multimodn_tpu.encoders", "multimodn_tpu.decoders",
                 "multimodn_tpu.core.state")
 _FIT_PROGRAM_CACHE: dict = {}
+# Per-call experiment progress callback cell: programs bake ONE dispatcher
+# (cached on callback PRESENCE, like MultiModN._dispatch_on_epoch), which
+# reads the live callback here — fresh lambdas never retrace.
+_ON_EPOCH_CELL: list = [None]
+
+
+def _experiment_on_epoch_dispatch(payload):
+    cb = _ON_EPOCH_CELL[0]
+    if cb is not None:
+        cb({k: (int(v) if k == "epoch" else float(v))
+            for k, v in payload.items()})
 # sweep_fit_best's outer jit wrapper, keyed on the (cached) fit program it
 # wraps: jitting a fresh closure per call re-traced the whole fused program
 # every call (~15 s at the bench config), defeating the structural cache
@@ -99,10 +110,13 @@ def _model_signature(model):
 
 def _cached_select_fit(template, criterion, optimizer, order, per_batch,
                        binary, gate_empty: bool, reshuffle: bool,
-                       early_stop: bool = False):
+                       early_stop: bool = False,
+                       with_on_epoch: bool = False):
     """Return the fused select-fit program for this configuration, reusing
     a structurally-identical previously-traced one when safe.
-    ``early_stop=True`` builds the while_loop program (traced patience)."""
+    ``early_stop=True`` builds the while_loop program (traced patience);
+    ``with_on_epoch`` bakes the experiment progress dispatcher (unordered
+    — required under vmap) and joins the cache key."""
     sig = _model_signature(template)
     opt_sig = getattr(optimizer, "signature", None)
     key = None
@@ -113,7 +127,8 @@ def _cached_select_fit(template, criterion, optimizer, order, per_batch,
         crit_key = criterion if isinstance(criterion, str) \
             else ("fn", criterion)
         key = (sig, crit_key, opt_sig, tuple(order), per_batch,
-               tuple(binary), gate_empty, reshuffle, early_stop)
+               tuple(binary), gate_empty, reshuffle, early_stop,
+               with_on_epoch)
         try:
             cached = _FIT_PROGRAM_CACHE.get(key)
         except TypeError:  # unhashable component value -> uncacheable
@@ -127,7 +142,10 @@ def _cached_select_fit(template, criterion, optimizer, order, per_batch,
     fit = builder(loss_fn, optimizer.tx, binary,
                   gate_empty_batches=gate_empty,
                   scan_unroll=template.scan_unroll,
-                  reshuffle=reshuffle)
+                  reshuffle=reshuffle,
+                  on_epoch=_experiment_on_epoch_dispatch
+                  if with_on_epoch else None,
+                  on_epoch_ordered=False)
     # Mark cache-eligible programs so derived wrappers (the sweep jit) can
     # key their own caches on the fit object without growing unboundedly
     # when structural caching is disabled for a call.
@@ -242,8 +260,17 @@ def kfold_fit_best(
     mesh=None,
     fold_axis: str = "fold",
     patience: Optional[int] = None,
+    on_epoch: Optional[Callable] = None,
 ) -> List[dict]:
     """Train one model per fold simultaneously.
+
+    ``on_epoch``: optional progress callback streamed from inside the
+    vmapped program via UNORDERED jax.debug.callback — called once PER
+    FOLD per epoch with {"epoch", "train_loss", "val_loss", "score"}
+    (epoch id identifies the epoch; fold attribution is unspecified —
+    vmap unrolls the emissions anonymously). Delivery is guaranteed
+    before the call returns; auto-engine only (the shard_map experiment
+    path rejects it like MultiModN does).
 
     ``patience``: optional on-device early stopping per fold (same Keras
     semantics as ``MultiModN.fit_best``). Under vmap the while_loop runs
@@ -386,6 +413,12 @@ def kfold_fit_best(
     # Folds get padded to a common batch count -> empty batches exist, so the
     # exact-skip gating must be on here.
     if template.dp_engine == "shard_map":
+        if on_epoch is not None:
+            raise NotImplementedError(
+                "on_epoch is not supported under dp_engine='shard_map' "
+                "experiment programs (per-device emission — same rule as "
+                "MultiModN); use auto-engine factories or chunked "
+                "fit_best_resumable per fold.")
         fit = _shard_map_experiment_fit(
             template, criterion, optimizer, order, binary, True, patience,
             reshuffle, per_batch, mesh, all_loaders)
@@ -393,7 +426,8 @@ def kfold_fit_best(
         fit = _cached_select_fit(template, criterion, optimizer, order,
                                  per_batch, binary, gate_empty=True,
                                  reshuffle=reshuffle,
-                                 early_stop=patience is not None)
+                                 early_stop=patience is not None,
+                                 with_on_epoch=on_epoch is not None)
 
     # In scan-chain mode the loss fn expects ONE stacked modality array
     # (see MultiModN._place). Mesh-free templates (the common case and the
@@ -461,17 +495,24 @@ def kfold_fit_best(
 
     pat = () if patience is None else (jnp.asarray(patience, jnp.int32),)
     pat_ax = () if patience is None else (None,)
-    if per_batch:
-        vfit = jax.vmap(fit, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)
-                        + pat_ax + (0, 0, 0))
-        outs = vfit(params, opt_state, data, targets, mask,
-                    vdata, vtargets, vmask, jnp.arange(epochs), *pat,
-                    rngs, tseqs, vseqs)
-    else:
-        vfit = jax.vmap(fit, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)
-                        + pat_ax + (0,))
-        outs = vfit(params, opt_state, data, targets, mask,
-                    vdata, vtargets, vmask, jnp.arange(epochs), *pat, rngs)
+    _ON_EPOCH_CELL[0] = on_epoch
+    try:
+        if per_batch:
+            vfit = jax.vmap(fit, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)
+                            + pat_ax + (0, 0, 0))
+            outs = vfit(params, opt_state, data, targets, mask,
+                        vdata, vtargets, vmask, jnp.arange(epochs), *pat,
+                        rngs, tseqs, vseqs)
+        else:
+            vfit = jax.vmap(fit, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)
+                            + pat_ax + (0,))
+            outs = vfit(params, opt_state, data, targets, mask,
+                        vdata, vtargets, vmask, jnp.arange(epochs), *pat,
+                        rngs)
+    finally:
+        if on_epoch is not None:
+            jax.effects_barrier()   # all payloads delivered before return
+            _ON_EPOCH_CELL[0] = None
     if patience is None:
         (params, opt_state, tsums, vsums, best_params, best_score,
          best_epoch, scores) = outs
@@ -526,6 +567,7 @@ def sweep_fit_best(
     mesh=None,
     sweep_axis: str = "fold",
     patience: Optional[int] = None,
+    on_epoch: Optional[Callable] = None,
 ) -> List[dict]:
     """Seed-replicate axis: N independent inits of ONE (train, val) workload
     train in a single dispatch (VERDICT r2 next-#4).
@@ -590,6 +632,10 @@ def sweep_fit_best(
                                 template._batch_seqs(train_loader))
 
     if template.dp_engine == "shard_map":
+        if on_epoch is not None:
+            raise NotImplementedError(
+                "on_epoch is not supported under dp_engine='shard_map' "
+                "experiment programs (same rule as kfold_fit_best).")
         fit = _shard_map_experiment_fit(
             template, criterion, optimizer, order, binary, False, patience,
             reshuffle, per_batch, mesh, (train_loader, val_loader))
@@ -597,7 +643,8 @@ def sweep_fit_best(
         fit = _cached_select_fit(template, criterion, optimizer, order,
                                  per_batch, binary, gate_empty=False,
                                  reshuffle=reshuffle,
-                                 early_stop=patience is not None)
+                                 early_stop=patience is not None,
+                                 with_on_epoch=on_epoch is not None)
 
     def _host_place(loader):
         d, t, m = loader.host_stacks()
@@ -638,7 +685,7 @@ def sweep_fit_best(
     # the dot_general batching and rounds differently (one threshold flip
     # observed in AUROC scores at fp32).
     early_stop = patience is not None
-    sweep_key = (fit, per_batch, early_stop)
+    sweep_key = (fit, per_batch, early_stop, on_epoch is not None)
     sweep_jit = _SWEEP_PROGRAM_CACHE.get(sweep_key)
     if sweep_jit is None:
         def sweep_prog(params, opt_state, *rest):
@@ -678,7 +725,13 @@ def sweep_fit_best(
              jnp.arange(epochs), rngs)
     if per_batch:
         args += (seqs, val_seqs)
-    outs = sweep_jit(*args)
+    _ON_EPOCH_CELL[0] = on_epoch
+    try:
+        outs = sweep_jit(*args)
+    finally:
+        if on_epoch is not None:
+            jax.effects_barrier()   # all payloads delivered before return
+            _ON_EPOCH_CELL[0] = None
     if early_stop:
         (params, opt_state, tsums, vsums, best_params, best_score,
          best_epoch, scores, ran) = outs

@@ -561,3 +561,57 @@ def test_experiment_axes_accept_shard_map_engine():
     with pytest.raises(ValueError, match="divide the data mesh axis"):
         kfold_fit_best(sm_factory, [(odd, odd)], Adam(0.01),
                        "cross_entropy", epochs=1)
+
+
+def test_kfold_on_epoch_progress():
+    """Round 4: experiment-scale progress — kfold_fit_best(on_epoch=)
+    streams one unordered payload PER FOLD per epoch from inside the
+    vmapped program; values match the per-fold scores; delivery before
+    return; no retrace across calls with fresh lambdas."""
+    from multimodn_tpu import experiments
+
+    folds = _folds()
+    seen = []
+    res = kfold_fit_best(_factory, folds, Adam(0.01), "cross_entropy",
+                         epochs=3, on_epoch=seen.append)
+    assert len(seen) == 3 * len(folds)
+    by_epoch = {}
+    for p in seen:
+        by_epoch.setdefault(p["epoch"], []).append(p["score"])
+    assert sorted(by_epoch) == [0, 1, 2]
+    for e, scores in by_epoch.items():
+        np.testing.assert_allclose(
+            sorted(scores), sorted(float(r["scores"][e]) for r in res),
+            rtol=1e-5, atol=1e-6)
+    assert experiments._ON_EPOCH_CELL[0] is None
+    # Callback-free calls unaffected; fresh lambdas reuse the program.
+    n_cached = len(experiments._FIT_PROGRAM_CACHE)
+    kfold_fit_best(_factory, folds, Adam(0.01), "cross_entropy", epochs=2,
+                   on_epoch=lambda p: None)
+    assert len(experiments._FIT_PROGRAM_CACHE) == n_cached
+
+
+def test_sweep_on_epoch_progress():
+    from multimodn_tpu.experiments import sweep_fit_best
+
+    seen = []
+    tr, va = _one_pair()
+    res = sweep_fit_best(_factory, tr, va, Adam(0.01), "cross_entropy",
+                         epochs=3, seeds=[0, 1], on_epoch=seen.append)
+    assert len(seen) == 3 * 2
+    assert {p["epoch"] for p in seen} == {0, 1, 2}
+    assert all(np.isfinite(p["score"]) for p in seen)
+
+
+def test_kfold_on_epoch_with_patience():
+    """Progress payloads under the vmapped while_loop fire only for epochs
+    that executed on at least one fold."""
+    from multimodn_tpu import SGD
+
+    folds = _folds()
+    seen = []
+    res = kfold_fit_best(_factory, folds, SGD(0.0), "cross_entropy",
+                         epochs=10, patience=2, on_epoch=seen.append)
+    ran = max(r["epochs_ran"] for r in res)
+    assert ran <= 4
+    assert {p["epoch"] for p in seen} <= set(range(ran))
