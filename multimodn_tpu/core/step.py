@@ -535,7 +535,8 @@ def epoch_permute(data, targets, sample_mask, erng):
             regroup(sample_mask))
 
 
-def _emit_epoch_callback(on_epoch, ordered: bool = True, **scalars):
+def _emit_epoch_callback(on_epoch, ordered: bool = True, active=None,
+                         **scalars):
     """Opt-in per-epoch progress hook: stream tiny scalar payloads to the
     host from INSIDE the fused program via jax.debug.callback. The
     reference can print per batch because its loop lives on the host
@@ -548,9 +549,20 @@ def _emit_epoch_callback(on_epoch, ordered: bool = True, **scalars):
     multi-device executables): one callback per epoch with the GLOBAL
     (fully-reduced) scalars, but arrival ORDER is not guaranteed; payloads
     carry their epoch id, and delivery before the fit call returns is
-    still guaranteed (jax.effects_barrier)."""
+    still guaranteed (jax.effects_barrier).
+
+    ``active``: the early-stop program's liveness flag. A vmapped
+    ``lax.while_loop`` keeps executing the body for lanes whose own cond
+    is already False (their carry is frozen via select AFTER the body) —
+    the callback inside would otherwise fire phantom payloads for
+    finished folds, carrying scores from discarded extra epochs. The flag
+    is this lane's OWN cond at body entry; dispatchers drop payloads with
+    ``_active == 0`` and strip the key before the user callback."""
     if on_epoch is not None:
-        jax.debug.callback(on_epoch, dict(scalars), ordered=ordered)
+        payload = dict(scalars)
+        if active is not None:
+            payload["_active"] = active
+        jax.debug.callback(on_epoch, payload, ordered=ordered)
 
 
 def make_fit_fn(loss_fn, tx, with_val: bool,
@@ -834,10 +846,13 @@ def make_select_fit_early_stop_fn(loss_fn, tx, binary_decoders,
                  jnp.full((), -jnp.inf), jnp.asarray(-1, jnp.int32))
         off0 = _base_offset(offset0)
 
-        def epoch_step(params, opt_state, offset, i):
+        def epoch_step(params, opt_state, offset, i, active):
             # i is the 0-based while counter; epoch_ids supplies the epoch
             # LABEL (rng stream + best_epoch value), same contract as the
             # scan-based fn — callers may pass non-zero-based ids.
+            # ``active`` is this lane's own cond at body entry: under vmap
+            # the body keeps running for stopped folds, and the payload
+            # flag lets the host dispatcher drop those phantom emissions.
             eid = epoch_ids[i]
             erng = jax.random.fold_in(rng, eid)
             if reshuffle:
@@ -851,7 +866,7 @@ def make_select_fit_early_stop_fn(loss_fn, tx, binary_decoders,
                 offset)
             score = selection_score(outputs, val_targets, val_mask)
             _emit_epoch_callback(
-                on_epoch, on_epoch_ordered, epoch=eid,
+                on_epoch, on_epoch_ordered, active=active, epoch=eid,
                 train_loss=jnp.mean(tsums["err_loss"]) / targets.shape[0],
                 val_loss=jnp.mean(vsums["err_loss"]) / val_targets.shape[0],
                 score=score)
@@ -862,7 +877,8 @@ def make_select_fit_early_stop_fn(loss_fn, tx, binary_decoders,
         t_sh, v_sh = jax.eval_shape(
             lambda p, o: jax.tree_util.tree_map(
                 lambda x: x,
-                epoch_step(p, o, off0, jnp.zeros((), jnp.int32))[3:5]),
+                epoch_step(p, o, off0, jnp.zeros((), jnp.int32),
+                           jnp.ones((), jnp.bool_))[3:5]),
             params, opt_state)
         tbuf0 = jax.tree_util.tree_map(
             lambda s: jnp.zeros((n_epochs,) + s.shape, s.dtype), t_sh)
@@ -880,8 +896,9 @@ def make_select_fit_early_stop_fn(loss_fn, tx, binary_decoders,
         def body(carry):
             params, opt_state, best, offset, i, since, tbuf, vbuf, sbuf = \
                 carry
+            active = jnp.logical_and(i < n_epochs, since < patience)
             params, opt_state, offset, tsums, vsums, score, eid = epoch_step(
-                params, opt_state, offset, i)
+                params, opt_state, offset, i, active)
             best, improved = _update_best(best, params, score, eid)
             since = jnp.where(improved, 0, since + 1)
             tbuf = jax.tree_util.tree_map(

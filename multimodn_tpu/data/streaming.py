@@ -104,10 +104,28 @@ class TorchStreamingLoader:
     3-tuples are rejected like StreamingLoader's. Short tail batches are
     padded to the static batch size with exact sample masks.
 
-    ``shuffle`` reflects the torch sampler: a RandomSampler loader
-    reshuffles itself every iteration (torch semantics), so
-    ``reshuffle()`` is a no-op; ``fit_best_streaming`` rejects shuffled
-    loaders for fused-parity reasons either way.
+    ``shuffle`` reflects the torch sampler: any sampler other than a
+    ``SequentialSampler`` (RandomSampler, SubsetRandomSampler, weighted or
+    custom samplers — conservatively, anything whose order we cannot prove
+    fixed) marks the loader shuffled, and torch samplers reshuffle
+    themselves every iteration, so ``reshuffle()`` is a no-op;
+    ``fit_best_streaming`` rejects shuffled loaders for fused-parity
+    reasons (a deterministic CUSTOM sampler can subclass
+    SequentialSampler to pass the check). An iterable-style dataset owns
+    its ordering — undetectable here, so it is the caller's contract that
+    an iterable dataset fed to ``fit_best_streaming`` yields a fixed
+    order.
+
+    Epoch geometry: ``n_samples``/``n_batches`` come from the sampler /
+    DataLoader lengths (NOT ``len(dataset)`` alone — a
+    ``SubsetRandomSampler`` covers fewer rows); ``batch_sampler``-based
+    loaders take exact geometry from a standard ``BatchSampler`` and are
+    otherwise rejected (a custom batch_sampler may yield different batch
+    shapes each epoch, which the static-shape jitted step cannot serve).
+    Unsized iterable-style datasets get ``n_samples = n_batches = None``
+    and the epoch paths COUNT batches/samples during iteration;
+    ``fit_best_streaming`` (which must preallocate val buffers) requires
+    sized geometry.
     """
 
     def __init__(self, torch_loader):
@@ -123,30 +141,94 @@ class TorchStreamingLoader:
                 "drop_last=False")
         import torch.utils.data as tud
         self._loader = torch_loader
-        self.n_samples = len(torch_loader.dataset)
-        self.batch_size = torch_loader.batch_size or self.n_samples
-        self.n_batches = max(
-            1, math.ceil(self.n_samples / self.batch_size))
-        self.shuffle = isinstance(getattr(torch_loader, "sampler", None),
-                                  tud.RandomSampler)
-        self._widths = None
-        try:    # peek ONE item for the width check (map-style datasets)
-            item = torch_loader.dataset[0]
-            xs = item[0]
-            if len(item) > 2 and item[2] is not None:
+        dataset = torch_loader.dataset
+        self._iterable = isinstance(dataset, tud.IterableDataset)
+
+        def _len(obj):
+            if obj is None:
+                return None
+            try:
+                return len(obj)
+            except TypeError:
+                return None
+
+        batch_sampler = getattr(torch_loader, "batch_sampler", None)
+        if torch_loader.batch_size is not None:
+            # Automatic batching: geometry from the sampler / DataLoader
+            # lengths (len(dataset) over-counts under a subset sampler;
+            # an unsized IterableDataset leaves both None -> counted).
+            self.batch_size = torch_loader.batch_size
+            if self._iterable:
+                self.n_samples = _len(dataset)
+            else:
+                self.n_samples = _len(getattr(torch_loader, "sampler",
+                                              None))
+                if self.n_samples is None:
+                    self.n_samples = _len(dataset)
+            self.n_batches = _len(torch_loader)
+            if self.n_batches is None and self.n_samples is not None:
+                self.n_batches = max(
+                    1, math.ceil(self.n_samples / self.batch_size))
+        elif isinstance(batch_sampler, tud.BatchSampler):
+            # DataLoader(batch_sampler=...) has batch_size=None; a standard
+            # BatchSampler's geometry is exact without iterating it (which
+            # would consume a random sampler's rng draw).
+            if getattr(batch_sampler, "drop_last", False):
                 raise NotImplementedError(
-                    "TorchStreamingLoader does not carry encoding "
-                    "sequences; use ArrayLoader (via interop.adapt_loader) "
-                    "for sequence-carrying datasets.")
-            self._widths = [int(np.prod(np.asarray(x).shape)) for x in xs]
-        except (TypeError, IndexError, KeyError):
-            pass    # iterable-style dataset: widths checked at runtime
+                    "BatchSampler(drop_last=True) has no equivalent here; "
+                    "use drop_last=False")
+            self.batch_size = batch_sampler.batch_size
+            self.n_batches = _len(batch_sampler)
+            self.n_samples = _len(getattr(batch_sampler, "sampler", None))
+            if self.n_samples is None and self.n_batches is not None:
+                self.n_samples = self.n_batches * self.batch_size
+        else:
+            # batch_size=None with no (standard) batch_sampler is either
+            # torch's UNBATCHED mode (per-sample items) or a custom
+            # batch_sampler whose batch shapes we cannot bound — both break
+            # the static-shape padded-batch contract. Reject loudly rather
+            # than mis-deriving geometry (review finding: the old fallback
+            # silently corrupted metrics and fit_best selection).
+            raise NotImplementedError(
+                "TorchStreamingLoader needs a DataLoader with automatic "
+                "batching (batch_size=N) or a standard "
+                "torch.utils.data.BatchSampler; unbatched loaders "
+                "(batch_size=None) and custom batch_samplers have no "
+                "static batch geometry for the jitted per-batch step.")
+
+        if self._iterable:
+            self.shuffle = False    # ordering is the dataset's own
+        else:
+            sampler = batch_sampler.sampler \
+                if torch_loader.batch_size is None else \
+                getattr(torch_loader, "sampler", None)
+            self.shuffle = not isinstance(sampler, tud.SequentialSampler)
+        self._widths = None
+        if not self._iterable:
+            try:    # peek ONE item for the width check (map-style)
+                item = dataset[0]
+                xs = item[0]
+                if len(item) > 2 and item[2] is not None:
+                    raise NotImplementedError(
+                        "TorchStreamingLoader does not carry encoding "
+                        "sequences; use ArrayLoader (via "
+                        "interop.adapt_loader) for sequence-carrying "
+                        "datasets.")
+                self._widths = [int(np.prod(np.asarray(x).shape))
+                                for x in xs]
+            except (TypeError, IndexError, KeyError):
+                pass    # non-indexable dataset: widths checked at runtime
 
     @property
     def modality_widths(self):
         return self._widths
 
     def __len__(self) -> int:
+        if self.n_batches is None:
+            raise TypeError(
+                "this TorchStreamingLoader wraps an unsized iterable "
+                "dataset; its batch count is only known after iterating "
+                "an epoch")
         return self.n_batches
 
     def reshuffle(self):
@@ -169,6 +251,11 @@ class TorchStreamingLoader:
             if y.ndim == 1:
                 y = y[:, None]
             n = y.shape[0]
+            if n > B:
+                raise ValueError(
+                    f"the torch loader yielded a batch of {n} rows, "
+                    f"larger than the declared batch_size {B}; the "
+                    f"static-shape jitted step cannot serve it")
             mask = np.zeros((B,), np.float32)
             mask[:n] = 1.0
             data = []
@@ -180,6 +267,20 @@ class TorchStreamingLoader:
             targets = np.zeros((B, y.shape[1]), np.int32)
             targets[:n] = y
             yield data, targets, mask
+
+
+def _zero_grid_sums(E: int, D: int):
+    """Zeroed device-resident accumulators for one epoch's metric grids —
+    the streaming twins of the fused programs' per-epoch sums (one entry
+    per ``core.step._GRID_KEYS``; keep in lockstep with that list)."""
+    return {
+        "err_loss": jnp.zeros((E + 1, D)),
+        "state_change": jnp.zeros((E,)),
+        "n_correct": jnp.zeros((E + 1, D)),
+        "tp": jnp.zeros((E + 1, D)), "tn": jnp.zeros((E + 1, D)),
+        "fp": jnp.zeros((E + 1, D)), "fn": jnp.zeros((E + 1, D)),
+        "n_counted": jnp.zeros((E + 1,)),
+    }
 
 
 def _check_streaming_model(model):
@@ -241,14 +342,7 @@ def train_epoch_streaming(model, loader: StreamingLoader, optimizer,
     step = model._fn_cache[key]
 
     E, D = len(model.encoders), len(model.decoders)
-    sums = {
-        "err_loss": jnp.zeros((E + 1, D)),
-        "state_change": jnp.zeros((E,)),
-        "n_correct": jnp.zeros((E + 1, D)),
-        "tp": jnp.zeros((E + 1, D)), "tn": jnp.zeros((E + 1, D)),
-        "fp": jnp.zeros((E + 1, D)), "fn": jnp.zeros((E + 1, D)),
-        "n_counted": jnp.zeros((E + 1,)),
-    }
+    sums = _zero_grid_sums(E, D)
     rng = jax.random.fold_in(jax.random.PRNGKey(model._seed),
                              model._epoch_counter)
     model._epoch_counter += 1
@@ -261,11 +355,18 @@ def train_epoch_streaming(model, loader: StreamingLoader, optimizer,
 
     # Double buffer: put batch k+1 on device while batch k computes (JAX
     # dispatch is async, so device_put overlaps the in-flight step).
+    # Batch/sample counts come from the ITERATED batches (the host-side
+    # numpy masks), not declared loader geometry — ground truth for
+    # unsized iterable-style torch loaders and bit-equal to the declared
+    # geometry for sized ones.
     it = loader.iter_batches()
     pending: Optional[tuple] = None
+    n_samples = 0
 
     def put(batch):
+        nonlocal n_samples
         data, targets, mask = batch
+        n_samples += int(mask.sum())
         return (tuple(jax.device_put(d) for d in data),
                 jax.device_put(targets), jax.device_put(mask))
 
@@ -282,9 +383,9 @@ def train_epoch_streaming(model, loader: StreamingLoader, optimizer,
             data, targets, mask, batch_rng)
         b += 1
 
-    model._advance_cycle(loader.n_samples)
+    model._advance_cycle(n_samples)
     stats = jax.tree_util.tree_map(
-        np.asarray, epoch_reduction(sums, loader.n_batches,
+        np.asarray, epoch_reduction(sums, max(1, b),
                                     model.ones_initialized_counts))
     if history is not None:
         history.append_epoch("train", stats,
@@ -351,14 +452,7 @@ def test_epoch_streaming(model, loader: StreamingLoader, criterion=None,
     estep = model._fn_cache[key]
 
     E, D = len(model.encoders), len(model.decoders)
-    sums = {
-        "err_loss": jnp.zeros((E + 1, D)),
-        "state_change": jnp.zeros((E,)),
-        "n_correct": jnp.zeros((E + 1, D)),
-        "tp": jnp.zeros((E + 1, D)), "tn": jnp.zeros((E + 1, D)),
-        "fp": jnp.zeros((E + 1, D)), "fn": jnp.zeros((E + 1, D)),
-        "n_counted": jnp.zeros((E + 1,)),
-    }
+    sums = _zero_grid_sums(E, D)
     offset = model._cycle_base()
     if offset is None:
         offset = jnp.zeros((), jnp.int32)
@@ -376,10 +470,12 @@ def test_epoch_streaming(model, loader: StreamingLoader, criterion=None,
         tgt_parts.append(targets)
         mask_parts.append(mask)
         b += 1
-    model._advance_cycle(loader.n_samples)
+    # Counted geometry (see train_epoch_streaming): exact for unsized
+    # iterable loaders, equal to the declared values for sized ones.
+    model._advance_cycle(int(sum(m.sum() for m in mask_parts)))
 
     stats = jax.tree_util.tree_map(
-        np.asarray, epoch_reduction(sums, loader.n_batches,
+        np.asarray, epoch_reduction(sums, max(1, b),
                                     model.ones_initialized_counts))
     if history is not None:
         history.append_epoch(tag, stats)
@@ -507,6 +603,12 @@ def fit_best_streaming(model, train_loader: StreamingLoader, optimizer,
         model._fn_cache[key] = (tstep, vstep, select)
     tstep, vstep, select = model._fn_cache[key]
 
+    if val_loader.n_batches is None:
+        raise NotImplementedError(
+            "fit_best_streaming preallocates device-resident val-output "
+            "buffers, which needs sized val geometry; this val_loader "
+            "wraps an unsized iterable dataset (n_batches unknown). Use "
+            "a sized val loader (the train loader may stay unsized).")
     rng = jax.random.fold_in(jax.random.PRNGKey(model._seed),
                              model._epoch_counter)
     offset = model._cycle_base()
@@ -518,25 +620,19 @@ def fit_best_streaming(model, train_loader: StreamingLoader, optimizer,
     n_val = val_loader.n_batches * val_loader.batch_size
     E, D = len(model.encoders), len(model.decoders)
     scores = []
-
-    def zero_sums():
-        return {
-            "err_loss": jnp.zeros((E + 1, D)),
-            "state_change": jnp.zeros((E,)),
-            "n_correct": jnp.zeros((E + 1, D)),
-            "tp": jnp.zeros((E + 1, D)), "tn": jnp.zeros((E + 1, D)),
-            "fp": jnp.zeros((E + 1, D)), "fn": jnp.zeros((E + 1, D)),
-            "n_counted": jnp.zeros((E + 1,)),
-        }
+    total_samples = 0
 
     def put(batch):
+        nonlocal total_samples
         data, targets, mask = batch
+        total_samples += int(mask.sum())
         return (tuple(jax.device_put(d) for d in data),
                 jax.device_put(targets), jax.device_put(mask))
 
     for eid in range(epochs):
         erng = jax.random.fold_in(rng, jnp.asarray(eid))
-        tsums, vsums = zero_sums(), zero_sums()
+        tsums = _zero_grid_sums(E, D)
+        vsums = _zero_grid_sums(E, D)
         # --- train sweep (double-buffered) ---
         it = train_loader.iter_batches()
         nxt = next(it, None)
@@ -551,6 +647,7 @@ def fit_best_streaming(model, train_loader: StreamingLoader, optimizer,
             params, opt_state, tsums, offset = tstep(
                 params, opt_state, tsums, offset, data, targets, mask, brng)
             b += 1
+        n_train_batches = b
         # --- val sweep into device-resident buffers ---
         bufs = [jnp.zeros((n_val, dec.n_classes)) for dec in model.decoders]
         tbuf = jnp.zeros((n_val, D), jnp.int32)
@@ -560,6 +657,12 @@ def fit_best_streaming(model, train_loader: StreamingLoader, optimizer,
         pending = None
         b = 0
         while nxt is not None:
+            if b >= val_loader.n_batches:
+                raise ValueError(
+                    f"the val loader yielded more batches than its "
+                    f"declared n_batches={val_loader.n_batches}; the "
+                    f"selection buffers would overflow (is a custom "
+                    f"sampler's length wrong?)")
             cur = pending if pending is not None else put(nxt)
             nxt = next(it, None)
             pending = put(nxt) if nxt is not None else None
@@ -569,6 +672,7 @@ def fit_best_streaming(model, train_loader: StreamingLoader, optimizer,
                 params, vsums, offset, bufs, tbuf, mbuf,
                 jnp.asarray(b, jnp.int32), data, targets, mask, brng)
             b += 1
+        n_val_batches = b
         best, score = select(best, params, bufs, tbuf, mbuf,
                              jnp.asarray(eid))
         scores.append(score)     # device scalar; fetched once at the end
@@ -576,19 +680,18 @@ def fit_best_streaming(model, train_loader: StreamingLoader, optimizer,
             on_epoch({"epoch": eid, "score": float(score)})
         if history is not None:
             tstats = jax.tree_util.tree_map(np.asarray, epoch_reduction(
-                tsums, train_loader.n_batches,
+                tsums, max(1, n_train_batches),
                 model.ones_initialized_counts))
             history.append_epoch("train", tstats,
                                  state_change=tstats["state_change_loss"])
             vstats = jax.tree_util.tree_map(np.asarray, epoch_reduction(
-                vsums, val_loader.n_batches,
+                vsums, max(1, n_val_batches),
                 model.ones_initialized_counts))
             history.append_epoch(val_tag, vstats)
 
     model.params, model.opt_state = params, opt_state
     model._epoch_counter += epochs
-    model._advance_cycle(
-        epochs * (train_loader.n_samples + val_loader.n_samples))
+    model._advance_cycle(total_samples)
     best_params, best_score, best_epoch = best
     best_params_np = jax.tree_util.tree_map(np.asarray, best_params)
     if restore_best:

@@ -51,10 +51,15 @@ _ON_EPOCH_CELL: list = [None]
 
 
 def _experiment_on_epoch_dispatch(payload):
+    # Payloads from stopped folds still fire under the vmapped while_loop
+    # (the body runs for frozen lanes); the program marks them _active=0 —
+    # drop them so the "once per fold per executed epoch" contract holds.
+    if not bool(payload.get("_active", True)):
+        return
     cb = _ON_EPOCH_CELL[0]
     if cb is not None:
         cb({k: (int(v) if k == "epoch" else float(v))
-            for k, v in payload.items()})
+            for k, v in payload.items() if k != "_active"})
 # sweep_fit_best's outer jit wrapper, keyed on the (cached) fit program it
 # wraps: jitting a fresh closure per call re-traced the whole fused program
 # every call (~15 s at the bench config), defeating the structural cache

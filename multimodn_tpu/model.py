@@ -726,10 +726,15 @@ class MultiModN:
         callbacks reuse the same traced program (programs are cached on
         callback PRESENCE, not identity); payloads are guaranteed delivered
         before fit/fit_best returns (jax.effects_barrier)."""
+        # _active=0 marks a phantom emission from a frozen while_loop lane
+        # (only reachable when the early-stop program runs under vmap);
+        # the single-model path always emits _active=1 — strip the key.
+        if not bool(payload.get("_active", True)):
+            return
         cb = self._on_epoch_user
         if cb is not None:
             cb({k: (int(v) if k == "epoch" else float(v))
-                for k, v in payload.items()})
+                for k, v in payload.items() if k != "_active"})
 
     def fit(
         self,

@@ -258,15 +258,31 @@ def _sm_eval_scan(loss_fn, data_axis, scan_unroll,
     return run
 
 
-def _fit_specs(n_modalities, data_axis, with_val: bool, extra_out: int):
+def _fit_specs(n_modalities, data_axis, with_val: bool, extra_out: int,
+               extra_scalars: int = 0):
+    """Shared in/out spec layout for every shard_map fit program. The
+    trailing replicated scalars are epoch_ids + rng, with
+    ``extra_scalars`` additional replicated operands (e.g. the early-stop
+    program's traced ``patience``) inserted between them."""
     dspec = P(None, data_axis) if n_modalities is None else \
         tuple(P(None, data_axis) for _ in range(n_modalities))
     in_specs = [P(), P(), dspec, P(None, data_axis), P(None, data_axis)]
     if with_val:
         in_specs += [dspec, P(None, data_axis), P(None, data_axis)]
-    in_specs += [P(), P()]                      # epoch_ids, rng
+    in_specs += [P()] * (2 + extra_scalars)     # epoch_ids[, extras], rng
     out_specs = (P(),) * extra_out
     return tuple(in_specs), out_specs
+
+
+def _gathered_selection_score(binary_decoders, data_axis):
+    """The shared single-program selection score, with shard-LOCAL
+    flattened arrays all_gather'd into global ones (flatten the device
+    axis back out). AUROC (rank-based) and BAC (count-based) are
+    sample-order-invariant, so gather order is immaterial."""
+    from multimodn_tpu.core.step import make_selection_score
+    gather = lambda x: jax.lax.all_gather(x, data_axis).reshape(
+        (-1,) + x.shape[1:])
+    return make_selection_score(binary_decoders, gather=gather)
 
 
 def make_shard_map_fit_fn(loss_fn, tx, mesh: Mesh, with_val: bool,
@@ -330,18 +346,11 @@ def make_shard_map_select_fit_fn(loss_fn, tx, mesh: Mesh, binary_decoders,
     AUROC (rank-based) and BAC (count-based) are sample-order-invariant, so
     gather order is immaterial. Signature matches make_select_fit_fn's
     (without seqs/offset0)."""
-    from multimodn_tpu.core.step import make_selection_score
-
     train_epoch = _sm_train_scan(loss_fn, tx, data_axis, scan_unroll,
                                  gate_empty_batches)
     eval_epoch = _sm_eval_scan(loss_fn, data_axis, scan_unroll,
                                with_final_outputs=True)
-
-    # The shared single-program score, with shard-LOCAL flattened arrays
-    # all_gather'd into global ones (flatten the device axis back out).
-    gather = lambda x: jax.lax.all_gather(x, data_axis).reshape(
-        (-1,) + x.shape[1:])
-    selection_score = make_selection_score(binary_decoders, gather=gather)
+    selection_score = _gathered_selection_score(binary_decoders, data_axis)
 
     def device_fit(params, opt_state, data, targets, mask,
                    vdata, vtargets, vmask, epoch_ids, rng):
@@ -389,15 +398,13 @@ def make_shard_map_select_fit_early_stop_fn(
     the auto engine's. Signature matches make_select_fit_early_stop_fn's
     (without seqs/offset0); semantics equal the auto program over the
     executed epochs (tests/test_shard_map.py)."""
-    from multimodn_tpu.core.step import (_update_best, make_selection_score)
+    from multimodn_tpu.core.step import _update_best
 
     train_epoch = _sm_train_scan(loss_fn, tx, data_axis, scan_unroll,
                                  gate_empty_batches)
     eval_epoch = _sm_eval_scan(loss_fn, data_axis, scan_unroll,
                                with_final_outputs=True)
-    gather = lambda x: jax.lax.all_gather(x, data_axis).reshape(
-        (-1,) + x.shape[1:])
-    selection_score = make_selection_score(binary_decoders, gather=gather)
+    selection_score = _gathered_selection_score(binary_decoders, data_axis)
 
     def device_fit(params, opt_state, data, targets, mask,
                    vdata, vtargets, vmask, epoch_ids, patience, rng):
@@ -450,12 +457,8 @@ def make_shard_map_select_fit_early_stop_fn(
         return (params, opt_state, tbuf, vbuf,
                 best_params, best_score, best_epoch, sbuf, i)
 
-    dspec = P(None, data_axis) if n_modalities is None else \
-        tuple(P(None, data_axis) for _ in range(n_modalities))
-    in_specs = (P(), P(), dspec, P(None, data_axis), P(None, data_axis),
-                dspec, P(None, data_axis), P(None, data_axis), P(), P(),
-                P())
-    out_specs = (P(),) * 9
+    in_specs, out_specs = _fit_specs(n_modalities, data_axis, True, 9,
+                                     extra_scalars=1)    # patience
     fit = jax.shard_map(device_fit, mesh=mesh, in_specs=in_specs,
                         out_specs=out_specs, check_vma=False)
     return jax.jit(fit, donate_argnums=(1,))

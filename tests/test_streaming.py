@@ -483,3 +483,133 @@ def test_torch_streaming_loader_validation():
     # shuffle detection (fit_best_streaming then rejects it)
     sh = TorchStreamingLoader(_torch_pair_loader(ds, 16, shuffle=True))
     assert sh.shuffle
+
+
+def test_torch_streaming_batch_sampler_geometry():
+    """DataLoader(batch_sampler=...) has batch_size=None — geometry must
+    come from the BatchSampler (review finding: the old fallback derived
+    n_batches=1 and silently corrupted metrics and fit_best selection)."""
+    import torch.utils.data as tud
+
+    from multimodn_tpu.data import TorchStreamingLoader
+
+    ds = _setup(n=50, seed=21)
+    plain = _torch_pair_loader(ds, 16)
+    bs_loader = tud.DataLoader(
+        plain.dataset,
+        batch_sampler=tud.BatchSampler(
+            tud.SequentialSampler(plain.dataset), batch_size=16,
+            drop_last=False))
+    tl = TorchStreamingLoader(bs_loader)
+    assert (tl.n_samples, tl.batch_size, tl.n_batches) == (50, 16, 4)
+    assert not tl.shuffle
+
+    # Trains and selects equal to the plain batch_size=16 loader.
+    m1, m2 = _model(), _model()
+    h1, h2 = MultiModNHistory(["t"]), MultiModNHistory(["t"])
+    train_epoch_streaming(m1, TorchStreamingLoader(plain), Adam(0.01),
+                          "cross_entropy", h1)
+    train_epoch_streaming(m2, tl, Adam(0.01), "cross_entropy", h2)
+    np.testing.assert_allclose(h1.loss["train"][0], h2.loss["train"][0],
+                               rtol=1e-6, atol=1e-7)
+
+    # A SUBSET sampler's geometry comes from the sampler, not the dataset.
+    sub = tud.DataLoader(
+        plain.dataset,
+        sampler=tud.SequentialSampler(range(32)), batch_size=16)
+    tsub = TorchStreamingLoader(sub)
+    assert (tsub.n_samples, tsub.n_batches) == (32, 2)
+
+
+def test_torch_streaming_iterable_dataset():
+    """Iterable-style torch datasets (the larger-than-memory use case the
+    docstring advertises) must construct and train — review finding: the
+    old init crashed on len(dataset). Unsized geometry is counted during
+    iteration; fit_best_streaming needs a sized val loader and says so."""
+    import pytest
+    import torch
+    import torch.utils.data as tud
+
+    from multimodn_tpu.data import (TorchStreamingLoader,
+                                    fit_best_streaming,
+                                    test_epoch_streaming)
+
+    ds = _setup(n=50, seed=22)
+
+    class _It(tud.IterableDataset):
+        def __iter__(self):
+            for i in range(len(ds)):
+                xs, y = ds[i][:2]
+                yield ([torch.from_numpy(np.ascontiguousarray(x,
+                                                              np.float32))
+                        for x in xs], torch.as_tensor(np.asarray(y)))
+
+    it_loader = tud.DataLoader(_It(), batch_size=16)
+    tl = TorchStreamingLoader(it_loader)
+    assert tl.n_samples is None and tl.n_batches is None
+    assert not tl.shuffle
+    with pytest.raises(TypeError, match="unsized"):
+        len(tl)
+
+    # Streamed train/eval over the unsized loader == the map-style run.
+    m1, m2 = _model(), _model()
+    h1, h2 = MultiModNHistory(["t"]), MultiModNHistory(["t"])
+    train_epoch_streaming(m1, TorchStreamingLoader(_torch_pair_loader(
+        ds, 16)), Adam(0.01), "cross_entropy", h1)
+    train_epoch_streaming(m2, tl, Adam(0.01), "cross_entropy", h2)
+    np.testing.assert_allclose(h1.loss["train"][0], h2.loss["train"][0],
+                               rtol=1e-6, atol=1e-7)
+    r1 = m1.test(ArrayLoader(ds, 16), "cross_entropy")
+    r2 = test_epoch_streaming(m2, tl, "cross_entropy")
+    np.testing.assert_allclose(r1[0][:4], r2[0][:4], rtol=1e-6, atol=1e-7)
+
+    # Selection needs sized val geometry (preallocated buffers).
+    with pytest.raises(NotImplementedError, match="unsized iterable"):
+        fit_best_streaming(_model(), tl, Adam(0.01), "cross_entropy",
+                           epochs=1, val_loader=TorchStreamingLoader(
+                               tud.DataLoader(_It(), batch_size=16)))
+
+
+def test_torch_streaming_sampler_rejections_and_shuffle():
+    """Conservative sampler handling (review findings): any non-sequential
+    sampler counts as shuffled; unbatched loaders and custom
+    batch_samplers (no static batch geometry) are rejected loudly."""
+    import pytest
+    import torch.utils.data as tud
+
+    from multimodn_tpu.data import TorchStreamingLoader, fit_best_streaming
+
+    ds = _setup(n=32, seed=23)
+    plain = _torch_pair_loader(ds, 16)
+
+    # SubsetRandomSampler reshuffles every epoch: must read as shuffled,
+    # and fit_best_streaming must reject it (the old RandomSampler-only
+    # check silently accepted it).
+    srs = tud.DataLoader(plain.dataset,
+                         sampler=tud.SubsetRandomSampler(list(range(32))),
+                         batch_size=16)
+    tl = TorchStreamingLoader(srs)
+    assert tl.shuffle
+    with pytest.raises(NotImplementedError, match="shuffle"):
+        fit_best_streaming(_model(), tl, Adam(0.01), "cross_entropy",
+                           epochs=1, val_loader=tl)
+
+    # Unbatched mode (batch_size=None, no batch_sampler): no batch
+    # geometry for the static-shape step.
+    unbatched = tud.DataLoader(plain.dataset, batch_size=None)
+    with pytest.raises(NotImplementedError, match="automatic batching"):
+        TorchStreamingLoader(unbatched)
+
+    # A custom (non-BatchSampler) batch_sampler may change batch shapes
+    # per epoch: rejected rather than mis-derived.
+    class _OddBatches:
+        def __iter__(self):
+            yield list(range(10))
+            yield list(range(10, 32))
+
+        def __len__(self):
+            return 2
+
+    custom = tud.DataLoader(plain.dataset, batch_sampler=_OddBatches())
+    with pytest.raises(NotImplementedError, match="BatchSampler"):
+        TorchStreamingLoader(custom)
