@@ -163,7 +163,7 @@ def _cached_select_fit(template, criterion, optimizer, order, per_batch,
 def _shard_map_experiment_fit(template, criterion, optimizer, order,
                               binary, gate_empty: bool, patience,
                               reshuffle: bool, per_batch: bool, mesh,
-                              loaders):
+                              loaders, with_on_epoch: bool = False):
     """Build the explicit-engine fused select-fit for the experiment
     programs (VERDICT r3 next-#3: the shard_map story extended to
     kfold/sweep). The fold/seed axis rides OUTSIDE the shard_map region via
@@ -199,7 +199,7 @@ def _shard_map_experiment_fit(template, criterion, optimizer, order,
             else ("fn", criterion)
         key = ("shard_map", sig, crit_key, opt_sig, tuple(order),
                tuple(binary), gate_empty, patience is not None,
-               template.mesh)
+               template.mesh, with_on_epoch)
         try:
             cached = _FIT_PROGRAM_CACHE.get(key)
         except TypeError:
@@ -218,7 +218,8 @@ def _shard_map_experiment_fit(template, criterion, optimizer, order,
         if patience is not None else make_shard_map_select_fit_fn
     fit = builder(
         loss_fn, optimizer.tx, template.mesh, binary, n_mod,
-        scan_unroll=template.scan_unroll, gate_empty_batches=gate_empty)
+        scan_unroll=template.scan_unroll, gate_empty_batches=gate_empty,
+        on_epoch=_experiment_on_epoch_dispatch if with_on_epoch else None)
     fit._mmtpu_cached = key is not None
     if key is not None:
         _FIT_PROGRAM_CACHE[key] = fit
@@ -274,8 +275,9 @@ def kfold_fit_best(
     FOLD per epoch with {"epoch", "train_loss", "val_loss", "score"}
     (epoch id identifies the epoch; fold attribution is unspecified —
     vmap unrolls the emissions anonymously). Delivery is guaranteed
-    before the call returns; auto-engine only (the shard_map experiment
-    path rejects it like MultiModN does).
+    before the call returns. Works under BOTH engines: shard_map
+    programs emit once per fold per epoch from the mesh-origin shard
+    (parallel/shard_map_step._sm_emit_epoch).
 
     ``patience``: optional on-device early stopping per fold (same Keras
     semantics as ``MultiModN.fit_best``). Under vmap the while_loop runs
@@ -418,15 +420,10 @@ def kfold_fit_best(
     # Folds get padded to a common batch count -> empty batches exist, so the
     # exact-skip gating must be on here.
     if template.dp_engine == "shard_map":
-        if on_epoch is not None:
-            raise NotImplementedError(
-                "on_epoch is not supported under dp_engine='shard_map' "
-                "experiment programs (per-device emission — same rule as "
-                "MultiModN); use auto-engine factories or chunked "
-                "fit_best_resumable per fold.")
         fit = _shard_map_experiment_fit(
             template, criterion, optimizer, order, binary, True, patience,
-            reshuffle, per_batch, mesh, all_loaders)
+            reshuffle, per_batch, mesh, all_loaders,
+            with_on_epoch=on_epoch is not None)
     else:
         fit = _cached_select_fit(template, criterion, optimizer, order,
                                  per_batch, binary, gate_empty=True,
@@ -637,13 +634,10 @@ def sweep_fit_best(
                                 template._batch_seqs(train_loader))
 
     if template.dp_engine == "shard_map":
-        if on_epoch is not None:
-            raise NotImplementedError(
-                "on_epoch is not supported under dp_engine='shard_map' "
-                "experiment programs (same rule as kfold_fit_best).")
         fit = _shard_map_experiment_fit(
             template, criterion, optimizer, order, binary, False, patience,
-            reshuffle, per_batch, mesh, (train_loader, val_loader))
+            reshuffle, per_batch, mesh, (train_loader, val_loader),
+            with_on_epoch=on_epoch is not None)
     else:
         fit = _cached_select_fit(template, criterion, optimizer, order,
                                  per_batch, binary, gate_empty=False,

@@ -697,29 +697,6 @@ class MultiModN:
             return self.test(train_loader, criterion, history=None)
         return None
 
-    def _check_on_epoch(self, on_epoch):
-        """Progress-callback envelope. Single-device: ordered callbacks
-        (payloads arrive in epoch order). Auto-engine meshes: UNORDERED
-        callbacks (XLA rejects ordered effects in multi-device
-        executables) — one callback per epoch with the global scalars,
-        epoch id in the payload, arrival order not guaranteed, delivery
-        before the call returns still guaranteed. shard_map engine:
-        rejected BEFORE any state swap — the emission site lives inside
-        the per-device region and would fire once PER DEVICE per epoch;
-        use the auto engine for callback-monitored mesh runs, or chunked
-        ``checkpoint.fit_resumable(chunk_epochs=...)`` (tested in
-        tests/test_callbacks.py) for explicit-engine progress."""
-        if on_epoch is None:
-            return
-        if self.dp_engine == "shard_map":
-            raise NotImplementedError(
-                "on_epoch is not supported under dp_engine='shard_map' "
-                "(the emission site is inside the per-device shard_map "
-                "region and would fire once per device per epoch). Use "
-                "the auto engine — meshed auto models stream unordered "
-                "per-epoch payloads — or monitor explicit-engine runs via "
-                "chunked checkpoint.fit_resumable(chunk_epochs=...).")
-
     def _dispatch_on_epoch(self, payload):
         """The ONE host-side sink baked into callback-enabled programs.
         Reads the per-call user callback from a mutable cell, so different
@@ -756,9 +733,12 @@ class MultiModN:
         before this method returns. Costs one host round-trip per epoch —
         leave None for maximum throughput. Different callbacks reuse the
         same traced program (cached on presence). Single-device: payloads
-        arrive in epoch order. Meshed auto-engine models: unordered
-        delivery (the epoch id is in the payload); shard_map engine:
-        rejected — see ``_check_on_epoch``.
+        arrive in epoch order. Meshed models (auto AND shard_map
+        engines): unordered delivery (XLA rejects ordered effects in
+        multi-device executables; the epoch id is in the payload) with
+        the GLOBAL scalars — the shard_map engine emits once per epoch
+        from the mesh-origin shard
+        (parallel/shard_map_step._sm_emit_epoch).
 
         Equivalent to the reference pipelines' host loop of
         ``train_epoch(...); test(..., tag='val')`` per epoch
@@ -777,7 +757,6 @@ class MultiModN:
         # epoch on one frozen order.
         reshuffle = bool(getattr(train_loader, "shuffle", False))
         self._validate_fused_shuffle(reshuffle, train_loader)
-        self._check_on_epoch(on_epoch)
         if self.dp_engine == "shard_map":
             self._shard_map_fused_guards(reshuffle, train_loader, val_loader)
         data, targets, mask = self._place(train_loader)
@@ -795,9 +774,15 @@ class MultiModN:
             self._opt = optimizer
             self.opt_state = optimizer.init(self.params)
 
+        # Ordered (in-epoch-order) callbacks are only legal in
+        # SINGLE-device executables; the executable's device count follows
+        # the INPUT placement, so a mesh-free model fed a loader that a
+        # meshed model already sharded still needs unordered emission.
+        on_epoch_ordered = self.mesh is None and \
+            getattr(train_loader, "sharding", None) is None
         key = ("fit", _cache_key(criterion), order, self.nan_skip,
                _cache_key(optimizer.tx), with_val, reshuffle, per_batch,
-               self.dp_engine, on_epoch is not None)
+               self.dp_engine, on_epoch is not None, on_epoch_ordered)
         if key not in self._fn_cache:
             loss_fn = self._loss_fn(
                 criterion, order, self.nan_skip, per_batch,
@@ -810,14 +795,16 @@ class MultiModN:
                     else len(self.encoders)
                 self._fn_cache[key] = make_shard_map_fit_fn(
                     loss_fn, optimizer.tx, self.mesh, with_val, n_mod,
-                    scan_unroll=self.scan_unroll)
+                    scan_unroll=self.scan_unroll,
+                    on_epoch=None if on_epoch is None
+                    else self._dispatch_on_epoch)
             else:
                 self._fn_cache[key] = make_fit_fn(
                     loss_fn, optimizer.tx, with_val,
                     scan_unroll=self.scan_unroll, reshuffle=reshuffle,
                     on_epoch=None if on_epoch is None
                     else self._dispatch_on_epoch,
-                    on_epoch_ordered=self.mesh is None)
+                    on_epoch_ordered=on_epoch_ordered)
         fn = self._fn_cache[key]
         self._on_epoch_user = on_epoch
 
@@ -938,7 +925,6 @@ class MultiModN:
         criterion = resolve_criterion(criterion)
         reshuffle = bool(getattr(train_loader, "shuffle", False))
         self._validate_fused_shuffle(reshuffle, train_loader)
-        self._check_on_epoch(on_epoch)
         if patience is not None and patience < 1:
             raise ValueError(f"patience must be >= 1, got {patience}")
         if self.dp_engine == "shard_map":
@@ -959,9 +945,13 @@ class MultiModN:
             self.opt_state = optimizer.init(self.params)
 
         early_stop = patience is not None
+        # See fit(): orderedness follows the actual input placement.
+        on_epoch_ordered = self.mesh is None and \
+            getattr(train_loader, "sharding", None) is None
         key = ("fit_best", _cache_key(criterion), order, self.nan_skip,
                _cache_key(optimizer.tx), reshuffle, per_batch,
-               self.dp_engine, early_stop, on_epoch is not None)
+               self.dp_engine, early_stop, on_epoch is not None,
+               on_epoch_ordered)
         if key not in self._fn_cache:
             loss_fn = self._loss_fn(
                 criterion, order, self.nan_skip, per_batch,
@@ -978,7 +968,9 @@ class MultiModN:
                     if early_stop else make_shard_map_select_fit_fn
                 self._fn_cache[key] = builder(
                     loss_fn, optimizer.tx, self.mesh, binary, n_mod,
-                    scan_unroll=self.scan_unroll)
+                    scan_unroll=self.scan_unroll,
+                    on_epoch=None if on_epoch is None
+                    else self._dispatch_on_epoch)
             elif early_stop:
                 from multimodn_tpu.core.step import \
                     make_select_fit_early_stop_fn
@@ -987,14 +979,14 @@ class MultiModN:
                     scan_unroll=self.scan_unroll, reshuffle=reshuffle,
                     on_epoch=None if on_epoch is None
                     else self._dispatch_on_epoch,
-                    on_epoch_ordered=self.mesh is None)
+                    on_epoch_ordered=on_epoch_ordered)
             else:
                 self._fn_cache[key] = make_select_fit_fn(
                     loss_fn, optimizer.tx, binary,
                     scan_unroll=self.scan_unroll, reshuffle=reshuffle,
                     on_epoch=None if on_epoch is None
                     else self._dispatch_on_epoch,
-                    on_epoch_ordered=self.mesh is None)
+                    on_epoch_ordered=on_epoch_ordered)
         fn = self._fn_cache[key]
         self._on_epoch_user = on_epoch
 

@@ -54,6 +54,37 @@ def _psum_grids(aux, scale, data_axis):
     return sums
 
 
+def _sm_emit_epoch(on_epoch, axis_names, active=None, **scalars):
+    """Per-epoch progress from INSIDE the shard_map region (the auto
+    engine's ``core.step._emit_epoch_callback`` twin). Every shard holds
+    the same global (psum'd / all_gather-derived) scalars, so emission is
+    gated to the mesh-origin shard (all axis indices 0) via ``lax.cond``
+    — a bare ``jax.debug.callback`` here would fire once per device per
+    epoch. The predicate is uniform across any outer fold/seed vmap lanes
+    (axis_index does not depend on them), so the cond stays a real branch
+    under the experiment programs' vmap and exactly one payload per lane
+    per epoch leaves the region. Unordered: multi-device executables
+    reject ordered effects.
+
+    ``active``: the early-stop liveness flag (see _emit_epoch_callback);
+    payloads from frozen vmap lanes carry ``_active=0`` and are dropped
+    by the host dispatcher."""
+    if on_epoch is None:
+        return
+    payload = dict(scalars)
+    if active is not None:
+        payload["_active"] = active
+    is_origin = jnp.asarray(True)
+    for a in axis_names:
+        is_origin = jnp.logical_and(is_origin, jax.lax.axis_index(a) == 0)
+
+    def emit(_):
+        jax.debug.callback(on_epoch, payload, ordered=False)
+        return 0
+
+    jax.lax.cond(is_origin, emit, lambda _: 0, operand=None)
+
+
 def _sm_batch_update(loss_fn, tx, data_axis, gate_empty: bool = False):
     """The one explicit-DP train-batch body every shard_map engine program
     shares (single step, epoch scan, fused fit/select-fit): global-weighted
@@ -287,15 +318,18 @@ def _gathered_selection_score(binary_decoders, data_axis):
 
 def make_shard_map_fit_fn(loss_fn, tx, mesh: Mesh, with_val: bool,
                           n_modalities, data_axis: str = "data",
-                          scan_unroll=None):
+                          scan_unroll=None, on_epoch=None):
     """Explicit-collective twin of ``core.step.make_fit_fn``: N epochs
     (optionally each followed by a validation sweep) inside ONE shard_map
     region. Signature matches make_fit_fn's (without seqs/offset0 — the
     shard_map engine rejects per-batch sequences and StaticInitState at the
-    model layer). Numerically equivalent to the auto engine
+    model layer). ``on_epoch`` streams the same global per-epoch payloads
+    as the auto engine's, emitted once from the mesh-origin shard
+    (_sm_emit_epoch). Numerically equivalent to the auto engine
     (tests/test_shard_map.py)."""
     train_epoch = _sm_train_scan(loss_fn, tx, data_axis, scan_unroll)
     eval_epoch = _sm_eval_scan(loss_fn, data_axis, scan_unroll)
+    axes = mesh.axis_names
 
     if with_val:
         def device_fit(params, opt_state, data, targets, mask,
@@ -306,6 +340,12 @@ def make_shard_map_fit_fn(loss_fn, tx, mesh: Mesh, with_val: bool,
                 params, opt_state, tsums = train_epoch(
                     params, opt_state, data, targets, mask, erng)
                 vsums = eval_epoch(params, vdata, vtargets, vmask, erng)
+                _sm_emit_epoch(
+                    on_epoch, axes, epoch=eid,
+                    train_loss=jnp.mean(tsums["err_loss"])
+                    / targets.shape[0],
+                    val_loss=jnp.mean(vsums["err_loss"])
+                    / vtargets.shape[0])
                 return (params, opt_state), (tsums, vsums)
 
             (params, opt_state), (tsums, vsums) = jax.lax.scan(
@@ -321,6 +361,10 @@ def make_shard_map_fit_fn(loss_fn, tx, mesh: Mesh, with_val: bool,
                 erng = jax.random.fold_in(rng, eid)
                 params, opt_state, tsums = train_epoch(
                     params, opt_state, data, targets, mask, erng)
+                _sm_emit_epoch(
+                    on_epoch, axes, epoch=eid,
+                    train_loss=jnp.mean(tsums["err_loss"])
+                    / targets.shape[0])
                 return (params, opt_state), tsums
 
             (params, opt_state), tsums = jax.lax.scan(
@@ -337,7 +381,8 @@ def make_shard_map_fit_fn(loss_fn, tx, mesh: Mesh, with_val: bool,
 def make_shard_map_select_fit_fn(loss_fn, tx, mesh: Mesh, binary_decoders,
                                  n_modalities, data_axis: str = "data",
                                  scan_unroll=None,
-                                 gate_empty_batches: bool = False):
+                                 gate_empty_batches: bool = False,
+                                 on_epoch=None):
     """Explicit-collective twin of ``core.step.make_select_fit_fn`` (the
     fused MIMIC protocol: train + val + on-device AUROC+BAC best-checkpoint
     selection). The per-epoch selection score needs GLOBAL validation
@@ -351,6 +396,7 @@ def make_shard_map_select_fit_fn(loss_fn, tx, mesh: Mesh, binary_decoders,
     eval_epoch = _sm_eval_scan(loss_fn, data_axis, scan_unroll,
                                with_final_outputs=True)
     selection_score = _gathered_selection_score(binary_decoders, data_axis)
+    axes = mesh.axis_names
 
     def device_fit(params, opt_state, data, targets, mask,
                    vdata, vtargets, vmask, epoch_ids, rng):
@@ -364,6 +410,11 @@ def make_shard_map_select_fit_fn(loss_fn, tx, mesh: Mesh, binary_decoders,
                 params, opt_state, data, targets, mask, erng)
             vsums, outputs = eval_epoch(params, vdata, vtargets, vmask, erng)
             score = selection_score(outputs, vtargets, vmask)
+            _sm_emit_epoch(
+                on_epoch, axes, epoch=eid,
+                train_loss=jnp.mean(tsums["err_loss"]) / targets.shape[0],
+                val_loss=jnp.mean(vsums["err_loss"]) / vtargets.shape[0],
+                score=score)
             best_params, best_score, best_epoch = best
             improved = score > best_score
             best_params = jax.tree_util.tree_map(
@@ -388,7 +439,7 @@ def make_shard_map_select_fit_fn(loss_fn, tx, mesh: Mesh, binary_decoders,
 def make_shard_map_select_fit_early_stop_fn(
         loss_fn, tx, mesh: Mesh, binary_decoders, n_modalities,
         data_axis: str = "data", scan_unroll=None,
-        gate_empty_batches: bool = False):
+        gate_empty_batches: bool = False, on_epoch=None):
     """Explicit-collective twin of ``core.step.make_select_fit_early_stop_fn``
     (fused select-fit with ON-DEVICE early stopping): the epoch loop is a
     ``lax.while_loop`` INSIDE the shard_map region. Every quantity the stop
@@ -405,6 +456,7 @@ def make_shard_map_select_fit_early_stop_fn(
     eval_epoch = _sm_eval_scan(loss_fn, data_axis, scan_unroll,
                                with_final_outputs=True)
     selection_score = _gathered_selection_score(binary_decoders, data_axis)
+    axes = mesh.axis_names
 
     def device_fit(params, opt_state, data, targets, mask,
                    vdata, vtargets, vmask, epoch_ids, patience, rng):
@@ -413,18 +465,24 @@ def make_shard_map_select_fit_early_stop_fn(
                  jnp.full((), -jnp.inf), jnp.asarray(-1, jnp.int32))
         patience = jnp.asarray(patience, jnp.int32)
 
-        def epoch_step(params, opt_state, i):
+        def epoch_step(params, opt_state, i, active):
             eid = epoch_ids[i]
             erng = jax.random.fold_in(rng, eid)
             params, opt_state, tsums = train_epoch(
                 params, opt_state, data, targets, mask, erng)
             vsums, outputs = eval_epoch(params, vdata, vtargets, vmask, erng)
             score = selection_score(outputs, vtargets, vmask)
+            _sm_emit_epoch(
+                on_epoch, axes, active=active, epoch=eid,
+                train_loss=jnp.mean(tsums["err_loss"]) / targets.shape[0],
+                val_loss=jnp.mean(vsums["err_loss"]) / vtargets.shape[0],
+                score=score)
             return params, opt_state, tsums, vsums, score, eid
 
         # Preallocate stacked per-epoch outputs (abstract shapes only).
         t_sh, v_sh = jax.eval_shape(
-            lambda p, o: epoch_step(p, o, jnp.zeros((), jnp.int32))[2:4],
+            lambda p, o: epoch_step(p, o, jnp.zeros((), jnp.int32),
+                                    jnp.ones((), jnp.bool_))[2:4],
             params, opt_state)
         tbuf0 = jax.tree_util.tree_map(
             lambda s: jnp.zeros((n_epochs,) + s.shape, s.dtype), t_sh)
@@ -438,8 +496,9 @@ def make_shard_map_select_fit_early_stop_fn(
 
         def body(carry):
             params, opt_state, best, i, since, tbuf, vbuf, sbuf = carry
+            active = jnp.logical_and(i < n_epochs, since < patience)
             params, opt_state, tsums, vsums, score, eid = epoch_step(
-                params, opt_state, i)
+                params, opt_state, i, active)
             best, improved = _update_best(best, params, score, eid)
             since = jnp.where(improved, 0, since + 1)
             tbuf = jax.tree_util.tree_map(

@@ -157,25 +157,35 @@ def test_mesh_on_epoch_fit_best_with_patience():
         rtol=1e-5, atol=1e-6)
 
 
-def test_shard_map_rejects_on_epoch():
+def test_shard_map_on_epoch():
+    """The explicit engine streams the same per-epoch payloads as the
+    auto engine: emission happens inside the shard_map region but is
+    gated to the mesh-origin shard (_sm_emit_epoch), so exactly one
+    unordered payload per epoch arrives with the GLOBAL scalars (this
+    used to be rejected; the mesh-level equality lives in
+    test_shard_map.py)."""
     from multimodn_tpu.parallel import make_mesh
     tl, vl = _setup(5)
     mesh = make_mesh(axis_names=("data",))
     m = MultiModN(2, [MLPEncoder(2, 3, (4,)), MLPEncoder(2, 3, (4,))],
                   [LogisticDecoder(2)], 0.7, 0.3, mesh=mesh,
                   dp_engine="shard_map")
-    with pytest.raises(NotImplementedError, match="auto engine"):
-        m.fit(tl, Adam(0.01), "cross_entropy", epochs=2,
-              on_epoch=lambda p: None)
-    with pytest.raises(NotImplementedError, match="fit_resumable"):
-        m.fit_best(tl, Adam(0.01), "cross_entropy", epochs=2,
-                   val_loader=vl, on_epoch=lambda p: None)
+    seen = []
+    m.fit(tl, Adam(0.01), "cross_entropy", epochs=2, on_epoch=seen.append)
+    assert [p["epoch"] for p in sorted(seen, key=lambda p: p["epoch"])] \
+        == [0, 1]
+    seen2 = []
+    r = m.fit_best(tl, Adam(0.01), "cross_entropy", epochs=2,
+                   val_loader=vl, on_epoch=seen2.append)
+    assert len(seen2) == 2
+    np.testing.assert_allclose(sorted(p["score"] for p in seen2),
+                               sorted(r["scores"]), rtol=1e-5, atol=1e-6)
 
 
 def test_chunked_fit_resumable_progress_pattern():
-    """The documented explicit-engine progress pattern: chunked
-    fit_resumable surfaces per-chunk progress on the host while matching
-    one-shot training exactly (the _check_on_epoch error points here)."""
+    """The chunked-fit_resumable progress pattern: per-chunk host
+    progress while matching one-shot training exactly (works under every
+    engine, including ones with no in-program emission)."""
     import tempfile
 
     from multimodn_tpu import MultiModNHistory

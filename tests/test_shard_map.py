@@ -452,3 +452,77 @@ def test_shard_map_fit_best_patience_matches_auto():
     np.testing.assert_allclose(np.asarray(es["scores"]),
                                np.asarray(full["scores"])[:es["epochs_ran"]],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_shard_map_on_epoch_matches_auto():
+    """Round 4 (lifting the last progress guard): the explicit engine's
+    fused programs stream on_epoch payloads from INSIDE the shard_map
+    region — emission gated to the mesh-origin shard (_sm_emit_epoch), so
+    exactly one unordered payload per epoch leaves, and every scalar
+    equals the auto engine's (fit, fit_best, and the early-stop
+    while_loop program)."""
+    # fit: payload multiset equal across engines.
+    payloads = {}
+    for engine in ("auto", "shard_map"):
+        model, tr, va = _dp_pair(engine)
+        seen = []
+        model.fit(tr, Adam(0.01), "cross_entropy", epochs=3,
+                  val_loader=va, on_epoch=seen.append)
+        assert len(seen) == 3, engine
+        payloads[engine] = sorted(
+            (p["epoch"], round(p["train_loss"], 6), round(p["val_loss"], 6))
+            for p in seen)
+    assert payloads["auto"] == payloads["shard_map"]
+
+    # fit_best with patience: one payload per EXECUTED epoch, scores
+    # matching the run's own, no internal liveness key leaking.
+    for engine in ("auto", "shard_map"):
+        model, tr, va = _dp_pair(engine, seed=6)
+        seen = []
+        r = model.fit_best(tr, Adam(0.01), "cross_entropy", epochs=10,
+                           patience=2, val_loader=va, on_epoch=seen.append)
+        assert len(seen) == r["epochs_ran"], engine
+        np.testing.assert_allclose(sorted(p["score"] for p in seen),
+                                   sorted(r["scores"]), rtol=1e-5,
+                                   atol=1e-6)
+        assert not any("_active" in p for p in seen)
+
+
+def test_shard_map_experiment_on_epoch():
+    """Experiment-scale progress under the explicit engine: the fold/seed
+    vmap rides over the shard_map region, the origin-shard cond stays a
+    real branch (its predicate is uniform across lanes), and one payload
+    per fold per EXECUTED epoch arrives — including under patience, where
+    frozen folds' phantom emissions are dropped via _active."""
+    from multimodn_tpu.experiments import kfold_fit_best, sweep_fit_best
+
+    _, folds, _ = _sm_fold_setup(seed=29)
+
+    def make(seed):
+        return MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                         [LogisticDecoder(3)], 1.0, 0.0, seed=seed,
+                         mesh=make_mesh(axis_names=("data",)),
+                         dp_engine="shard_map")
+
+    seen = []
+    res = kfold_fit_best(make, folds, Adam(0.01), "cross_entropy",
+                         epochs=3, on_epoch=seen.append)
+    expected = sorted((e, round(float(r["scores"][e]), 5))
+                      for r in res for e in range(3))
+    got = sorted((p["epoch"], round(p["score"], 5)) for p in seen)
+    assert expected == got
+
+    seen2 = []
+    res2 = kfold_fit_best(make, folds, Adam(0.01), "cross_entropy",
+                          epochs=10, patience=1, on_epoch=seen2.append)
+    expected2 = sorted((e, round(float(r["scores"][e]), 5))
+                       for r in res2 for e in range(r["epochs_ran"]))
+    got2 = sorted((p["epoch"], round(p["score"], 5)) for p in seen2)
+    assert expected2 == got2
+    assert not any("_active" in p for p in seen2)
+
+    seen3 = []
+    tr, va = folds[0]
+    sweep_fit_best(make, tr, va, Adam(0.01), "cross_entropy", epochs=2,
+                   seeds=(0, 1), on_epoch=seen3.append)
+    assert len(seen3) == 4
