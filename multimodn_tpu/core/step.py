@@ -143,9 +143,27 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
     def _presence_penalty_term(states, data, sample_mask):
         """Missingness-weighted mean squared state delta over PRESENT rows,
         averaged over execution steps (static ``order``: execution k reads
-        row order[k-1].enc+1 -> order[k].enc+1)."""
+        row order[k-1].enc+1 -> order[k].enc+1).
+
+        Under the explicit shard_map engine (``nan_axis`` set) the penalty
+        must equal the single-device value, not a shard-local one. The
+        data-only statistics (valid/missing/present COUNTS) carry no
+        gradient path, so they psum into global counts; the
+        parameter-dependent numerator (sum of present-row state deltas)
+        stays LOCAL so each shard's gradient contribution is its own rows'.
+        The engine multiplies every shard's loss by ``scale = n_local /
+        n_global`` before the grad psum (``_sm_batch_update``), which is
+        the wrong weighting for this term — so the local term is
+        pre-divided by that exact scale: ``psum_i(scale_i * pen_i/scale_i)
+        = psum_i(pen_i)`` = the global penalty, with unweighted per-shard
+        gradients. Outside shard_map (nan_axis=None) every psum is the
+        identity and the expression reduces to the original single-device
+        one; the auto engine's GSPMD reductions make it global on meshes."""
+        psum = (lambda v: jax.lax.psum(v, nan_axis)) if nan_axis \
+            else (lambda v: v)
         mask_b = sample_mask > 0
-        n_valid = jnp.maximum(jnp.sum(sample_mask.astype(jnp.float32)), 1.0)
+        local_valid = jnp.sum(sample_mask.astype(jnp.float32))
+        n_valid = jnp.maximum(psum(local_valid), 1.0)
         prev = states[0]
         pen = jnp.zeros(())
         for k, (d_idx, e_idx) in enumerate(order):
@@ -153,16 +171,24 @@ def make_batch_loss_fn(encoders, decoders, init_state, criterion,
             x = data[d_idx] if isinstance(data, tuple) else data[:, d_idx]
             missing = _sample_missing(x) & mask_b
             present = (~_sample_missing(x)) & mask_b
-            miss_frac = jnp.sum(missing.astype(jnp.float32)) / n_valid
+            miss_frac = psum(jnp.sum(missing.astype(jnp.float32))) / n_valid
             delta = jnp.mean(
                 (cur.astype(jnp.float32) - prev.astype(jnp.float32)) ** 2,
                 axis=-1)
             pres_f = present.astype(jnp.float32)
             present_delta = jnp.sum(delta * pres_f) / \
-                jnp.maximum(jnp.sum(pres_f), 1.0)
+                jnp.maximum(psum(jnp.sum(pres_f)), 1.0)
             pen = pen + miss_frac * present_delta
             prev = cur
-        return pen / max(len(order), 1)
+        pen = pen / max(len(order), 1)
+        if nan_axis:
+            # Cancel _sm_batch_update's scale exactly (same max-guarded
+            # denominator); a zero-valid shard contributes zero (its
+            # present-row sums are zero already).
+            pen = jnp.where(local_valid > 0,
+                            pen * n_valid / jnp.maximum(local_valid, 1.0),
+                            0.0)
+        return pen
 
     def loss_fn(params, data, targets, sample_mask, rng, init_offset,
                 train: bool, seq=None):

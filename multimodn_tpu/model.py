@@ -186,12 +186,6 @@ class MultiModN:
         if dp_engine == "shard_map":
             if mesh is None:
                 raise ValueError("dp_engine='shard_map' requires a mesh")
-            if presence_penalty:
-                raise NotImplementedError(
-                    "presence_penalty under dp_engine='shard_map' would "
-                    "compute shard-LOCAL missingness fractions (a different "
-                    "penalty than single-device); use the auto engine — its "
-                    "GSPMD reductions keep the penalty global.")
             if "model" in mesh.axis_names and mesh.shape["model"] > 1:
                 raise ValueError(
                     "dp_engine='shard_map' is data-parallel only (its "
@@ -296,9 +290,14 @@ class MultiModN:
 
     def _sm_nan_axis(self):
         """Data-axis name for shard_map-engine loss fns: the batch-granular
-        any-NaN decision must psum across shards (fusion.global_any);
-        sample/none modes compose shard-locally and skip the collective."""
-        return "data" if self.nan_skip == "batch" else None
+        any-NaN decision must psum across shards (fusion.global_any), and
+        presence_penalty's missingness statistics must be GLOBAL counts
+        (core.step._presence_penalty_term) — both thread the axis name into
+        the loss. Plain sample/none modes compose shard-locally and skip
+        the collective."""
+        if self.nan_skip == "batch" or self.presence_penalty:
+            return "data"
+        return None
 
     def _train_fn(self, criterion, order, optimizer, per_batch: bool = False):
         key = ("train", _cache_key(criterion), order, self.nan_skip,

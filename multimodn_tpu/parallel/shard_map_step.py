@@ -14,7 +14,12 @@ the MNAR headline's — granularity, ``multimodn.py:167-169``) threads
 ``nan_axis='data'`` into the loss so each encoder step psums one any-NaN
 flag and every shard takes the IDENTICAL whole-batch skip decision
 (``fusion.global_any``) — verified equal to single-device and to the auto
-engine in tests/test_shard_map.py.
+engine in tests/test_shard_map.py. ``presence_penalty`` similarly threads
+the axis name so its missingness statistics psum into GLOBAL counts while
+the parameter-dependent present-row delta sums stay shard-local,
+pre-divided by this engine's loss scale (see
+``core.step._presence_penalty_term``) — equal to single-device
+(tests/test_presence.py).
 
 Semantics: identical to the auto-sharded step — per-device batch shards
 compute local grads and local metric grids; ``psum`` averages grads by

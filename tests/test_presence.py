@@ -115,14 +115,6 @@ def test_presence_knob_validation():
     ds = PartitionDataset(X, yy, [4, 4])
     with pytest.raises(ValueError, match="STATIC"):
         m.train_epoch(ArrayLoader(ds, 16), Adam(0.01), "cross_entropy")
-    # shard_map engine rejects the penalty (shard-local missingness
-    # fractions would change the semantics).
-    import jax
-    from multimodn_tpu.parallel import make_mesh
-    with pytest.raises(NotImplementedError, match="presence_penalty"):
-        MultiModN(3, enc, dec, 1.0, 0.0, presence_penalty=1.0,
-                  mesh=make_mesh(axis_names=("data",)),
-                  dp_engine="shard_map")
 
 
 def test_presence_penalty_in_kfold_program_signature():
@@ -181,6 +173,48 @@ def test_presence_penalty_on_mesh_matches_single_device():
     for shape, names in (((8,), ("data",)), ((4, 2), ("data", "model"))):
         g, p = run(make_mesh(shape, names))
         np.testing.assert_allclose(g0, g, rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(p0),
+                        jax.tree_util.tree_leaves(p)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_presence_penalty_shard_map_matches_single_device():
+    """The explicit shard_map engine computes the penalty GLOBALLY: the
+    data-only missingness statistics psum over the data axis while the
+    present-row delta numerator stays shard-local and is pre-divided by
+    the engine's n_local/n_global loss scale, so the psum of scaled shard
+    losses (and their gradients) equals the single-device penalty exactly
+    (core.step._presence_penalty_term). The NaN layout below concentrates
+    all missingness in a FEW shards' rows — the case where a shard-local
+    missingness fraction would diverge hardest from the global one."""
+    import jax
+
+    from multimodn_tpu import MultiModNHistory
+    from multimodn_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(13)
+    XA = rng.normal(size=(128, 4)).astype(np.float32)
+    XB = rng.normal(size=(128, 4)).astype(np.float32)
+    y = (0.8 * XA[:, 0] + 2.0 * XB[:, 0] > 0).astype(np.int64)[:, None]
+    XB[:40] = np.nan     # contiguous: batch 0 shards 0-7 all-NaN..all-present
+    train_ds = PartitionDataset(np.concatenate([XA, XB], 1), y, [4, 4])
+
+    def run(mesh, engine):
+        m = _model(presence_penalty=10.0, mesh=mesh, dp_engine=engine)
+        h = MultiModNHistory(["t"])
+        r = m.fit_best(ArrayLoader(train_ds, 32), Adam(0.01),
+                       "cross_entropy", epochs=3, history=h,
+                       val_loader=ArrayLoader(train_ds, 32))
+        return np.asarray(h.loss["train"]), np.asarray(r["scores"]), \
+            m.state_dict()
+
+    g0, s0, p0 = run(None, "auto")
+    mesh = make_mesh((8,), ("data",))
+    for engine in ("auto", "shard_map"):
+        g, s, p = run(mesh, engine)
+        np.testing.assert_allclose(g0, g, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(s0, s, rtol=1e-5, atol=1e-6)
         for a, b in zip(jax.tree_util.tree_leaves(p0),
                         jax.tree_util.tree_leaves(p)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
