@@ -475,12 +475,11 @@ class MultiModN:
         explicit engine supports the same envelope as its train_epoch path,
         plus multi-epoch scans). Runs BEFORE _place so a rejected call gets
         the actionable error (not device_put's sharding complaint) and
-        uploads nothing."""
-        if self._static_cycle():
-            raise ValueError(
-                "dp_engine='shard_map' cannot serve a StaticInitState bank: "
-                "each shard would index the bank by LOCAL batch positions, "
-                "not the global round-robin. Use the auto engine.")
+        uploads nothing. StaticInitState banks are served with the GLOBAL
+        round-robin: each shard adds ``axis_index * B_local`` to the carried
+        cycle offset (parallel/shard_map_step._sm_local_offset), so bank
+        indexing equals the auto engine's and the reference's lifetime
+        iterator."""
         if reshuffle:
             raise NotImplementedError(
                 "dp_engine='shard_map' fused fit cannot honor shuffle=True "
@@ -625,14 +624,6 @@ class MultiModN:
         train_loader = adapt_loader(train_loader)
         optimizer = adapt_optimizer(optimizer)
         criterion = resolve_criterion(criterion)
-        if self._static_cycle() and self.dp_engine == "shard_map":
-            # Validate BEFORE mutating host state (loader order, program
-            # caches, counters): a rejected call must leave the model as if
-            # it never happened.
-            raise ValueError(
-                "dp_engine='shard_map' cannot serve a StaticInitState bank: "
-                "each shard would index the bank by LOCAL batch positions, "
-                "not the global round-robin. Use the auto engine.")
         if self._opt is not optimizer or self.opt_state is None:
             self._opt = optimizer
             self.opt_state = optimizer.init(self.params)

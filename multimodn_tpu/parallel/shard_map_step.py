@@ -90,6 +90,31 @@ def _sm_emit_epoch(on_epoch, axis_names, active=None, **scalars):
     jax.lax.cond(is_origin, emit, lambda _: 0, operand=None)
 
 
+def _off0(offset0):
+    """Base cycle offset for the jitted wrappers (None -> 0; matches
+    ``core.step._base_offset``)."""
+    return jnp.zeros((), jnp.int32) if offset0 is None else \
+        jnp.asarray(offset0, jnp.int32)
+
+
+def _sm_local_offset(offset, local_batch: int, data_axis):
+    """Per-shard init-state offset: shard r's local row i is GLOBAL row
+    ``r * B_local + i``, so adding ``axis_index * B_local`` to the carried
+    offset makes ``StaticInitState``'s modular gather (``offset +
+    arange(B_local)``) index the bank by global positions — the reference's
+    lifetime round-robin (``state.py:41``), bit-equal to the auto engine's
+    ``offset + arange(B_global)``. Offset-free init states ignore the
+    argument (XLA DCEs the add)."""
+    return jnp.asarray(offset, jnp.int32) + \
+        jax.lax.axis_index(data_axis) * local_batch
+
+
+def _sm_advance_offset(offset, global_valid):
+    """Advance the carried cycle offset by the batch's GLOBAL valid count
+    (the auto engine's ``core.step._advance_offset`` on the psum'd mask)."""
+    return jnp.asarray(offset, jnp.int32) + global_valid.astype(jnp.int32)
+
+
 def _sm_batch_update(loss_fn, tx, data_axis, gate_empty: bool = False):
     """The one explicit-DP train-batch body every shard_map engine program
     shares (single step, epoch scan, fused fit/select-fit): global-weighted
@@ -101,13 +126,17 @@ def _sm_batch_update(loss_fn, tx, data_axis, gate_empty: bool = False):
     experiment programs pad every fold to a common batch count (Adam
     moments must stay bit-identical to never having seen the batch).
 
+    ``offset`` is the GLOBAL StaticInitState cycle offset (samples served
+    so far); the per-shard correction happens here (_sm_local_offset).
+
     Returns (params, opt_state, sums, loss, aux, global_valid, scale)."""
 
     def update(params, opt_state, data, targets, mask, rng, offset):
         global_valid, scale = _global_scale(mask, data_axis)
+        local_off = _sm_local_offset(offset, targets.shape[0], data_axis)
 
         def scaled_loss(p):
-            loss, aux = loss_fn(p, data, targets, mask, rng, offset, True)
+            loss, aux = loss_fn(p, data, targets, mask, rng, local_off, True)
             return loss * scale, aux
 
         (loss, aux), grads = jax.value_and_grad(scaled_loss, has_aux=True)(
@@ -146,18 +175,23 @@ def make_shard_map_train_step(loss_fn, tx, mesh: Mesh, n_modalities: int,
     """
     batch_update = _sm_batch_update(loss_fn, tx, data_axis)
 
-    def device_step(params, opt_state, data, targets, mask, rng):
+    def device_step(params, opt_state, data, targets, mask, rng, offset0):
         params, opt_state, sums, _, _, _, _ = batch_update(
-            params, opt_state, data, targets, mask, rng, jnp.zeros(()))
+            params, opt_state, data, targets, mask, rng, offset0)
         return params, opt_state, sums
 
     data_specs = tuple(P(data_axis) for _ in range(n_modalities))
-    in_specs = (P(), P(), data_specs, P(data_axis), P(data_axis), P())
+    in_specs = (P(), P(), data_specs, P(data_axis), P(data_axis), P(), P())
     out_specs = (P(), P(), P())
 
-    step = jax.shard_map(device_step, mesh=mesh, in_specs=in_specs,
-                         out_specs=out_specs, check_vma=False)
-    return jax.jit(step)
+    step = jax.jit(jax.shard_map(device_step, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_vma=False))
+
+    def fn(params, opt_state, data, targets, mask, rng, offset0=None):
+        return step(params, opt_state, data, targets, mask, rng,
+                    _off0(offset0))
+
+    return fn
 
 
 def make_shard_map_epoch_fn(loss_fn, tx, mesh: Mesh, n_modalities: int,
@@ -188,7 +222,8 @@ def make_shard_map_epoch_fn(loss_fn, tx, mesh: Mesh, n_modalities: int,
 
     batch_update = _sm_batch_update(loss_fn, tx, data_axis)
 
-    def device_epoch(params, opt_state, data, targets, sample_mask, rng):
+    def device_epoch(params, opt_state, data, targets, sample_mask, rng,
+                     offset0):
         n_batches = targets.shape[0]
 
         def body(carry, xs):
@@ -198,7 +233,7 @@ def make_shard_map_epoch_fn(loss_fn, tx, mesh: Mesh, n_modalities: int,
             params, opt_state, ys, loss, aux, global_valid, scale = \
                 batch_update(params, opt_state, batch_data, batch_targets,
                              batch_mask, batch_rng, offset)
-            offset = offset + global_valid
+            offset = _sm_advance_offset(offset, global_valid)
             ys["batch_log"] = jnp.stack([
                 jax.lax.psum(loss, data_axis),
                 jax.lax.psum(aux["global_err"] * scale, data_axis),
@@ -207,7 +242,7 @@ def make_shard_map_epoch_fn(loss_fn, tx, mesh: Mesh, n_modalities: int,
 
         xs = (data, targets, sample_mask, jnp.arange(n_batches))
         (params, opt_state, _), ys = jax.lax.scan(
-            body, (params, opt_state, jnp.zeros(())), xs,
+            body, (params, opt_state, jnp.asarray(offset0, jnp.int32)), xs,
             unroll=resolve_unroll(scan_unroll, n_batches))
         batch_log = ys.pop("batch_log")
         sums = {k: jnp.sum(v, axis=0) for k, v in ys.items()}
@@ -218,12 +253,18 @@ def make_shard_map_epoch_fn(loss_fn, tx, mesh: Mesh, n_modalities: int,
     else:
         data_specs = tuple(P(None, data_axis) for _ in range(n_modalities))
     in_specs = (P(), P(), data_specs, P(None, data_axis),
-                P(None, data_axis), P())
+                P(None, data_axis), P(), P())
     out_specs = (P(), P(), P(), P())
     epoch = jax.shard_map(device_epoch, mesh=mesh, in_specs=in_specs,
                           out_specs=out_specs, check_vma=False)
     donate_argnums = (0, 1) if donate else ()
-    return jax.jit(epoch, donate_argnums=donate_argnums)
+    jepoch = jax.jit(epoch, donate_argnums=donate_argnums)
+
+    def fn(params, opt_state, data, targets, sample_mask, rng, offset0=None):
+        return jepoch(params, opt_state, data, targets, sample_mask, rng,
+                      _off0(offset0))
+
+    return fn
 
 
 # ---------------------------------------------------------------------------
@@ -236,27 +277,31 @@ def make_shard_map_epoch_fn(loss_fn, tx, mesh: Mesh, n_modalities: int,
 def _sm_train_scan(loss_fn, tx, data_axis, scan_unroll,
                    gate_empty: bool = False):
     """Per-device one-epoch training scan with explicit collectives; the
-    shard_map twin of core.step._train_scan_body's epoch loop."""
+    shard_map twin of core.step._train_scan_body's epoch loop. ``offset``
+    is the StaticInitState cycle offset carried across batches/epochs
+    (advanced by each batch's GLOBAL valid count, like the auto engine's
+    run_train_epoch); offset-free init states never read it."""
     batch_update = _sm_batch_update(loss_fn, tx, data_axis, gate_empty)
 
-    def run(params, opt_state, data, targets, sample_mask, erng):
+    def run(params, opt_state, data, targets, sample_mask, erng, offset):
         n_batches = targets.shape[0]
 
         def body(carry, xs):
-            params, opt_state = carry
+            params, opt_state, offset = carry
             bd, bt, bm, bi = xs
             brng = jax.random.fold_in(erng, bi)
-            params, opt_state, ys, _, _, _, _ = batch_update(
-                params, opt_state, bd, bt, bm, brng, jnp.zeros(()))
-            return (params, opt_state), ys
+            params, opt_state, ys, _, _, global_valid, _ = batch_update(
+                params, opt_state, bd, bt, bm, brng, offset)
+            offset = _sm_advance_offset(offset, global_valid)
+            return (params, opt_state, offset), ys
 
         from multimodn_tpu.core.step import resolve_unroll
         xs = (data, targets, sample_mask, jnp.arange(n_batches))
-        (params, opt_state), ys = jax.lax.scan(
-            body, (params, opt_state), xs,
+        (params, opt_state, offset), ys = jax.lax.scan(
+            body, (params, opt_state, jnp.asarray(offset, jnp.int32)), xs,
             unroll=resolve_unroll(scan_unroll, n_batches))
-        return params, opt_state, {k: jnp.sum(v, axis=0)
-                                   for k, v in ys.items()}
+        return params, opt_state, offset, {k: jnp.sum(v, axis=0)
+                                           for k, v in ys.items()}
 
     return run
 
@@ -265,31 +310,35 @@ def _sm_eval_scan(loss_fn, data_axis, scan_unroll,
                   with_final_outputs: bool = False):
     """Per-device one-epoch eval scan with psum'd metric grids (and,
     optionally, the per-batch final-row decoder outputs kept LOCAL for the
-    selection all_gather)."""
+    selection all_gather). Carries the StaticInitState cycle offset like
+    the auto engine's run_eval_epoch: validation sweeps consume bank rows
+    exactly as the reference's shared lifetime iterator does."""
 
-    def run(params, data, targets, sample_mask, erng):
+    def run(params, data, targets, sample_mask, erng, offset):
         n_batches = targets.shape[0]
 
-        def body(carry, xs):
+        def body(offset, xs):
             bd, bt, bm, bi = xs
             brng = jax.random.fold_in(erng, bi)
-            _, scale = _global_scale(bm, data_axis)
-            _, aux = loss_fn(params, bd, bt, bm, brng, jnp.zeros(()), False)
+            global_valid, scale = _global_scale(bm, data_axis)
+            local_off = _sm_local_offset(offset, bt.shape[0], data_axis)
+            _, aux = loss_fn(params, bd, bt, bm, brng, local_off, False)
             ys = _psum_grids(aux, scale, data_axis)
             if with_final_outputs:
                 ys["final_outputs"] = aux["final_outputs"]
-            return carry, ys
+            return _sm_advance_offset(offset, global_valid), ys
 
         from multimodn_tpu.core.step import resolve_unroll
         xs = (data, targets, sample_mask, jnp.arange(n_batches))
-        _, ys = jax.lax.scan(body, (), xs,
-                             unroll=resolve_unroll(scan_unroll, n_batches))
+        offset, ys = jax.lax.scan(
+            body, jnp.asarray(offset, jnp.int32), xs,
+            unroll=resolve_unroll(scan_unroll, n_batches))
         sums = {k: jnp.sum(ys[k], axis=0) for k in _GRID_KEYS}
         if with_final_outputs:
             outputs = [o.reshape(-1, o.shape[-1])
                        for o in ys["final_outputs"]]
-            return sums, outputs
-        return sums
+            return offset, sums, outputs
+        return offset, sums
 
     return run
 
@@ -338,49 +387,57 @@ def make_shard_map_fit_fn(loss_fn, tx, mesh: Mesh, with_val: bool,
 
     if with_val:
         def device_fit(params, opt_state, data, targets, mask,
-                       vdata, vtargets, vmask, epoch_ids, rng):
+                       vdata, vtargets, vmask, epoch_ids, rng, offset0):
             def epoch_body(carry, eid):
-                params, opt_state = carry
+                params, opt_state, offset = carry
                 erng = jax.random.fold_in(rng, eid)
-                params, opt_state, tsums = train_epoch(
-                    params, opt_state, data, targets, mask, erng)
-                vsums = eval_epoch(params, vdata, vtargets, vmask, erng)
+                params, opt_state, offset, tsums = train_epoch(
+                    params, opt_state, data, targets, mask, erng, offset)
+                offset, vsums = eval_epoch(params, vdata, vtargets, vmask,
+                                           erng, offset)
                 _sm_emit_epoch(
                     on_epoch, axes, epoch=eid,
                     train_loss=jnp.mean(tsums["err_loss"])
                     / targets.shape[0],
                     val_loss=jnp.mean(vsums["err_loss"])
                     / vtargets.shape[0])
-                return (params, opt_state), (tsums, vsums)
+                return (params, opt_state, offset), (tsums, vsums)
 
-            (params, opt_state), (tsums, vsums) = jax.lax.scan(
-                epoch_body, (params, opt_state), epoch_ids)
+            (params, opt_state, _), (tsums, vsums) = jax.lax.scan(
+                epoch_body, (params, opt_state, offset0), epoch_ids)
             return params, opt_state, tsums, vsums
 
-        in_specs, out_specs = _fit_specs(n_modalities, data_axis, True, 4)
+        in_specs, out_specs = _fit_specs(n_modalities, data_axis, True, 4,
+                                         extra_scalars=1)
     else:
         def device_fit(params, opt_state, data, targets, mask,
-                       epoch_ids, rng):
+                       epoch_ids, rng, offset0):
             def epoch_body(carry, eid):
-                params, opt_state = carry
+                params, opt_state, offset = carry
                 erng = jax.random.fold_in(rng, eid)
-                params, opt_state, tsums = train_epoch(
-                    params, opt_state, data, targets, mask, erng)
+                params, opt_state, offset, tsums = train_epoch(
+                    params, opt_state, data, targets, mask, erng, offset)
                 _sm_emit_epoch(
                     on_epoch, axes, epoch=eid,
                     train_loss=jnp.mean(tsums["err_loss"])
                     / targets.shape[0])
-                return (params, opt_state), tsums
+                return (params, opt_state, offset), tsums
 
-            (params, opt_state), tsums = jax.lax.scan(
-                epoch_body, (params, opt_state), epoch_ids)
+            (params, opt_state, _), tsums = jax.lax.scan(
+                epoch_body, (params, opt_state, offset0), epoch_ids)
             return params, opt_state, tsums
 
-        in_specs, out_specs = _fit_specs(n_modalities, data_axis, False, 3)
+        in_specs, out_specs = _fit_specs(n_modalities, data_axis, False, 3,
+                                         extra_scalars=1)
 
     fit = jax.shard_map(device_fit, mesh=mesh, in_specs=in_specs,
                         out_specs=out_specs, check_vma=False)
-    return jax.jit(fit, donate_argnums=(0, 1))
+    jfit = jax.jit(fit, donate_argnums=(0, 1))
+
+    def fn(*args, offset0=None):
+        return jfit(*args, _off0(offset0))
+
+    return fn
 
 
 def make_shard_map_select_fit_fn(loss_fn, tx, mesh: Mesh, binary_decoders,
@@ -404,16 +461,17 @@ def make_shard_map_select_fit_fn(loss_fn, tx, mesh: Mesh, binary_decoders,
     axes = mesh.axis_names
 
     def device_fit(params, opt_state, data, targets, mask,
-                   vdata, vtargets, vmask, epoch_ids, rng):
+                   vdata, vtargets, vmask, epoch_ids, rng, offset0):
         best0 = (jax.tree_util.tree_map(lambda x: x, params),
                  jnp.full((), -jnp.inf), jnp.asarray(-1, jnp.int32))
 
         def epoch_body(carry, eid):
-            params, opt_state, best = carry
+            params, opt_state, best, offset = carry
             erng = jax.random.fold_in(rng, eid)
-            params, opt_state, tsums = train_epoch(
-                params, opt_state, data, targets, mask, erng)
-            vsums, outputs = eval_epoch(params, vdata, vtargets, vmask, erng)
+            params, opt_state, offset, tsums = train_epoch(
+                params, opt_state, data, targets, mask, erng, offset)
+            offset, vsums, outputs = eval_epoch(params, vdata, vtargets,
+                                                vmask, erng, offset)
             score = selection_score(outputs, vtargets, vmask)
             _sm_emit_epoch(
                 on_epoch, axes, epoch=eid,
@@ -427,18 +485,24 @@ def make_shard_map_select_fit_fn(loss_fn, tx, mesh: Mesh, binary_decoders,
             best = (best_params,
                     jnp.where(improved, score, best_score),
                     jnp.where(improved, eid.astype(jnp.int32), best_epoch))
-            return (params, opt_state, best), (tsums, vsums, score)
+            return (params, opt_state, best, offset), (tsums, vsums, score)
 
-        (params, opt_state, best), (tsums, vsums, scores) = jax.lax.scan(
-            epoch_body, (params, opt_state, best0), epoch_ids)
+        (params, opt_state, best, _), (tsums, vsums, scores) = jax.lax.scan(
+            epoch_body, (params, opt_state, best0, offset0), epoch_ids)
         best_params, best_score, best_epoch = best
         return (params, opt_state, tsums, vsums,
                 best_params, best_score, best_epoch, scores)
 
-    in_specs, out_specs = _fit_specs(n_modalities, data_axis, True, 8)
+    in_specs, out_specs = _fit_specs(n_modalities, data_axis, True, 8,
+                                     extra_scalars=1)
     fit = jax.shard_map(device_fit, mesh=mesh, in_specs=in_specs,
                         out_specs=out_specs, check_vma=False)
-    return jax.jit(fit, donate_argnums=(1,))
+    jfit = jax.jit(fit, donate_argnums=(1,))
+
+    def fn(*args, offset0=None):
+        return jfit(*args, _off0(offset0))
+
+    return fn
 
 
 def make_shard_map_select_fit_early_stop_fn(
@@ -464,30 +528,33 @@ def make_shard_map_select_fit_early_stop_fn(
     axes = mesh.axis_names
 
     def device_fit(params, opt_state, data, targets, mask,
-                   vdata, vtargets, vmask, epoch_ids, patience, rng):
+                   vdata, vtargets, vmask, epoch_ids, patience, rng,
+                   offset0):
         n_epochs = epoch_ids.shape[0]
         best0 = (jax.tree_util.tree_map(lambda x: x, params),
                  jnp.full((), -jnp.inf), jnp.asarray(-1, jnp.int32))
         patience = jnp.asarray(patience, jnp.int32)
 
-        def epoch_step(params, opt_state, i, active):
+        def epoch_step(params, opt_state, offset, i, active):
             eid = epoch_ids[i]
             erng = jax.random.fold_in(rng, eid)
-            params, opt_state, tsums = train_epoch(
-                params, opt_state, data, targets, mask, erng)
-            vsums, outputs = eval_epoch(params, vdata, vtargets, vmask, erng)
+            params, opt_state, offset, tsums = train_epoch(
+                params, opt_state, data, targets, mask, erng, offset)
+            offset, vsums, outputs = eval_epoch(params, vdata, vtargets,
+                                                vmask, erng, offset)
             score = selection_score(outputs, vtargets, vmask)
             _sm_emit_epoch(
                 on_epoch, axes, active=active, epoch=eid,
                 train_loss=jnp.mean(tsums["err_loss"]) / targets.shape[0],
                 val_loss=jnp.mean(vsums["err_loss"]) / vtargets.shape[0],
                 score=score)
-            return params, opt_state, tsums, vsums, score, eid
+            return params, opt_state, offset, tsums, vsums, score, eid
 
         # Preallocate stacked per-epoch outputs (abstract shapes only).
         t_sh, v_sh = jax.eval_shape(
-            lambda p, o: epoch_step(p, o, jnp.zeros((), jnp.int32),
-                                    jnp.ones((), jnp.bool_))[2:4],
+            lambda p, o: epoch_step(p, o, offset0,
+                                    jnp.zeros((), jnp.int32),
+                                    jnp.ones((), jnp.bool_))[3:5],
             params, opt_state)
         tbuf0 = jax.tree_util.tree_map(
             lambda s: jnp.zeros((n_epochs,) + s.shape, s.dtype), t_sh)
@@ -496,14 +563,15 @@ def make_shard_map_select_fit_early_stop_fn(
         sbuf0 = jnp.zeros((n_epochs,), jnp.float32)
 
         def cond(carry):
-            (_p, _o, _b, i, since, _tb, _vb, _sb) = carry
+            (_p, _o, _b, _off, i, since, _tb, _vb, _sb) = carry
             return jnp.logical_and(i < n_epochs, since < patience)
 
         def body(carry):
-            params, opt_state, best, i, since, tbuf, vbuf, sbuf = carry
+            params, opt_state, best, offset, i, since, tbuf, vbuf, sbuf = \
+                carry
             active = jnp.logical_and(i < n_epochs, since < patience)
-            params, opt_state, tsums, vsums, score, eid = epoch_step(
-                params, opt_state, i, active)
+            params, opt_state, offset, tsums, vsums, score, eid = epoch_step(
+                params, opt_state, offset, i, active)
             best, improved = _update_best(best, params, score, eid)
             since = jnp.where(improved, 0, since + 1)
             tbuf = jax.tree_util.tree_map(
@@ -511,18 +579,25 @@ def make_shard_map_select_fit_early_stop_fn(
             vbuf = jax.tree_util.tree_map(
                 lambda buf, v: buf.at[i].set(v), vbuf, vsums)
             sbuf = sbuf.at[i].set(score)
-            return (params, opt_state, best, i + 1, since, tbuf, vbuf, sbuf)
+            return (params, opt_state, best, offset, i + 1, since,
+                    tbuf, vbuf, sbuf)
 
-        carry0 = (params, opt_state, best0, jnp.zeros((), jnp.int32),
+        carry0 = (params, opt_state, best0, offset0,
+                  jnp.zeros((), jnp.int32),
                   jnp.zeros((), jnp.int32), tbuf0, vbuf0, sbuf0)
-        (params, opt_state, best, i, _since, tbuf, vbuf, sbuf) = \
+        (params, opt_state, best, _off, i, _since, tbuf, vbuf, sbuf) = \
             jax.lax.while_loop(cond, body, carry0)
         best_params, best_score, best_epoch = best
         return (params, opt_state, tbuf, vbuf,
                 best_params, best_score, best_epoch, sbuf, i)
 
     in_specs, out_specs = _fit_specs(n_modalities, data_axis, True, 9,
-                                     extra_scalars=1)    # patience
+                                     extra_scalars=2)   # patience, offset0
     fit = jax.shard_map(device_fit, mesh=mesh, in_specs=in_specs,
                         out_specs=out_specs, check_vma=False)
-    return jax.jit(fit, donate_argnums=(1,))
+    jfit = jax.jit(fit, donate_argnums=(1,))
+
+    def fn(*args, offset0=None):
+        return jfit(*args, _off0(offset0))
+
+    return fn

@@ -526,3 +526,56 @@ def test_shard_map_experiment_on_epoch():
     sweep_fit_best(make, tr, va, Adam(0.01), "cross_entropy", epochs=2,
                    seeds=(0, 1), on_epoch=seen3.append)
     assert len(seen3) == 4
+
+
+def test_shard_map_static_init_state_global_round_robin():
+    """StaticInitState banks under the explicit engine: each shard adds
+    axis_index * B_local to the carried cycle offset (_sm_local_offset),
+    so bank indexing equals the auto engine's offset + arange(B_global) —
+    the reference's lifetime itertools.cycle (state.py:41). Covered across
+    looped train_epoch calls (host offset continuity), fused fit with a
+    validation sweep (val consumes bank rows too), and fit_best with
+    patience (offset carried through the while_loop) — with a bank size
+    (5) coprime to batch (16), shard (2) and dataset (40) sizes, and a
+    padded tail whose GLOBAL valid count (not batch size) must advance
+    the cycle."""
+    from multimodn_tpu import MultiModNHistory, StaticInitState
+    from multimodn_tpu.data import ArrayLoader, PartitionDataset
+
+    rng = np.random.default_rng(7)
+    n = 40                       # 40 % 16 = 8 -> padded tail in every epoch
+    X = rng.normal(size=(n, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = PartitionDataset(X, y, [3, 3])
+    vds = PartitionDataset(X[:24], y[:24], [3, 3])
+    mesh = make_mesh(axis_names=("data",))
+    bank = [rng.normal(size=3).astype(np.float32) for _ in range(5)]
+
+    def run(engine, m):
+        model = MultiModN(
+            3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+            [LogisticDecoder(3)], 0.7, 0.3, mesh=m, dp_engine=engine,
+            init_state=StaticInitState([b.copy() for b in bank]))
+        h = MultiModNHistory(["t"])
+        opt = Adam(0.01)
+        model.train_epoch(ArrayLoader(ds, 16), opt, "cross_entropy", h)
+        model.fit(ArrayLoader(ds, 16), opt, "cross_entropy", epochs=2,
+                  history=h, val_loader=ArrayLoader(vds, 16))
+        r = model.fit_best(ArrayLoader(ds, 16), opt, "cross_entropy",
+                           epochs=4, val_loader=ArrayLoader(vds, 16),
+                           patience=3)
+        assert model._cycle_offset == (
+            40 + 2 * (40 + 24) + r["epochs_ran"] * (40 + 24)) % 5
+        return (np.asarray(h.loss["train"]), np.asarray(h.loss["val"]),
+                np.asarray(r["scores"]), r["best_epoch"], model.state_dict())
+
+    t0, v0, s0, b0, p0 = run("auto", None)
+    t1, v1, s1, b1, p1 = run("shard_map", mesh)
+    np.testing.assert_allclose(t0, t1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(v0, v1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(s0, s1, rtol=1e-5, atol=1e-6)
+    assert b0 == b1
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
