@@ -283,19 +283,47 @@ def _zero_grid_sums(E: int, D: int):
     }
 
 
-def _check_streaming_model(model):
-    """The streaming paths run plain single-device jitted steps: a meshed
-    or shard_map-engine model must be rejected loudly (the exact silent
-    engine/sharding swap MultiModN.fit refuses) instead of streaming
-    everything through device 0 unsharded."""
-    if model.dp_engine == "shard_map" or model.mesh is not None:
+def _check_streaming_model(model, *loaders):
+    """Engine envelope for the streaming paths. The AUTO engine streams on
+    a mesh: each incoming batch is device_put with its batch axis sharded
+    over the mesh's ``data`` axis and GSPMD partitions the per-batch step
+    exactly like the fused epoch programs (grid sums / any-NaN decisions
+    are in-program global reductions, so nan_skip='batch' keeps the
+    reference's whole-batch semantics across shards —
+    multimodn.py:167-169). The explicit shard_map engine stays rejected:
+    its hand-placed collectives are built for the fused epoch programs,
+    and silently swapping it for the auto engine is the exact swap
+    MultiModN.fit refuses."""
+    if model.dp_engine == "shard_map":
         raise NotImplementedError(
             "the streaming paths (train_epoch_streaming / "
-            "test_epoch_streaming / fit_best_streaming) run single-device "
-            "per-batch programs; a meshed or dp_engine='shard_map' model "
-            "would silently lose its sharding/explicit collectives. Build "
-            "a mesh-free auto-engine model for streaming, or use "
-            "ArrayLoader for mesh training.")
+            "test_epoch_streaming / fit_best_streaming) support the auto "
+            "engine only; a dp_engine='shard_map' model would silently "
+            "lose its explicit collectives. Build the model with the "
+            "default engine (meshes are fine), or use ArrayLoader for "
+            "shard_map training.")
+    if model.mesh is not None:
+        n_dev = model.mesh.shape.get("data", 1)
+        for ldr in loaders:
+            if ldr is not None and ldr.batch_size % n_dev != 0:
+                raise ValueError(
+                    f"meshed streaming needs the batch size "
+                    f"({ldr.batch_size}) to divide the data mesh axis "
+                    f"({n_dev}) so every padded batch shards evenly; pick "
+                    f"a divisible batch_size.")
+
+
+def _batch_put(model):
+    """Return the host->device placer for per-batch arrays: plain
+    ``device_put`` single-device, batch-axis ``NamedSharding`` over the
+    mesh's ``data`` axis when the model is meshed (the per-batch twin of
+    ``parallel.sharding.batch_sharding``, which shards (nb, B, ...) epoch
+    stacks on axis 1 — here each array is one batch, so axis 0)."""
+    if model.mesh is None:
+        return jax.device_put
+    from jax.sharding import NamedSharding, PartitionSpec
+    sharding = NamedSharding(model.mesh, PartitionSpec("data"))
+    return lambda x: jax.device_put(x, sharding)
 
 
 def train_epoch_streaming(model, loader: StreamingLoader, optimizer,
@@ -310,7 +338,7 @@ def train_epoch_streaming(model, loader: StreamingLoader, optimizer,
     from multimodn_tpu.core.step import _GRID_KEYS, epoch_reduction, \
         gated_update
 
-    _check_streaming_model(model)
+    _check_streaming_model(model, loader)
     criterion = resolve_criterion(criterion)
     if model._opt is not optimizer or model.opt_state is None:
         model._opt = optimizer
@@ -362,13 +390,13 @@ def train_epoch_streaming(model, loader: StreamingLoader, optimizer,
     it = loader.iter_batches()
     pending: Optional[tuple] = None
     n_samples = 0
+    dput = _batch_put(model)
 
     def put(batch):
         nonlocal n_samples
         data, targets, mask = batch
         n_samples += int(mask.sum())
-        return (tuple(jax.device_put(d) for d in data),
-                jax.device_put(targets), jax.device_put(mask))
+        return (tuple(dput(d) for d in data), dput(targets), dput(mask))
 
     nxt = next(it, None)
     b = 0
@@ -430,7 +458,7 @@ def test_epoch_streaming(model, loader: StreamingLoader, criterion=None,
     from multimodn_tpu.core.metrics import get_performance_metrics
     from multimodn_tpu.core.step import _GRID_KEYS, epoch_reduction
 
-    _check_streaming_model(model)
+    _check_streaming_model(model, loader)
     criterion = resolve_criterion(criterion)
     order = model._resolve_order(None, None, train=False)
     model._validate_pairings(order, loader)
@@ -460,12 +488,13 @@ def test_epoch_streaming(model, loader: StreamingLoader, criterion=None,
 
     out_parts, tgt_parts, mask_parts = [], [], []
     b = 0
+    dput = _batch_put(model)
     for data, targets, mask in loader.iter_batches():
         batch_rng = jax.random.fold_in(rng, b)
         sums, offset, fouts = estep(
             model.params, sums, offset,
-            tuple(jax.device_put(d) for d in data),
-            jax.device_put(targets), jax.device_put(mask), batch_rng)
+            tuple(dput(d) for d in data),
+            dput(targets), dput(mask), batch_rng)
         out_parts.append([np.asarray(o) for o in fouts])
         tgt_parts.append(targets)
         mask_parts.append(mask)
@@ -544,7 +573,7 @@ def fit_best_streaming(model, train_loader: StreamingLoader, optimizer,
         raise ValueError(
             "fit_best_streaming requires at least one binary decoder "
             "(same AUROC+BAC selection contract as fit_best).")
-    _check_streaming_model(model)
+    _check_streaming_model(model, train_loader, val_loader)
     # An unrolled-chain shuffle_mode model would freeze ONE random order
     # for every epoch here (no in-program redraw) — the same configuration
     # model.fit_best rejects; reuse its guard.
@@ -622,12 +651,13 @@ def fit_best_streaming(model, train_loader: StreamingLoader, optimizer,
     scores = []
     total_samples = 0
 
+    dput = _batch_put(model)
+
     def put(batch):
         nonlocal total_samples
         data, targets, mask = batch
         total_samples += int(mask.sum())
-        return (tuple(jax.device_put(d) for d in data),
-                jax.device_put(targets), jax.device_put(mask))
+        return (tuple(dput(d) for d in data), dput(targets), dput(mask))
 
     for eid in range(epochs):
         erng = jax.random.fold_in(rng, jnp.asarray(eid))

@@ -207,10 +207,12 @@ def test_streaming_fit_best_rejects_shuffle():
                            val_loader=StreamingLoader(ds, 16))
 
 
-def test_streaming_rejects_meshed_and_shard_map_models():
-    """Review finding: the streaming paths must refuse meshed/shard_map
-    models loudly instead of silently streaming through device 0 without
-    the configured sharding/collectives."""
+def test_streaming_rejects_shard_map_and_indivisible_batches():
+    """The explicit shard_map engine stays rejected (its hand-placed
+    collectives exist only for the fused epoch programs — swapping it for
+    the auto engine silently is the swap MultiModN.fit refuses), and a
+    meshed AUTO model must reject batch sizes the data axis cannot shard
+    evenly."""
     import pytest
 
     from multimodn_tpu.data import fit_best_streaming, test_epoch_streaming
@@ -218,22 +220,98 @@ def test_streaming_rejects_meshed_and_shard_map_models():
 
     ds = _setup(n=48, seed=9)
     mesh = make_mesh(axis_names=("data",))
-    meshed = MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
-                       [LogisticDecoder(3)], 0.7, 0.3, mesh=mesh)
     sm = MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
                    [LogisticDecoder(3)], 0.7, 0.3, mesh=mesh,
                    dp_engine="shard_map")
-    for m in (meshed, sm):
-        with pytest.raises(NotImplementedError, match="streaming"):
-            train_epoch_streaming(m, StreamingLoader(ds, 16), Adam(0.01),
-                                  "cross_entropy")
-        with pytest.raises(NotImplementedError, match="streaming"):
-            test_epoch_streaming(m, StreamingLoader(ds, 16),
-                                 "cross_entropy")
-        with pytest.raises(NotImplementedError, match="streaming"):
-            fit_best_streaming(m, StreamingLoader(ds, 16), Adam(0.01),
-                               "cross_entropy", epochs=1,
-                               val_loader=StreamingLoader(ds, 16))
+    with pytest.raises(NotImplementedError, match="streaming"):
+        train_epoch_streaming(sm, StreamingLoader(ds, 16), Adam(0.01),
+                              "cross_entropy")
+    with pytest.raises(NotImplementedError, match="streaming"):
+        test_epoch_streaming(sm, StreamingLoader(ds, 16), "cross_entropy")
+    with pytest.raises(NotImplementedError, match="streaming"):
+        fit_best_streaming(sm, StreamingLoader(ds, 16), Adam(0.01),
+                           "cross_entropy", epochs=1,
+                           val_loader=StreamingLoader(ds, 16))
+    meshed = MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                       [LogisticDecoder(3)], 0.7, 0.3, mesh=mesh)
+    with pytest.raises(ValueError, match="divide the data mesh axis"):
+        train_epoch_streaming(meshed, StreamingLoader(ds, 12), Adam(0.01),
+                              "cross_entropy")
+
+
+def _meshed_pair(mesh, nan_skip="sample", **kw):
+    def build(m):
+        return MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                         [LogisticDecoder(3)], 0.7, 0.3, nan_skip=nan_skip,
+                         mesh=m, **kw)
+    return build(None), build(mesh)
+
+
+def test_meshed_streaming_matches_single_device():
+    """Meshed streaming (auto engine): per-batch device_puts shard over the
+    data axis and GSPMD partitions the step — params and history must equal
+    the mesh-free stream, in BOTH nan_skip granularities (batch is the MNAR
+    headline's required mode: the any-NaN decision must stay global when
+    the NaN rows land in only some shards — multimodn.py:167-169)."""
+    from multimodn_tpu.parallel import make_mesh
+
+    ds = _setup(n=50, seed=20, nan_frac=0.25)
+    mesh = make_mesh(axis_names=("data",))
+    for mode in ("sample", "batch"):
+        m1, m2 = _meshed_pair(mesh, nan_skip=mode)
+        o1, o2 = Adam(0.01), Adam(0.01)
+        h1, h2 = MultiModNHistory(["t"]), MultiModNHistory(["t"])
+        for _ in range(2):
+            train_epoch_streaming(m1, StreamingLoader(ds, 16), o1,
+                                  "cross_entropy", h1)
+            train_epoch_streaming(m2, StreamingLoader(ds, 16), o2,
+                                  "cross_entropy", h2)
+        for k in ("loss", "accuracy", "sensitivity", "specificity"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(h1, k)["train"]),
+                np.asarray(getattr(h2, k)["train"]),
+                rtol=1e-5, atol=1e-6, err_msg=f"{mode} {k}")
+        for a, b in zip(jax.tree_util.tree_leaves(m1.state_dict()),
+                        jax.tree_util.tree_leaves(m2.state_dict())):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6, err_msg=mode)
+
+
+def test_meshed_streaming_eval_and_fit_best():
+    """Streamed eval 15-tuples and the full streamed selection protocol on
+    a DP4xTP2 mesh equal the mesh-free stream (scores, selected epoch,
+    best/final params)."""
+    from multimodn_tpu.data import fit_best_streaming, test_epoch_streaming
+    from multimodn_tpu.data.dataset import Subset
+    from multimodn_tpu.parallel import make_mesh
+
+    ds = _setup(n=96, seed=21, nan_frac=0.2)
+    mesh = make_mesh((4, 2), ("data", "model"))
+    tr, va = Subset(ds, list(range(64))), Subset(ds, list(range(64, 96)))
+
+    m1, m2 = _meshed_pair(mesh)
+    m1.train_epoch(ArrayLoader(tr, 16), Adam(0.01), "cross_entropy")
+    # Same warm start for the meshed twin (state_dict is mesh-free numpy).
+    m2.load_state_dict(m1.state_dict())
+    r1 = test_epoch_streaming(m1, StreamingLoader(va, 16), "cross_entropy")
+    r2 = test_epoch_streaming(m2, StreamingLoader(va, 16), "cross_entropy")
+    for a, b in zip(r1, r2):
+        np.testing.assert_allclose(a[:4], b[:4], rtol=1e-5, atol=1e-6)
+
+    m3, m4 = _meshed_pair(mesh)
+    r3 = fit_best_streaming(m3, StreamingLoader(tr, 16), Adam(0.01),
+                            "cross_entropy", epochs=3,
+                            val_loader=StreamingLoader(va, 16))
+    r4 = fit_best_streaming(m4, StreamingLoader(tr, 16), Adam(0.01),
+                            "cross_entropy", epochs=3,
+                            val_loader=StreamingLoader(va, 16))
+    assert r3["best_epoch"] == r4["best_epoch"]
+    np.testing.assert_allclose(r3["scores"], r4["scores"], rtol=1e-5,
+                               atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(m3.state_dict()),
+                    jax.tree_util.tree_leaves(m4.state_dict())):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
 
 
 def test_streaming_fit_best_rejects_unrolled_shuffle_mode():
