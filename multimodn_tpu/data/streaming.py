@@ -290,18 +290,15 @@ def _check_streaming_model(model, *loaders):
     exactly like the fused epoch programs (grid sums / any-NaN decisions
     are in-program global reductions, so nan_skip='batch' keeps the
     reference's whole-batch semantics across shards —
-    multimodn.py:167-169). The explicit shard_map engine stays rejected:
-    its hand-placed collectives are built for the fused epoch programs,
-    and silently swapping it for the auto engine is the exact swap
-    MultiModN.fit refuses."""
-    if model.dp_engine == "shard_map":
-        raise NotImplementedError(
-            "the streaming paths (train_epoch_streaming / "
-            "test_epoch_streaming / fit_best_streaming) support the auto "
-            "engine only; a dp_engine='shard_map' model would silently "
-            "lose its explicit collectives. Build the model with the "
-            "default engine (meshes are fine), or use ArrayLoader for "
-            "shard_map training.")
+    multimodn.py:167-169). The explicit shard_map engine streams too:
+    the per-batch TRAIN step is ``_sm_batch_update`` inside a
+    ``jax.shard_map`` region (hand-placed grad/metric psums, psum'd
+    any-NaN flags for nan_skip='batch', global StaticInitState offsets —
+    the exact body the fused epoch programs scan over); the EVAL sweeps
+    stay on the annotation-derived path, the same split ``MultiModN.test``
+    uses for shard_map models (eval has no gradient collective to place,
+    and GSPMD's global reductions preserve the whole-batch NaN
+    decision)."""
     if model.mesh is not None:
         n_dev = model.mesh.shape.get("data", 1)
         for ldr in loaders:
@@ -311,6 +308,53 @@ def _check_streaming_model(model, *loaders):
                     f"({ldr.batch_size}) to divide the data mesh axis "
                     f"({n_dev}) so every padded batch shards evenly; pick "
                     f"a divisible batch_size.")
+
+
+def _sm_stream_step(model, criterion, order, tx):
+    """Per-batch explicit-DP train step for the streaming paths: the
+    shard_map twin of the jitted ``step``/``tstep`` bodies below, built on
+    ``parallel.shard_map_step._sm_batch_update`` — the SAME batch body the
+    fused shard_map programs scan over, so the streamed update is
+    collective-for-collective identical to one fused-epoch step (grad psum
+    with global valid-sample weighting, psum'd metric grids, psum'd
+    any-NaN flags under nan_skip='batch', global StaticInitState
+    round-robin via the per-shard axis_index offset). The carried
+    ``offset`` advances by the batch's GLOBAL valid count, equal to the
+    auto step's ``sum(mask)``.
+
+    Same engine caveat as ``make_shard_map_epoch_fn``: per-sample rng
+    draws (encoder dropout, presence_dropout) see shard-local views —
+    deterministic, but not bit-equal to single-device; dropout-free
+    models match the auto engine exactly (tests/test_streaming.py).
+
+    Signature (pytree-prefix in_specs — ``P('data')`` broadcasts over the
+    modality tuple):
+        (params, opt_state, sums, offset, data, targets, mask, rng)
+        -> (params, opt_state, sums, offset)
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from multimodn_tpu.core.step import _GRID_KEYS
+    from multimodn_tpu.parallel.shard_map_step import (_sm_advance_offset,
+                                                       _sm_batch_update)
+
+    loss_fn = model._loss_fn(criterion, order, model.nan_skip,
+                             nan_axis=model._sm_nan_axis())
+    batch_update = _sm_batch_update(loss_fn, tx, "data")
+
+    def device_step(params, opt_state, sums, offset, data, targets, mask,
+                    rng):
+        params, opt_state, bsums, _, _, gvalid, _ = batch_update(
+            params, opt_state, data, targets, mask, rng, offset)
+        sums = {k: sums[k] + bsums[k] for k in _GRID_KEYS}
+        return (params, opt_state, sums,
+                _sm_advance_offset(offset, gvalid))
+
+    in_specs = (P(), P(), P(), P(), P("data"), P("data"), P("data"), P())
+    out_specs = (P(), P(), P(), P())
+    return jax.jit(jax.shard_map(device_step, mesh=model.mesh,
+                                 in_specs=in_specs, out_specs=out_specs,
+                                 check_vma=False))
 
 
 def _batch_put(model):
@@ -351,22 +395,27 @@ def train_epoch_streaming(model, loader: StreamingLoader, optimizer,
     from multimodn_tpu.model import _cache_key
     key = ("stream_step", _cache_key(criterion), order, model.nan_skip,
            _cache_key(optimizer.tx), model._chain_plan(),
-           str(model.compute_dtype))
+           str(model.compute_dtype), model.dp_engine)
     if key not in model._fn_cache:
         tx = optimizer.tx
+        if model.dp_engine == "shard_map":
+            model._fn_cache[key] = _sm_stream_step(model, criterion, order,
+                                                   tx)
+        else:
+            @jax.jit
+            def step(params, opt_state, sums, offset, data, targets, mask,
+                     rng):
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(
+                    params, tuple(data), targets, mask, rng, offset, True)
+                params, opt_state = gated_update(tx, grads, opt_state,
+                                                 params, mask,
+                                                 enc_gates=aux["enc_gates"])
+                sums = {k: sums[k] + aux[k] for k in _GRID_KEYS}
+                return (params, opt_state, sums,
+                        offset + jnp.sum(mask).astype(jnp.int32))
 
-        @jax.jit
-        def step(params, opt_state, sums, offset, data, targets, mask, rng):
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, tuple(data), targets, mask, rng, offset, True)
-            params, opt_state = gated_update(tx, grads, opt_state, params,
-                                             mask,
-                                             enc_gates=aux["enc_gates"])
-            sums = {k: sums[k] + aux[k] for k in _GRID_KEYS}
-            return (params, opt_state, sums,
-                    offset + jnp.sum(mask).astype(jnp.int32))
-
-        model._fn_cache[key] = step
+            model._fn_cache[key] = step
     step = model._fn_cache[key]
 
     E, D = len(model.encoders), len(model.decoders)
@@ -590,21 +639,28 @@ def fit_best_streaming(model, train_loader: StreamingLoader, optimizer,
     from multimodn_tpu.model import _cache_key
     key = ("stream_select", _cache_key(criterion), order, model.nan_skip,
            _cache_key(optimizer.tx), model._chain_plan(),
-           str(model.compute_dtype))
+           str(model.compute_dtype), model.dp_engine)
     if key not in model._fn_cache:
         tx = optimizer.tx
 
-        @jax.jit
-        def tstep(params, opt_state, sums, offset, data, targets, mask,
-                  brng):
-            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, tuple(data), targets, mask, brng, offset, True)
-            params, opt_state = gated_update(tx, grads, opt_state, params,
-                                             mask,
-                                             enc_gates=aux["enc_gates"])
-            sums = {k: sums[k] + aux[k] for k in _GRID_KEYS}
-            return (params, opt_state, sums,
-                    offset + jnp.sum(mask).astype(jnp.int32))
+        if model.dp_engine == "shard_map":
+            # Explicit-collective train sweep; the val sweep below stays on
+            # the annotation-derived path (the same split MultiModN.test
+            # uses for shard_map models — no gradient collective to place).
+            tstep = _sm_stream_step(model, criterion, order, tx)
+        else:
+            @jax.jit
+            def tstep(params, opt_state, sums, offset, data, targets, mask,
+                      brng):
+                (_, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(
+                    params, tuple(data), targets, mask, brng, offset, True)
+                params, opt_state = gated_update(tx, grads, opt_state,
+                                                 params, mask,
+                                                 enc_gates=aux["enc_gates"])
+                sums = {k: sums[k] + aux[k] for k in _GRID_KEYS}
+                return (params, opt_state, sums,
+                        offset + jnp.sum(mask).astype(jnp.int32))
 
         @jax.jit
         def vstep(params, sums, offset, bufs, tbuf, mbuf, b, data, targets,

@@ -207,36 +207,116 @@ def test_streaming_fit_best_rejects_shuffle():
                            val_loader=StreamingLoader(ds, 16))
 
 
-def test_streaming_rejects_shard_map_and_indivisible_batches():
-    """The explicit shard_map engine stays rejected (its hand-placed
-    collectives exist only for the fused epoch programs — swapping it for
-    the auto engine silently is the swap MultiModN.fit refuses), and a
-    meshed AUTO model must reject batch sizes the data axis cannot shard
-    evenly."""
+def _sm_model(mesh, nan_skip="sample"):
+    return MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                     [LogisticDecoder(3)], 0.7, 0.3, nan_skip=nan_skip,
+                     mesh=mesh, dp_engine="shard_map")
+
+
+def test_shard_map_streaming_matches_single_device():
+    """The explicit shard_map engine streams (round-4 continuation): the
+    per-batch train step is ``_sm_batch_update`` inside a shard_map region
+    — params and history must equal the mesh-free stream in BOTH nan
+    granularities. 'batch' is the load-bearing case: with the NaN rows
+    landing in only SOME shards, equality holds only if every shard takes
+    the psum'd whole-batch skip decision (multimodn.py:167-169). A batch
+    size the data axis cannot shard evenly stays rejected for every meshed
+    engine."""
     import pytest
 
-    from multimodn_tpu.data import fit_best_streaming, test_epoch_streaming
     from multimodn_tpu.parallel import make_mesh
 
-    ds = _setup(n=48, seed=9)
+    ds = _setup(n=50, seed=9, nan_frac=0.25)
     mesh = make_mesh(axis_names=("data",))
-    sm = MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
-                   [LogisticDecoder(3)], 0.7, 0.3, mesh=mesh,
-                   dp_engine="shard_map")
-    with pytest.raises(NotImplementedError, match="streaming"):
-        train_epoch_streaming(sm, StreamingLoader(ds, 16), Adam(0.01),
+    for mode in ("sample", "batch"):
+        m1, sm = _model(nan_skip=mode), _sm_model(mesh, nan_skip=mode)
+        o1, o2 = Adam(0.01), Adam(0.01)
+        h1, h2 = MultiModNHistory(["t"]), MultiModNHistory(["t"])
+        for _ in range(2):
+            train_epoch_streaming(m1, StreamingLoader(ds, 16), o1,
+                                  "cross_entropy", h1)
+            train_epoch_streaming(sm, StreamingLoader(ds, 16), o2,
+                                  "cross_entropy", h2)
+        for k in ("loss", "accuracy", "sensitivity", "specificity"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(h1, k)["train"]),
+                np.asarray(getattr(h2, k)["train"]),
+                rtol=1e-5, atol=1e-6, err_msg=f"{mode} {k}")
+        for a, b in zip(jax.tree_util.tree_leaves(m1.state_dict()),
+                        jax.tree_util.tree_leaves(sm.state_dict())):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6, err_msg=mode)
+    for bad in (_sm_model(mesh),
+                MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                          [LogisticDecoder(3)], 0.7, 0.3, mesh=mesh)):
+        with pytest.raises(ValueError, match="divide the data mesh axis"):
+            train_epoch_streaming(bad, StreamingLoader(ds, 12), Adam(0.01),
+                                  "cross_entropy")
+
+
+def test_shard_map_streaming_fit_best_and_eval():
+    """The full streamed selection protocol under the explicit engine:
+    train sweeps through the shard_map per-batch step, eval sweeps through
+    the annotation-derived path (the split ``MultiModN.test`` uses) —
+    scores, selected epoch and best/final params equal the mesh-free
+    stream's."""
+    from multimodn_tpu.data import fit_best_streaming, test_epoch_streaming
+    from multimodn_tpu.data.dataset import Subset
+    from multimodn_tpu.parallel import make_mesh
+
+    ds = _setup(n=96, seed=22, nan_frac=0.2)
+    mesh = make_mesh(axis_names=("data",))
+    tr, va = Subset(ds, list(range(64))), Subset(ds, list(range(64, 96)))
+
+    m1, sm = _model(), _sm_model(mesh)
+    r1 = fit_best_streaming(m1, StreamingLoader(tr, 16), Adam(0.01),
+                            "cross_entropy", epochs=3,
+                            val_loader=StreamingLoader(va, 16))
+    r2 = fit_best_streaming(sm, StreamingLoader(tr, 16), Adam(0.01),
+                            "cross_entropy", epochs=3,
+                            val_loader=StreamingLoader(va, 16))
+    assert r1["best_epoch"] == r2["best_epoch"]
+    np.testing.assert_allclose(r1["scores"], r2["scores"], rtol=1e-5,
+                               atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(m1.state_dict()),
+                    jax.tree_util.tree_leaves(sm.state_dict())):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    e1 = test_epoch_streaming(m1, StreamingLoader(va, 16), "cross_entropy")
+    e2 = test_epoch_streaming(sm, StreamingLoader(va, 16), "cross_entropy")
+    for a, b in zip(e1, e2):
+        np.testing.assert_allclose(a[:4], b[:4], rtol=1e-5, atol=1e-6)
+
+
+def test_shard_map_streaming_static_cycle():
+    """StaticInitState's lifetime round-robin under the streamed shard_map
+    step: the per-shard axis_index offset correction must serve bank rows
+    by GLOBAL position, so the streamed explicit engine equals the
+    mesh-free stream across calls (bank phase carries over)."""
+    from multimodn_tpu.core.state import StaticInitState
+    from multimodn_tpu.parallel import make_mesh
+
+    ds = _setup(n=48, seed=11)
+    mesh = make_mesh(axis_names=("data",))
+    bank = np.linspace(-1.0, 1.0, 3 * 3, dtype=np.float32).reshape(3, 3)
+
+    def build(mesh_, engine):
+        kw = dict(mesh=mesh_, dp_engine=engine) if mesh_ is not None else {}
+        return MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                         [LogisticDecoder(3)], 0.7, 0.3,
+                         init_state=StaticInitState(list(bank)), **kw)
+
+    m1, sm = build(None, None), build(mesh, "shard_map")
+    o1, o2 = Adam(0.01), Adam(0.01)
+    for _ in range(2):
+        train_epoch_streaming(m1, StreamingLoader(ds, 16), o1,
                               "cross_entropy")
-    with pytest.raises(NotImplementedError, match="streaming"):
-        test_epoch_streaming(sm, StreamingLoader(ds, 16), "cross_entropy")
-    with pytest.raises(NotImplementedError, match="streaming"):
-        fit_best_streaming(sm, StreamingLoader(ds, 16), Adam(0.01),
-                           "cross_entropy", epochs=1,
-                           val_loader=StreamingLoader(ds, 16))
-    meshed = MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
-                       [LogisticDecoder(3)], 0.7, 0.3, mesh=mesh)
-    with pytest.raises(ValueError, match="divide the data mesh axis"):
-        train_epoch_streaming(meshed, StreamingLoader(ds, 12), Adam(0.01),
+        train_epoch_streaming(sm, StreamingLoader(ds, 16), o2,
                               "cross_entropy")
+    for a, b in zip(jax.tree_util.tree_leaves(m1.state_dict()),
+                    jax.tree_util.tree_leaves(sm.state_dict())):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
 
 
 def _meshed_pair(mesh, nan_skip="sample", **kw):
