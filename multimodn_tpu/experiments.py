@@ -198,7 +198,7 @@ def _shard_map_experiment_fit(template, criterion, optimizer, order,
         crit_key = criterion if isinstance(criterion, str) \
             else ("fn", criterion)
         key = ("shard_map", sig, crit_key, opt_sig, tuple(order),
-               tuple(binary), gate_empty, patience is not None,
+               tuple(binary), gate_empty, reshuffle, patience is not None,
                template.mesh, with_on_epoch)
         try:
             cached = _FIT_PROGRAM_CACHE.get(key)
@@ -219,6 +219,7 @@ def _shard_map_experiment_fit(template, criterion, optimizer, order,
     fit = builder(
         loss_fn, optimizer.tx, template.mesh, binary, n_mod,
         scan_unroll=template.scan_unroll, gate_empty_batches=gate_empty,
+        reshuffle=reshuffle,
         on_epoch=_experiment_on_epoch_dispatch if with_on_epoch else None)
     fit._mmtpu_cached = key is not None
     if key is not None:

@@ -479,14 +479,12 @@ class MultiModN:
         round-robin: each shard adds ``axis_index * B_local`` to the carried
         cycle offset (parallel/shard_map_step._sm_local_offset), so bank
         indexing equals the auto engine's and the reference's lifetime
-        iterator."""
-        if reshuffle:
-            raise NotImplementedError(
-                "dp_engine='shard_map' fused fit cannot honor shuffle=True "
-                "loaders: the in-program per-epoch permutation would act on "
-                "each device's LOCAL shard — a different sample geometry "
-                "than the auto engine's global permutation. Use the auto "
-                "engine or shuffle=False.")
+        iterator. shuffle=True loaders draw the auto engine's exact global
+        permutation in-region (all_gather + epoch_permute + positional
+        re-slice, parallel/shard_map_step._sm_epoch_permute) — bit-equal
+        across engines; the gathered epoch stack is transiently full-size
+        per device, so prefer the auto engine for larger-than-device
+        datasets."""
         n_dev = self.mesh.shape.get("data", 1)
         for ldr in loaders:
             if ldr is not None and ldr.batch_size % n_dev != 0:
@@ -785,7 +783,7 @@ class MultiModN:
                     else len(self.encoders)
                 self._fn_cache[key] = make_shard_map_fit_fn(
                     loss_fn, optimizer.tx, self.mesh, with_val, n_mod,
-                    scan_unroll=self.scan_unroll,
+                    scan_unroll=self.scan_unroll, reshuffle=reshuffle,
                     on_epoch=None if on_epoch is None
                     else self._dispatch_on_epoch)
             else:
@@ -958,7 +956,7 @@ class MultiModN:
                     if early_stop else make_shard_map_select_fit_fn
                 self._fn_cache[key] = builder(
                     loss_fn, optimizer.tx, self.mesh, binary, n_mod,
-                    scan_unroll=self.scan_unroll,
+                    scan_unroll=self.scan_unroll, reshuffle=reshuffle,
                     on_epoch=None if on_epoch is None
                     else self._dispatch_on_epoch)
             elif early_stop:

@@ -212,11 +212,12 @@ def make_shard_map_epoch_fn(loss_fn, tx, mesh: Mesh, n_modalities: int,
     micro-benchmarked in examples/shard_map_epoch_bench.py.
 
     ``n_modalities=None`` accepts one pre-stacked (n_batches, B, E, F) data
-    array (the scan-chain layout) instead of a tuple. Caveats: per-sample
-    rng draws (encoder dropout AND presence_dropout) and StaticInitState
-    cycling see shard-local views, so stochastic runs are deterministic
-    but not bit-equal to single-device; use the auto engine when that
-    parity matters.
+    array (the scan-chain layout) instead of a tuple. Caveat: per-sample
+    rng draws (encoder dropout AND presence_dropout) see shard-local
+    views, so stochastic runs are deterministic but not bit-equal to
+    single-device; use the auto engine when that parity matters.
+    (StaticInitState cycling is NOT shard-local: ``_sm_local_offset``
+    serves bank rows by GLOBAL position, equal to the auto engine.)
     """
     from multimodn_tpu.core.step import resolve_unroll
 
@@ -370,9 +371,56 @@ def _gathered_selection_score(binary_decoders, data_axis):
     return make_selection_score(binary_decoders, gather=gather)
 
 
+def _sm_epoch_permute(data, targets, mask, erng, data_axis):
+    """Global per-epoch sample reshuffle INSIDE the shard_map region
+    (``shuffle=True`` loaders through the fused explicit-engine programs):
+    each shard ``all_gather``s the epoch stacks over ``data_axis``, applies
+    ``core.step.epoch_permute`` — the auto engine's EXACT global
+    permutation; ``erng`` is replicated, so every shard draws the identical
+    ``fold_in(erng, 777)`` perm — and slices its own rows back out by
+    position (shard r holds global rows ``r*B_local:(r+1)*B_local`` of
+    every batch, the same contiguous-block layout GSPMD uses, so bank
+    offsets and batch composition equal the auto engine's bit-for-bit).
+
+    Cost: one all_gather per array per epoch, and the gathered epoch stack
+    is transiently FULL-size on every device — the explicit engine's
+    documented trade for keeping its collectives hand-placed. Use the auto
+    engine when the training arrays exceed a single device's memory (its
+    permutation gathers stay distributed)."""
+    from multimodn_tpu.core.step import epoch_permute
+
+    idx = jax.lax.axis_index(data_axis)
+    B_local = targets.shape[1]
+
+    def to_global(a):   # (nb, B_local, ...) -> (nb, B_global, ...)
+        g = jax.lax.all_gather(a, data_axis)    # (ndev, nb, B_local, ...)
+        g = jnp.moveaxis(g, 0, 1)               # (nb, ndev, B_local, ...)
+        return g.reshape((g.shape[0], g.shape[1] * g.shape[2])
+                         + g.shape[3:])
+
+    gdata = jax.tree_util.tree_map(to_global, data)
+    pdata, pt, pm = epoch_permute(gdata, to_global(targets),
+                                  to_global(mask), erng)
+
+    def to_local(a):
+        return jax.lax.dynamic_slice_in_dim(a, idx * B_local, B_local,
+                                            axis=1)
+
+    return (jax.tree_util.tree_map(to_local, pdata), to_local(pt),
+            to_local(pm))
+
+
+def _sm_train_arrays(reshuffle, data, targets, mask, erng, data_axis):
+    """Trace-time branch mirroring ``core.step.make_fit_fn.train_arrays``."""
+    if reshuffle:
+        return _sm_epoch_permute(data, targets, mask, erng, data_axis)
+    return data, targets, mask
+
+
 def make_shard_map_fit_fn(loss_fn, tx, mesh: Mesh, with_val: bool,
                           n_modalities, data_axis: str = "data",
-                          scan_unroll=None, on_epoch=None):
+                          scan_unroll=None, on_epoch=None,
+                          reshuffle: bool = False):
     """Explicit-collective twin of ``core.step.make_fit_fn``: N epochs
     (optionally each followed by a validation sweep) inside ONE shard_map
     region. Signature matches make_fit_fn's (without seqs/offset0 — the
@@ -391,8 +439,10 @@ def make_shard_map_fit_fn(loss_fn, tx, mesh: Mesh, with_val: bool,
             def epoch_body(carry, eid):
                 params, opt_state, offset = carry
                 erng = jax.random.fold_in(rng, eid)
+                d, t, m = _sm_train_arrays(reshuffle, data, targets, mask,
+                                           erng, data_axis)
                 params, opt_state, offset, tsums = train_epoch(
-                    params, opt_state, data, targets, mask, erng, offset)
+                    params, opt_state, d, t, m, erng, offset)
                 offset, vsums = eval_epoch(params, vdata, vtargets, vmask,
                                            erng, offset)
                 _sm_emit_epoch(
@@ -415,8 +465,10 @@ def make_shard_map_fit_fn(loss_fn, tx, mesh: Mesh, with_val: bool,
             def epoch_body(carry, eid):
                 params, opt_state, offset = carry
                 erng = jax.random.fold_in(rng, eid)
+                d, t, m = _sm_train_arrays(reshuffle, data, targets, mask,
+                                           erng, data_axis)
                 params, opt_state, offset, tsums = train_epoch(
-                    params, opt_state, data, targets, mask, erng, offset)
+                    params, opt_state, d, t, m, erng, offset)
                 _sm_emit_epoch(
                     on_epoch, axes, epoch=eid,
                     train_loss=jnp.mean(tsums["err_loss"])
@@ -444,7 +496,7 @@ def make_shard_map_select_fit_fn(loss_fn, tx, mesh: Mesh, binary_decoders,
                                  n_modalities, data_axis: str = "data",
                                  scan_unroll=None,
                                  gate_empty_batches: bool = False,
-                                 on_epoch=None):
+                                 on_epoch=None, reshuffle: bool = False):
     """Explicit-collective twin of ``core.step.make_select_fit_fn`` (the
     fused MIMIC protocol: train + val + on-device AUROC+BAC best-checkpoint
     selection). The per-epoch selection score needs GLOBAL validation
@@ -468,8 +520,10 @@ def make_shard_map_select_fit_fn(loss_fn, tx, mesh: Mesh, binary_decoders,
         def epoch_body(carry, eid):
             params, opt_state, best, offset = carry
             erng = jax.random.fold_in(rng, eid)
+            d, t, m = _sm_train_arrays(reshuffle, data, targets, mask,
+                                       erng, data_axis)
             params, opt_state, offset, tsums = train_epoch(
-                params, opt_state, data, targets, mask, erng, offset)
+                params, opt_state, d, t, m, erng, offset)
             offset, vsums, outputs = eval_epoch(params, vdata, vtargets,
                                                 vmask, erng, offset)
             score = selection_score(outputs, vtargets, vmask)
@@ -508,7 +562,8 @@ def make_shard_map_select_fit_fn(loss_fn, tx, mesh: Mesh, binary_decoders,
 def make_shard_map_select_fit_early_stop_fn(
         loss_fn, tx, mesh: Mesh, binary_decoders, n_modalities,
         data_axis: str = "data", scan_unroll=None,
-        gate_empty_batches: bool = False, on_epoch=None):
+        gate_empty_batches: bool = False, on_epoch=None,
+        reshuffle: bool = False):
     """Explicit-collective twin of ``core.step.make_select_fit_early_stop_fn``
     (fused select-fit with ON-DEVICE early stopping): the epoch loop is a
     ``lax.while_loop`` INSIDE the shard_map region. Every quantity the stop
@@ -538,8 +593,10 @@ def make_shard_map_select_fit_early_stop_fn(
         def epoch_step(params, opt_state, offset, i, active):
             eid = epoch_ids[i]
             erng = jax.random.fold_in(rng, eid)
+            d, t, m = _sm_train_arrays(reshuffle, data, targets, mask,
+                                       erng, data_axis)
             params, opt_state, offset, tsums = train_epoch(
-                params, opt_state, data, targets, mask, erng, offset)
+                params, opt_state, d, t, m, erng, offset)
             offset, vsums, outputs = eval_epoch(params, vdata, vtargets,
                                                 vmask, erng, offset)
             score = selection_score(outputs, vtargets, vmask)

@@ -193,11 +193,70 @@ def test_shard_map_fused_guards():
     with pytest.raises(ValueError, match="divide the data mesh axis"):
         model.fit(odd, Adam(0.01), "cross_entropy", epochs=2)
     assert model.opt_state is None  # rejected call left no state behind
-    # shuffle=True loader.
-    sh = ArrayLoader(PartitionDataset(X, y, [3, 3]), len(jax.devices()),
-                     shuffle=True)
-    with pytest.raises(NotImplementedError, match="shuffle=True"):
-        model.fit(sh, Adam(0.01), "cross_entropy", epochs=2)
+
+
+def test_shard_map_fused_shuffle_matches_auto():
+    """shuffle=True fused programs under the explicit engine (round-4
+    continuation): the in-region permutation (all_gather + the auto
+    engine's exact epoch_permute + positional re-slice,
+    _sm_epoch_permute) must make shuffled fit AND shuffled fit_best
+    (patience included) equal the single-device auto runs bit-for-bit —
+    same seed, same fold_in(erng, 777) permutation stream, padded tail
+    included."""
+    from multimodn_tpu import MultiModNHistory
+    from multimodn_tpu.data import ArrayLoader, PartitionDataset
+    from multimodn_tpu.data.dataset import Subset
+
+    rng = np.random.default_rng(13)
+    n = 8 * len(jax.devices()) + 5     # padded tail batch
+    X = rng.normal(size=(n + 16, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = PartitionDataset(X, y, [3, 3])
+    mesh = make_mesh(axis_names=("data",))
+    bs = len(jax.devices()) * 2
+
+    def build(engine):
+        m = mesh if engine == "shard_map" else None
+        return MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                         [LogisticDecoder(3)], 1.0, 0.0, seed=0,
+                         mesh=m, dp_engine=engine)
+
+    def loaders():
+        return (ArrayLoader(Subset(ds, list(range(n))), bs, shuffle=True),
+                ArrayLoader(Subset(ds, list(range(n, n + 16))), 16))
+
+    # fit: history grids + params equal across engines.
+    hists, leaves = [], []
+    for engine in ("auto", "shard_map"):
+        m = build(engine)
+        h = MultiModNHistory(["t"])
+        tr, va = loaders()
+        m.fit(tr, Adam(0.01), "cross_entropy", epochs=3, history=h,
+              val_loader=va)
+        hists.append(h)
+        leaves.append(jax.tree_util.tree_leaves(m.state_dict()))
+    for k in ("loss", "accuracy"):
+        for tag in ("train", "val"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(hists[0], k)[tag]),
+                np.asarray(getattr(hists[1], k)[tag]),
+                rtol=1e-5, atol=1e-6, err_msg=f"{tag} {k}")
+    for a, b in zip(*leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    # fit_best with patience: scores/selection equal across engines.
+    results = []
+    for engine in ("auto", "shard_map"):
+        m = build(engine)
+        tr, va = loaders()
+        results.append(m.fit_best(tr, Adam(0.01), "cross_entropy",
+                                  epochs=4, val_loader=va, patience=3))
+    a, b = results
+    assert a["best_epoch"] == b["best_epoch"]
+    assert a["epochs_ran"] == b["epochs_ran"]
+    np.testing.assert_allclose(a["scores"], b["scores"], rtol=1e-5,
+                               atol=1e-6)
 
 
 def test_randomized_shard_map_fused_soak():
@@ -316,6 +375,59 @@ def test_shard_map_kfold_matches_auto():
     res_auto = kfold_fit_best(factory("auto"), folds, Adam(0.01),
                               "cross_entropy", epochs=3)
     res_sm = kfold_fit_best(factory("shard_map"), folds, Adam(0.01),
+                            "cross_entropy", epochs=3)
+    for ra, rs in zip(res_auto, res_sm):
+        assert ra["best_epoch"] == rs["best_epoch"]
+        np.testing.assert_allclose(ra["scores"], rs["scores"],
+                                   rtol=1e-5, atol=1e-6)
+        for a, b in zip(
+                jax.tree_util.tree_leaves(ra["model"].state_dict()),
+                jax.tree_util.tree_leaves(rs["model"].state_dict())):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_shard_map_kfold_shuffled_matches_auto():
+    """shuffle=True fold loaders under the explicit engine: the in-region
+    global permutation (_sm_epoch_permute) rides the fold vmap —
+    shard_map's batching rule batches the all_gather — and equals the auto
+    engine fold-for-fold (same per-fold rng stream)."""
+    from multimodn_tpu.data import ArrayLoader, PartitionDataset
+    from multimodn_tpu.data.dataset import Subset
+    from multimodn_tpu.experiments import kfold_fit_best
+
+    n_dev = len(jax.devices())
+    bs = n_dev * 2
+    rng = np.random.default_rng(29)
+    n = bs * 8
+    X = rng.normal(size=(n, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = PartitionDataset(X, y, [3, 3])
+
+    def folds():
+        # Equal train batch counts (the shuffle-stacking requirement).
+        return [
+            (ArrayLoader(Subset(ds, list(range(0, bs * 3))), bs,
+                         shuffle=True),
+             ArrayLoader(Subset(ds, list(range(bs * 3, bs * 4))), bs)),
+            (ArrayLoader(Subset(ds, list(range(bs * 4, bs * 7))), bs,
+                         shuffle=True),
+             ArrayLoader(Subset(ds, list(range(bs * 7, bs * 8))), bs)),
+        ]
+
+    def factory(engine):
+        def make(seed):
+            mesh = make_mesh(axis_names=("data",)) \
+                if engine == "shard_map" else None
+            return MultiModN(3, [MLPEncoder(3, 3, (4,)),
+                                 MLPEncoder(3, 3, (4,))],
+                             [LogisticDecoder(3)], 0.7, 0.3, seed=seed,
+                             mesh=mesh, dp_engine=engine)
+        return make
+
+    res_auto = kfold_fit_best(factory("auto"), folds(), Adam(0.01),
+                              "cross_entropy", epochs=3)
+    res_sm = kfold_fit_best(factory("shard_map"), folds(), Adam(0.01),
                             "cross_entropy", epochs=3)
     for ra, rs in zip(res_auto, res_sm):
         assert ra["best_epoch"] == rs["best_epoch"]
