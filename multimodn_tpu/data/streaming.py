@@ -390,7 +390,6 @@ def train_epoch_streaming(model, loader: StreamingLoader, optimizer,
     loader.reshuffle()
     order = model._resolve_order(None, None, train=True)
     model._validate_pairings(order, loader)
-    loss_fn = model._loss_fn(criterion, order, model.nan_skip)
 
     from multimodn_tpu.model import _cache_key
     key = ("stream_step", _cache_key(criterion), order, model.nan_skip,
@@ -402,6 +401,12 @@ def train_epoch_streaming(model, loader: StreamingLoader, optimizer,
             model._fn_cache[key] = _sm_stream_step(model, criterion, order,
                                                    tx)
         else:
+            # Built here (not above) so the shard_map branch can never pick
+            # it up by accident: this loss_fn has no nan_axis, which would
+            # silently demote nan_skip='batch' to a shard-local decision
+            # (_sm_stream_step builds its own with nan_axis threaded).
+            loss_fn = model._loss_fn(criterion, order, model.nan_skip)
+
             @jax.jit
             def step(params, opt_state, sums, offset, data, targets, mask,
                      rng):
@@ -515,7 +520,7 @@ def test_epoch_streaming(model, loader: StreamingLoader, criterion=None,
 
     from multimodn_tpu.model import _cache_key
     key = ("stream_eval", _cache_key(criterion), order, model.nan_skip,
-           model._chain_plan(), str(model.compute_dtype))
+           model._chain_plan(), str(model.compute_dtype), model.dp_engine)
     if key not in model._fn_cache:
         @jax.jit
         def estep(params, sums, offset, data, targets, mask, rng):

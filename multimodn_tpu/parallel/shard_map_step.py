@@ -423,9 +423,10 @@ def make_shard_map_fit_fn(loss_fn, tx, mesh: Mesh, with_val: bool,
                           reshuffle: bool = False):
     """Explicit-collective twin of ``core.step.make_fit_fn``: N epochs
     (optionally each followed by a validation sweep) inside ONE shard_map
-    region. Signature matches make_fit_fn's (without seqs/offset0 — the
-    shard_map engine rejects per-batch sequences and StaticInitState at the
-    model layer). ``on_epoch`` streams the same global per-epoch payloads
+    region. Signature matches make_fit_fn's (without seqs — per-batch
+    sequences are rejected at the model layer; ``offset0`` carries the
+    global StaticInitState cycle via the _sm_local_offset round-robin).
+    ``on_epoch`` streams the same global per-epoch payloads
     as the auto engine's, emitted once from the mesh-origin shard
     (_sm_emit_epoch). Numerically equivalent to the auto engine
     (tests/test_shard_map.py)."""
