@@ -16,6 +16,7 @@ from multimodn_tpu.data.streaming import (
     test_epoch_streaming,
     train_epoch_streaming,
 )
+from multimodn_tpu.data.disk import CSVStreamingLoader, NpyStreamingLoader
 
 __all__ = [
     "MultiModDataset",
@@ -31,6 +32,8 @@ __all__ = [
     "load_mimic_data",
     "StreamingLoader",
     "TorchStreamingLoader",
+    "CSVStreamingLoader",
+    "NpyStreamingLoader",
     "fit_best_streaming",
     "fit_streaming",
     "test_epoch_streaming",

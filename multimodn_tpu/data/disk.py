@@ -1,0 +1,230 @@
+"""Disk-backed streaming loaders: datasets larger than HOST memory.
+
+``StreamingLoader`` streams host->device but still materializes the whole
+dataset in host RAM (``data/streaming.py``); these loaders close the last
+gap (VERDICT r4 next-#3): batches are read straight from disk, so host
+memory stays O(batch) no matter the dataset size.
+
+Two backends:
+
+- ``CSVStreamingLoader`` — numeric CSV via the native reader
+  (``native/csv.cpp``): one bounded-buffer indexing pass records per-row
+  byte offsets (8 B/row), then each batch is one contiguous block read
+  (sequential) or a span-list read (shuffled). Falls back to pandas'
+  chunked reader when the native library is unavailable (sequential only).
+- ``NpyStreamingLoader`` — ``.npy`` matrices via ``numpy`` memmaps: the OS
+  pages in exactly the rows each batch touches; resident pages are
+  reclaimable cache, not process-owned heap.
+
+Both expose the StreamingLoader protocol (``iter_batches``/``reshuffle``/
+geometry/``modality_widths``), so every streaming entry point
+(``train_epoch_streaming``/``fit_streaming``/``fit_best_streaming``/
+``test_epoch_streaming`` and the streamed experiment programs) drives them
+unchanged, and training over the same rows is bit-equal to a
+StreamingLoader (tests/test_disk.py). The reference's nearest path copies
+the whole dataset through a per-batch DataLoader
+(``multimodn/multimodn.py:132-135``) — it has no larger-than-RAM story.
+
+Column layout (both loaders): the first ``sum(widths)`` columns are the
+modality features in order; the next ``n_targets`` columns are integer
+class targets. This is the layout of the MIMIC embeddings export and of
+``PartitionDataset(X, y)`` concatenated — write datasets that way (or
+reorder with a one-off script) to stream them.
+"""
+from __future__ import annotations
+
+import math
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class _DiskLoaderBase:
+    """Shared geometry/iteration for the disk-backed loaders. Subclasses
+    implement ``_fetch(idx) -> (len(idx), n_used_cols) float64/float32``
+    (rows in ``idx`` order; idx is always sorted-contiguous when
+    ``shuffle=False``)."""
+
+    def __init__(self, n_rows: int, n_cols: int, widths: Sequence[int],
+                 n_targets: int, batch_size: int, shuffle: bool, seed: int):
+        widths = [int(w) for w in widths]
+        if any(w <= 0 for w in widths):
+            raise ValueError(f"modality widths must be positive: {widths}")
+        n_used = sum(widths) + int(n_targets)
+        if n_targets < 1:
+            raise ValueError(f"n_targets must be >= 1, got {n_targets}")
+        if n_used > n_cols:
+            raise ValueError(
+                f"layout needs {sum(widths)} feature + {n_targets} target "
+                f"columns = {n_used}, but the source has only {n_cols}")
+        if n_rows == 0:
+            raise ValueError("disk-backed loader got an empty dataset")
+        self._widths = widths
+        self._n_targets = int(n_targets)
+        self._n_cols = int(n_cols)
+        self.n_samples = int(n_rows)
+        self.batch_size = int(batch_size) if batch_size > 0 else self.n_samples
+        self.n_batches = max(1, math.ceil(self.n_samples / self.batch_size))
+        self.shuffle = bool(shuffle)
+        self._rng = np.random.default_rng(seed)
+        self._order = np.arange(self.n_samples)
+
+    @property
+    def modality_widths(self) -> List[int]:
+        return list(self._widths)
+
+    def __len__(self) -> int:
+        return self.n_batches
+
+    def reshuffle(self):
+        if self.shuffle:
+            self._rng.shuffle(self._order)
+
+    def _fetch(self, idx: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def iter_batches(self) -> Iterator[Tuple[List[np.ndarray], np.ndarray,
+                                             np.ndarray]]:
+        """Yield (per-modality data list, targets, sample_mask), padded to
+        the static batch size — the StreamingLoader batch contract."""
+        B = self.batch_size
+        n_feat = sum(self._widths)
+        splits = np.cumsum(self._widths[:-1])
+        for b in range(self.n_batches):
+            idx = self._order[b * B:(b + 1) * B]
+            n = idx.shape[0]
+            rows = np.asarray(self._fetch(idx), np.float32)
+            mask = np.zeros((B,), np.float32)
+            mask[:n] = 1.0
+            data = []
+            for block in np.split(rows[:, :n_feat], splits, axis=1):
+                buf = np.zeros((B, block.shape[1]), np.float32)
+                buf[:n] = block
+                data.append(buf)
+            targets = np.zeros((B, self._n_targets), np.int32)
+            targets[:n] = rows[:, n_feat:n_feat + self._n_targets]
+            yield data, targets, mask
+
+
+class CSVStreamingLoader(_DiskLoaderBase):
+    """Stream batches straight from a numeric CSV on disk.
+
+    Native path (``native/csv.cpp``): ``csv_index`` records per-row byte
+    offsets in one bounded-buffer pass, then sequential batches are single
+    contiguous block reads (``csv_read_block_f64``) and shuffled batches
+    are span-list reads (``csv_read_rows_f64``) — host memory is the
+    8 B/row index plus one batch. Pandas fallback (native toolchain
+    unavailable): ``read_csv(chunksize=batch_size)`` per epoch, sequential
+    only (``shuffle=True`` needs the native random-access reader).
+
+    CSV shape: the same numeric one-header-row files ``read_csv_f64``
+    accepts (empty/NA cells -> NaN). ``strict=False`` turns unparseable
+    non-empty fields into NaN instead of erroring.
+    """
+
+    def __init__(self, path: str, widths: Sequence[int], n_targets: int = 1,
+                 batch_size: int = 0, shuffle: bool = False, seed: int = 0,
+                 strict: bool = True):
+        from multimodn_tpu.data import native
+        self._path = path
+        self._strict = bool(strict)
+        self._offsets: Optional[np.ndarray] = None
+        indexed = native.csv_index(path)
+        if indexed is not None:
+            n_rows, n_cols, self._offsets = indexed
+        else:
+            if shuffle:
+                raise NotImplementedError(
+                    "CSVStreamingLoader(shuffle=True) needs the native "
+                    "random-access reader (native/csv.cpp, built with g++ "
+                    "on first use) — the pandas chunked fallback can only "
+                    "stream sequentially. Pre-shuffle the file once, or "
+                    "install a C++ toolchain.")
+            n_rows, n_cols = self._pandas_dims(path)
+        super().__init__(n_rows, n_cols, widths, n_targets, batch_size,
+                         shuffle, seed)
+
+    @staticmethod
+    def _pandas_dims(path: str) -> Tuple[int, int]:
+        import pandas as pd
+        n_rows, n_cols = 0, 0
+        for chunk in pd.read_csv(path, chunksize=65536):
+            n_rows += chunk.shape[0]
+            n_cols = chunk.shape[1]
+        return n_rows, n_cols
+
+    def _fetch(self, idx: np.ndarray) -> np.ndarray:
+        from multimodn_tpu.data import native
+        off = self._offsets
+        if off is None:
+            raise RuntimeError("pandas-fallback loader fetches via "
+                               "iter_batches only")  # pragma: no cover
+        n = idx.shape[0]
+        contiguous = n > 0 and int(idx[-1]) - int(idx[0]) == n - 1 and \
+            bool(np.all(np.diff(idx) == 1))
+        if contiguous:
+            out = native.csv_read_block(
+                self._path, int(off[idx[0]]), int(off[idx[-1] + 1]), n,
+                self._n_cols, self._strict)
+        else:
+            spans = np.stack([off[idx], off[idx + 1]], axis=1)
+            out = native.csv_read_rows(self._path, spans, self._n_cols,
+                                       self._strict)
+        if out is None:
+            raise ValueError(
+                f"native CSV read failed on {self._path} (unparseable "
+                f"field under strict=True, or the file changed since "
+                f"indexing); strict=False maps bad fields to NaN")
+        return out
+
+    def iter_batches(self):
+        if self._offsets is not None:
+            yield from super().iter_batches()
+            return
+        # Pandas chunked fallback: sequential stream, one chunk per batch.
+        import pandas as pd
+        B = self.batch_size
+        n_feat = sum(self._widths)
+        splits = np.cumsum(self._widths[:-1])
+        for chunk in pd.read_csv(self._path, chunksize=B):
+            rows = chunk.to_numpy(np.float32)
+            n = rows.shape[0]
+            mask = np.zeros((B,), np.float32)
+            mask[:n] = 1.0
+            data = []
+            for block in np.split(rows[:, :n_feat], splits, axis=1):
+                buf = np.zeros((B, block.shape[1]), np.float32)
+                buf[:n] = block
+                data.append(buf)
+            targets = np.zeros((B, self._n_targets), np.int32)
+            targets[:n] = rows[:, n_feat:n_feat + self._n_targets]
+            yield data, targets, mask
+
+
+class NpyStreamingLoader(_DiskLoaderBase):
+    """Stream batches from an ``.npy`` matrix via a numpy memmap (the
+    VERDICT's "numpy memmap fallback"): rows load lazily per batch; fancy
+    indexing on the memmap copies only the touched rows into the batch
+    buffer. Accepts a path (``np.load(mmap_mode='r')``) or an
+    already-open memmap/ndarray (an ndarray works but is host-resident —
+    use StreamingLoader for that case).
+
+    The matrix holds features-then-targets columns like
+    ``CSVStreamingLoader``. Shuffled access is fully supported (memmaps
+    are random-access)."""
+
+    def __init__(self, matrix, widths: Sequence[int], n_targets: int = 1,
+                 batch_size: int = 0, shuffle: bool = False, seed: int = 0):
+        if isinstance(matrix, (str, bytes)):
+            matrix = np.load(matrix, mmap_mode="r")
+        matrix = np.asanyarray(matrix)
+        if matrix.ndim != 2:
+            raise ValueError(
+                f"NpyStreamingLoader needs a 2-D (rows, cols) matrix, got "
+                f"shape {matrix.shape}")
+        self._m = matrix
+        super().__init__(matrix.shape[0], matrix.shape[1], widths,
+                         n_targets, batch_size, shuffle, seed)
+
+    def _fetch(self, idx: np.ndarray) -> np.ndarray:
+        return self._m[idx]

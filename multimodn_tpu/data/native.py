@@ -68,13 +68,24 @@ def get_lib():
         lib.standardize_columns.argtypes = [f32p, i64, i64]
         lib.standardize_columns.restype = None
         if hasattr(lib, "csv_dims"):
-            lib.csv_dims.argtypes = [ctypes.c_char_p, ctypes.POINTER(i64),
-                                     ctypes.POINTER(i64), ctypes.POINTER(i64)]
+            i64p = ctypes.POINTER(i64)
+            lib.csv_dims.argtypes = [ctypes.c_char_p, i64p, i64p, i64p]
             lib.csv_dims.restype = i64
             f64p = ctypes.POINTER(ctypes.c_double)
             lib.csv_read_f64.argtypes = [ctypes.c_char_p, f64p, i64, i64,
                                          ctypes.c_char_p, i64, i64]
             lib.csv_read_f64.restype = i64
+        if hasattr(lib, "csv_index"):
+            i64p = ctypes.POINTER(i64)
+            f64p = ctypes.POINTER(ctypes.c_double)
+            lib.csv_index.argtypes = [ctypes.c_char_p, i64p, i64p, i64p, i64]
+            lib.csv_index.restype = i64
+            lib.csv_read_block_f64.argtypes = [ctypes.c_char_p, i64, i64,
+                                               i64, i64, f64p, i64]
+            lib.csv_read_block_f64.restype = i64
+            lib.csv_read_rows_f64.argtypes = [ctypes.c_char_p, i64p, i64,
+                                              i64, f64p, i64]
+            lib.csv_read_rows_f64.restype = i64
         _lib = lib
         return _lib
 
@@ -135,6 +146,70 @@ def standardize_columns(X: np.ndarray) -> Optional[np.ndarray]:
     X = np.ascontiguousarray(X, dtype=np.float32)
     lib.standardize_columns(_f32p(X), X.shape[0], X.shape[1])
     return X
+
+
+def csv_index(path: str):
+    """Bounded-memory CSV row index (native/csv.cpp csv_index): one
+    streaming pass with a 1 MiB buffer records every data row's byte
+    offset. Returns (n_rows, n_cols, offsets) where offsets is
+    (n_rows + 1,) int64 and row i's bytes are offsets[i]..offsets[i+1] —
+    or None when the file needs pandas (quoted fields, ragged rows) or the
+    native library is unavailable. The index costs 8 bytes/row; the data
+    itself is never held in host memory."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "csv_index"):
+        return None
+    i64 = ctypes.c_int64
+    n_rows, n_cols = i64(0), i64(0)
+    # Counting pass (offsets=null) so the offsets array can be sized.
+    rc = lib.csv_index(path.encode(), ctypes.byref(n_rows),
+                       ctypes.byref(n_cols), None, i64(0))
+    if rc != 0:
+        return None
+    offsets = np.empty(n_rows.value + 1, np.int64)
+    rc = lib.csv_index(path.encode(), ctypes.byref(n_rows),
+                       ctypes.byref(n_cols),
+                       offsets.ctypes.data_as(ctypes.POINTER(i64)),
+                       i64(n_rows.value))
+    if rc != 0:
+        return None
+    return n_rows.value, n_cols.value, offsets
+
+
+def csv_read_block(path: str, byte_start: int, byte_end: int, n_rows: int,
+                   n_cols: int, strict: bool = True):
+    """Parse one contiguous row block (native csv_read_block_f64) into an
+    (n_rows, n_cols) float64 matrix; None on failure (caller falls back)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "csv_read_block_f64"):
+        return None
+    out = np.empty((n_rows, n_cols), np.float64)
+    rc = lib.csv_read_block_f64(
+        path.encode(), ctypes.c_int64(byte_start), ctypes.c_int64(byte_end),
+        ctypes.c_int64(n_rows), ctypes.c_int64(n_cols),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int64(1 if strict else 0))
+    return out if rc == 0 else None
+
+
+def csv_read_rows(path: str, spans: np.ndarray, n_cols: int,
+                  strict: bool = True):
+    """Parse `spans.shape[0]` non-contiguous rows (shuffled access; native
+    csv_read_rows_f64). ``spans`` is (k, 2) int64 byte ranges. Returns a
+    (k, n_cols) float64 matrix or None on failure."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "csv_read_rows_f64"):
+        return None
+    spans = np.ascontiguousarray(spans, np.int64)
+    k = spans.shape[0]
+    out = np.empty((k, n_cols), np.float64)
+    rc = lib.csv_read_rows_f64(
+        path.encode(),
+        spans.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(k), ctypes.c_int64(n_cols),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int64(1 if strict else 0))
+    return out if rc == 0 else None
 
 
 def read_csv_f64(path: str, strict: bool = True):

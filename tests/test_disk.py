@@ -1,0 +1,278 @@
+"""Disk-backed streaming loaders (data/disk.py): native CSV random-access
+reads, memmap streaming, batch equality vs the host-resident
+StreamingLoader, and bounded host memory.
+
+The reference's only data path copies the whole dataset through a per-batch
+DataLoader (multimodn/multimodn.py:132-135); these tests pin the
+larger-than-host-RAM capability it lacks.
+"""
+import numpy as np
+import pytest
+
+from multimodn_tpu.data import native
+from multimodn_tpu.data.disk import CSVStreamingLoader, NpyStreamingLoader
+from multimodn_tpu.data.streaming import StreamingLoader
+
+WIDTHS = [3, 5, 2]
+N_TARGETS = 2
+
+
+def _write_csv(path, X, y, nan_cells=()):
+    cols = [f"f{i}" for i in range(X.shape[1])] + \
+        [f"t{j}" for j in range(y.shape[1])]
+    with open(path, "w") as f:
+        f.write(",".join(cols) + "\n")
+        for i in range(X.shape[0]):
+            cells = []
+            for j, v in enumerate(X[i]):
+                cells.append("" if (i, j) in nan_cells else repr(float(v)))
+            cells += [str(int(t)) for t in y[i]]
+            f.write(",".join(cells) + "\n")
+
+
+@pytest.fixture(scope="module")
+def small_data():
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(53, sum(WIDTHS))).astype(np.float32)
+    y = rng.integers(0, 2, size=(53, N_TARGETS))
+    return X, y
+
+
+@pytest.fixture(scope="module")
+def csv_path(tmp_path_factory, small_data):
+    X, y = small_data
+    path = tmp_path_factory.mktemp("disk") / "data.csv"
+    _write_csv(str(path), X, y, nan_cells={(4, 1), (17, 9)})
+    return str(path)
+
+
+def _native_available():
+    return native.get_lib() is not None and \
+        hasattr(native.get_lib(), "csv_index")
+
+
+# ---------------------------------------------------------------------------
+# Native chunked reader
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not _native_available(), reason="native lib unavailable")
+def test_csv_index_spans_cover_rows(csv_path, small_data):
+    X, y = small_data
+    n_rows, n_cols, offsets = native.csv_index(csv_path)
+    assert n_rows == X.shape[0]
+    assert n_cols == X.shape[1] + N_TARGETS
+    assert offsets.shape == (n_rows + 1,)
+    assert bool(np.all(np.diff(offsets) > 0))
+    # The whole-file reader is the oracle for contents.
+    full, _ = native.read_csv_f64(csv_path, strict=True)
+    blk = native.csv_read_block(csv_path, int(offsets[0]),
+                                int(offsets[n_rows]), n_rows, n_cols)
+    np.testing.assert_array_equal(np.isnan(full), np.isnan(blk))
+    np.testing.assert_array_equal(full[~np.isnan(full)],
+                                  blk[~np.isnan(blk)])
+
+
+@pytest.mark.skipif(not _native_available(), reason="native lib unavailable")
+def test_csv_read_rows_shuffled(csv_path):
+    n_rows, n_cols, offsets = native.csv_index(csv_path)
+    full, _ = native.read_csv_f64(csv_path, strict=True)
+    idx = np.array([7, 0, 52, 31, 4])
+    spans = np.stack([offsets[idx], offsets[idx + 1]], axis=1)
+    got = native.csv_read_rows(csv_path, spans, n_cols)
+    want = full[idx]
+    np.testing.assert_array_equal(np.isnan(want), np.isnan(got))
+    np.testing.assert_array_equal(want[~np.isnan(want)],
+                                  got[~np.isnan(got)])
+
+
+# ---------------------------------------------------------------------------
+# Loader equality vs StreamingLoader (same rows -> identical batches)
+# ---------------------------------------------------------------------------
+
+def _assert_batches_equal(a, b):
+    batches_a, batches_b = list(a.iter_batches()), list(b.iter_batches())
+    assert len(batches_a) == len(batches_b)
+    for (da, ta, ma), (db, tb, mb) in zip(batches_a, batches_b):
+        assert len(da) == len(db)
+        for xa, xb in zip(da, db):
+            np.testing.assert_array_equal(np.isnan(xa), np.isnan(xb))
+            np.testing.assert_array_equal(xa[~np.isnan(xa)],
+                                          xb[~np.isnan(xb)])
+        np.testing.assert_array_equal(ta, tb)
+        np.testing.assert_array_equal(ma, mb)
+
+
+def _ram_loader(small_data, batch, shuffle=False, seed=0):
+    from multimodn_tpu.data import PartitionDataset
+    X, y = small_data
+    Xn = X.copy()
+    Xn[4, 1] = np.nan
+    Xn[17, 9] = np.nan
+    ds = PartitionDataset(Xn, y, WIDTHS)
+    return StreamingLoader(ds, batch, shuffle=shuffle, seed=seed)
+
+
+@pytest.mark.quick
+@pytest.mark.skipif(not _native_available(), reason="native lib unavailable")
+@pytest.mark.parametrize("batch", [16, 53, 7])
+def test_csv_loader_matches_streaming(csv_path, small_data, batch):
+    ram = _ram_loader(small_data, batch)
+    disk = CSVStreamingLoader(csv_path, WIDTHS, N_TARGETS, batch)
+    assert disk.n_samples == ram.n_samples
+    assert disk.n_batches == ram.n_batches
+    assert disk.modality_widths == ram.modality_widths
+    _assert_batches_equal(disk, ram)
+
+
+@pytest.mark.skipif(not _native_available(), reason="native lib unavailable")
+def test_csv_loader_shuffle_matches_streaming(csv_path, small_data):
+    # Identical rng construction (default_rng(seed) permuting arange) ->
+    # identical orders -> identical shuffled batches, epoch after epoch.
+    ram = _ram_loader(small_data, 16, shuffle=True, seed=3)
+    disk = CSVStreamingLoader(csv_path, WIDTHS, N_TARGETS, 16, shuffle=True,
+                              seed=3)
+    for _ in range(3):
+        ram.reshuffle()
+        disk.reshuffle()
+        _assert_batches_equal(disk, ram)
+
+
+@pytest.mark.quick
+def test_npy_loader_matches_streaming(tmp_path, small_data):
+    X, y = small_data
+    Xn = X.copy()
+    Xn[4, 1] = np.nan
+    Xn[17, 9] = np.nan
+    mat = np.concatenate([Xn, y.astype(np.float32)], axis=1)
+    path = tmp_path / "data.npy"
+    np.save(path, mat)
+    ram = _ram_loader(small_data, 16, shuffle=True, seed=5)
+    disk = NpyStreamingLoader(str(path), WIDTHS, N_TARGETS, 16,
+                              shuffle=True, seed=5)
+    assert isinstance(disk._m, np.memmap)
+    for _ in range(2):
+        ram.reshuffle()
+        disk.reshuffle()
+        _assert_batches_equal(disk, ram)
+
+
+def test_pandas_fallback_sequential(csv_path, small_data, monkeypatch):
+    monkeypatch.setattr(native, "csv_index", lambda path: None)
+    ram = _ram_loader(small_data, 16)
+    disk = CSVStreamingLoader(csv_path, WIDTHS, N_TARGETS, 16)
+    assert disk._offsets is None
+    assert disk.n_samples == ram.n_samples
+    _assert_batches_equal(disk, ram)
+    with pytest.raises(NotImplementedError, match="shuffle"):
+        CSVStreamingLoader(csv_path, WIDTHS, N_TARGETS, 16, shuffle=True)
+
+
+def test_layout_validation(csv_path):
+    with pytest.raises(ValueError, match="columns"):
+        CSVStreamingLoader(csv_path, [100, 100], 1, 16)
+    with pytest.raises(ValueError, match="n_targets"):
+        CSVStreamingLoader(csv_path, WIDTHS, 0, 16)
+
+
+# ---------------------------------------------------------------------------
+# Training equality: disk-backed loaders drive the streaming entry points
+# bit-identically to host-resident streaming (hence to the fused programs,
+# via tests/test_streaming.py's equalities).
+# ---------------------------------------------------------------------------
+
+def _model(seed=0):
+    from multimodn_tpu import MultiModN
+    from multimodn_tpu.decoders import MLPDecoder
+    from multimodn_tpu.encoders import MIMICMLPEncoder
+    return MultiModN(
+        8, [MIMICMLPEncoder(8, w, (8,), dropout=0.0) for w in WIDTHS],
+        [MLPDecoder(8, (8,), 2) for _ in range(N_TARGETS)], 1.0, 0.0,
+        nan_skip="sample")
+
+
+@pytest.mark.quick
+@pytest.mark.skipif(not _native_available(), reason="native lib unavailable")
+def test_train_epoch_streaming_from_csv(csv_path, small_data):
+    from multimodn_tpu import Adam
+    from multimodn_tpu.core.history import MultiModNHistory
+    from multimodn_tpu.data.streaming import train_epoch_streaming
+
+    runs = {}
+    for name, ldr in {
+            "ram": _ram_loader(small_data, 16),
+            "csv": CSVStreamingLoader(csv_path, WIDTHS, N_TARGETS, 16)
+    }.items():
+        m = _model()
+        h = MultiModNHistory([f"t{j}" for j in range(N_TARGETS)])
+        for _ in range(2):
+            train_epoch_streaming(m, ldr, Adam(1e-2), "cross_entropy", h)
+        runs[name] = np.asarray(h.loss["train"])
+    np.testing.assert_array_equal(runs["ram"], runs["csv"])
+
+
+def test_fit_best_streaming_from_npy(tmp_path, small_data):
+    from multimodn_tpu import Adam
+    from multimodn_tpu.data.streaming import fit_best_streaming
+
+    X, y = small_data
+    mat = np.concatenate([X, y.astype(np.float32)], axis=1)
+    np.save(tmp_path / "tr.npy", mat[:37])
+    np.save(tmp_path / "va.npy", mat[37:])
+
+    from multimodn_tpu.data import PartitionDataset
+    ds_tr = PartitionDataset(X[:37], y[:37], WIDTHS)
+    ds_va = PartitionDataset(X[37:], y[37:], WIDTHS)
+
+    res = {}
+    for name, (tr, va) in {
+        "ram": (StreamingLoader(ds_tr, 16), StreamingLoader(ds_va, 16)),
+        "npy": (NpyStreamingLoader(str(tmp_path / "tr.npy"), WIDTHS,
+                                   N_TARGETS, 16),
+                NpyStreamingLoader(str(tmp_path / "va.npy"), WIDTHS,
+                                   N_TARGETS, 16)),
+    }.items():
+        m = _model()
+        res[name] = fit_best_streaming(m, tr, Adam(1e-2), "cross_entropy",
+                                       epochs=3, val_loader=va)
+    assert res["ram"]["best_epoch"] == res["npy"]["best_epoch"]
+    np.testing.assert_array_equal(res["ram"]["scores"], res["npy"]["scores"])
+
+
+# ---------------------------------------------------------------------------
+# Bounded host memory: iterating a CSV epoch must not pull the table into
+# anonymous process memory (file-backed page cache is the kernel's).
+# ---------------------------------------------------------------------------
+
+def _anon_kb():
+    with open("/proc/self/smaps_rollup") as f:
+        for line in f:
+            if line.startswith("Anonymous:"):
+                return int(line.split()[1])
+    return None  # pragma: no cover
+
+
+@pytest.mark.skipif(not _native_available(), reason="native lib unavailable")
+def test_csv_epoch_bounded_memory(tmp_path):
+    rng = np.random.default_rng(0)
+    n, width = 40000, 120   # ~90 MB of CSV text
+    path = tmp_path / "big.csv"
+    with open(path, "w") as f:
+        f.write(",".join([f"f{i}" for i in range(width)] + ["t0"]) + "\n")
+        for _ in range(40):
+            block = rng.normal(size=(n // 40, width)).astype(np.float32)
+            tgt = rng.integers(0, 2, size=(n // 40, 1))
+            rows = np.concatenate([block, tgt.astype(np.float32)], axis=1)
+            f.write("\n".join(",".join(repr(float(v)) for v in r)
+                              for r in rows) + "\n")
+    file_mb = path.stat().st_size / 1e6
+    assert file_mb > 60
+    loader = CSVStreamingLoader(str(path), [width], 1, batch_size=256)
+    before = _anon_kb()
+    peak = before
+    for b, (data, targets, mask) in enumerate(loader.iter_batches()):
+        if b % 16 == 0:
+            peak = max(peak, _anon_kb())
+    growth_mb = (peak - before) / 1024
+    # One batch is 256*121*8 B ≈ 0.25 MB; allow generous allocator slack,
+    # but the 90 MB table must never land in process memory.
+    assert growth_mb < 20, f"anonymous RSS grew {growth_mb:.1f} MB"
