@@ -315,11 +315,28 @@ def kfold_fit_best(
         (= epochs unless patience stopped the fold early); scores/sums
         cover exactly the executed epochs.
     """
+    folds = list(folds)
+    streaming = [hasattr(ldr, "iter_batches") for pair in folds
+                 for ldr in pair]
+    if any(streaming):
+        if not all(streaming):
+            raise ValueError(
+                "mixed fold loaders: every fold's train AND val loader "
+                "must be streaming (iter_batches) or every one an "
+                "ArrayLoader — the two paths build different programs.")
+        from multimodn_tpu.experiments_stream import kfold_fit_best_streamed
+        if mesh is not None:
+            raise ValueError(
+                "fold-axis sharding (mesh=) is a fused-path feature; "
+                "streamed folds shard the batch axis via the model's own "
+                "mesh (see experiments_stream).")
+        return kfold_fit_best_streamed(
+            model_factory, folds, optimizer, criterion, epochs=epochs,
+            seeds=seeds, patience=patience, on_epoch=on_epoch)
     criterion = resolve_criterion(criterion)
     _check_vmap_safe(optimizer)
     if patience is not None and patience < 1:
         raise ValueError(f"patience must be >= 1, got {patience}")
-    folds = list(folds)
     n_real = len(folds)
     seeds = list(seeds) if seeds is not None else list(range(n_real))
     if mesh is not None:
@@ -594,6 +611,23 @@ def sweep_fit_best(
 
     Returns per-seed dicts shaped like ``kfold_fit_best``'s.
     """
+    if hasattr(train_loader, "iter_batches") or \
+            hasattr(val_loader, "iter_batches"):
+        if not (hasattr(train_loader, "iter_batches")
+                and hasattr(val_loader, "iter_batches")):
+            raise ValueError(
+                "mixed loaders: train and val must both be streaming "
+                "(iter_batches) or both ArrayLoaders.")
+        from multimodn_tpu.experiments_stream import kfold_fit_best_streamed
+        if mesh is not None:
+            raise ValueError(
+                "seed-axis sharding (mesh=) is a fused-path feature; "
+                "streamed sweeps shard the batch axis via the model's own "
+                "mesh (see experiments_stream).")
+        return kfold_fit_best_streamed(
+            model_factory, [(train_loader, val_loader)], optimizer,
+            criterion, epochs=epochs, seeds=list(seeds), patience=patience,
+            on_epoch=on_epoch, _shared_loaders=True)
     criterion = resolve_criterion(criterion)
     _check_vmap_safe(optimizer)
     if patience is not None and patience < 1:
