@@ -68,6 +68,30 @@ def masked_mean_sq_diff(new_state, old_state, sample_mask):
     return jnp.sum(per_sample * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
+def _split_stacked_data(data):
+    """Twin of ``_unstack_view`` for the data side: scan-plan models carry
+    ONE (B, E, ...) modality array (``MultiModN._place`` fuses the tuple so
+    epoch scans have a single xs leaf); the per-encoder-indexed chains need
+    the tuple back. The constant-index slices fold away under jit. Bare
+    per-modality tuples/lists pass through untouched."""
+    if isinstance(data, (tuple, list)):
+        return data
+    return tuple(data[:, k] for k in range(data.shape[1]))
+
+
+def _unstack_view(params: dict, n_enc: int) -> dict:
+    """Serve scan-STACKED encoder storage to the per-encoder-indexed chains
+    as a traced view (repeated-encoder downgrade on scan-plan models): the
+    constant-index slices fold away under jit and gradients flow back into
+    the stacked leaves, so the model's canonical storage / optimizer state
+    / checkpoints stay stacked."""
+    if isinstance(params.get("encoders"), (list, tuple)):
+        return params
+    from multimodn_tpu.core.scan_chain import unstack_encoder_params
+    return dict(params,
+                encoders=unstack_encoder_params(params["encoders"], n_enc))
+
+
 def forward_chain(
     encoders: Sequence,
     init_state,
@@ -100,6 +124,8 @@ def forward_chain(
     n_enc = len(encoders)
     batch = sample_mask.shape[0]
     n_real = jnp.sum(sample_mask.astype(jnp.float32))
+    params = _unstack_view(params, n_enc)
+    data = _split_stacked_data(data)
 
     state = init_state.apply(params["init_state"], batch, init_offset)
     # Align the initial state with the chain's compute dtype: a
@@ -208,6 +234,8 @@ def forward_chain_executions(
     """
     batch = sample_mask.shape[0]
     n_real = jnp.sum(sample_mask.astype(jnp.float32))
+    params = _unstack_view(params, len(encoders))
+    data = _split_stacked_data(data)
     state = init_state.apply(params["init_state"], batch, init_offset)
     # Align the initial state with the chain's compute dtype: a
     # StaticInitState bank lives OUTSIDE params (fp32), so under bf16 mixed

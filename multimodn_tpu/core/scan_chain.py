@@ -65,6 +65,16 @@ def stack_encoder_params(params_list) -> dict:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params_list)
 
 
+def unstack_encoder_params(stacked, n: int) -> list:
+    """Inverse of ``stack_encoder_params`` as a traced VIEW: per-encoder
+    pytrees sliced from the stacked storage. Under jit the constant-index
+    slices fold away (and gradients flow back into the stacked leaves), so
+    the unrolled chain can read scan-stacked models without converting the
+    model's canonical storage — the repeated-encoder downgrade path."""
+    return [jax.tree_util.tree_map(lambda x: x[e], stacked)
+            for e in range(n)]
+
+
 def forward_chain_scan(
     encoder,                      # the (shared-structure) encoder module
     n_encoders: int,

@@ -561,6 +561,46 @@ def epoch_permute(data, targets, sample_mask, erng):
             regroup(sample_mask))
 
 
+def epoch_permute_masked(data, targets, sample_mask, erng, n_real):
+    """``epoch_permute`` for fold-PADDED stacks (the vmapped kfold with
+    unequal fold batch counts): permute only the first ``n_real`` flattened
+    sample slots — each fold's own nb_f*B slots, the exact domain per-fold
+    ``fit_best``'s ``epoch_permute`` acts on — and keep the fold-padding
+    tail fixed, so fully-padded batches stay fully padded (``gate_empty``
+    keeps firing exactly) and padding never mixes into real batches.
+
+    ``n_real`` is a traced scalar (a (F,) array under the fold vmap — the
+    reason the shapes here must not depend on it). Algorithm: stable
+    argsort of iid uniforms with +inf on padded slots — a uniformly random
+    permutation of the real slots (argsort of distinct iid uniforms is
+    uniform over permutations; NOT bit-identical to
+    ``jax.random.permutation``'s sort-based shuffle, whose draw shape would
+    have to be the traced ``n_real``)."""
+    n_batches, batch = targets.shape[0], targets.shape[1]
+    n = n_batches * batch
+    r = jax.random.uniform(jax.random.fold_in(erng, 777), (n,))
+    r = jnp.where(jnp.arange(n) < n_real, r, jnp.inf)
+    perm = jnp.argsort(r, stable=True)
+
+    def regroup(a):
+        flat = a.reshape((n,) + a.shape[2:])
+        return jnp.take(flat, perm, axis=0).reshape(a.shape)
+
+    return (jax.tree_util.tree_map(regroup, data), regroup(targets),
+            regroup(sample_mask))
+
+
+def _reshuffle_arrays(reshuffle, data, targets, mask, erng, n_real):
+    """Shared reshuffle dispatch for the fused programs: False -> as-is,
+    True -> ``epoch_permute``, 'masked' -> ``epoch_permute_masked`` (the
+    caller must supply ``n_real``)."""
+    if reshuffle == "masked":
+        return epoch_permute_masked(data, targets, mask, erng, n_real)
+    if reshuffle:
+        return epoch_permute(data, targets, mask, erng)
+    return data, targets, mask
+
+
 def _emit_epoch_callback(on_epoch, ordered: bool = True, active=None,
                          **scalars):
     """Opt-in per-epoch progress hook: stream tiny scalar payloads to the
@@ -803,7 +843,7 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
 
     def fit(params, opt_state, data, targets, mask,
             val_data, val_targets, val_mask, epoch_ids, rng,
-            seqs=None, val_seqs=None, offset0=None):
+            seqs=None, val_seqs=None, offset0=None, n_real=None):
         # best_score starts at -inf so epoch 0 always wins the strictly-
         # greater comparison; a constant-zero score can no longer leave
         # best_epoch at -1 and silently restore untrained parameters.
@@ -814,10 +854,8 @@ def make_select_fit_fn(loss_fn, tx, binary_decoders,
         def epoch_body(carry, eid):
             params, opt_state, best, offset = carry
             erng = jax.random.fold_in(rng, eid)
-            if reshuffle:
-                d, t, m = epoch_permute(data, targets, mask, erng)
-            else:
-                d, t, m = data, targets, mask
+            d, t, m = _reshuffle_arrays(reshuffle, data, targets, mask,
+                                        erng, n_real)
             params, opt_state, offset, tsums = run_train_epoch(
                 params, opt_state, d, t, m, erng, seqs, offset)
             offset, vsums, outputs = run_eval_epoch(
@@ -866,7 +904,7 @@ def make_select_fit_early_stop_fn(loss_fn, tx, binary_decoders,
 
     def fit(params, opt_state, data, targets, mask,
             val_data, val_targets, val_mask, epoch_ids, patience, rng,
-            seqs=None, val_seqs=None, offset0=None):
+            seqs=None, val_seqs=None, offset0=None, n_real=None):
         n_epochs = epoch_ids.shape[0]
         best0 = (jax.tree_util.tree_map(lambda x: x, params),
                  jnp.full((), -jnp.inf), jnp.asarray(-1, jnp.int32))
@@ -881,10 +919,8 @@ def make_select_fit_early_stop_fn(loss_fn, tx, binary_decoders,
             # flag lets the host dispatcher drop those phantom emissions.
             eid = epoch_ids[i]
             erng = jax.random.fold_in(rng, eid)
-            if reshuffle:
-                d, t, m = epoch_permute(data, targets, mask, erng)
-            else:
-                d, t, m = data, targets, mask
+            d, t, m = _reshuffle_arrays(reshuffle, data, targets, mask,
+                                        erng, n_real)
             params, opt_state, offset, tsums = run_train_epoch(
                 params, opt_state, d, t, m, erng, seqs, offset)
             offset, vsums, outputs = run_eval_epoch(

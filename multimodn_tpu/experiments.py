@@ -435,9 +435,25 @@ def kfold_fit_best(
             rows = np.concatenate([rows, pad], axis=0)
         return rows
 
+    # Unequal train batch counts + shuffle: the in-program permutation must
+    # act on each fold's OWN nb_f*B sample slots (per-fold fit_best's
+    # domain), not the fold-padded stack — 'masked' mode permutes exactly
+    # that prefix per fold and leaves the padding tail (and its fully-empty
+    # gated batches) fixed.
+    masked_shuffle = reshuffle and \
+        len({f[0].n_batches for f in folds}) > 1
+    reshuffle_mode = "masked" if masked_shuffle else reshuffle
+
     # Folds get padded to a common batch count -> empty batches exist, so the
     # exact-skip gating must be on here.
     if template.dp_engine == "shard_map":
+        if masked_shuffle:
+            raise NotImplementedError(
+                "shuffle=True with unequal fold batch counts is supported "
+                "on the auto (GSPMD) engine only: the explicit engine's "
+                "global in-shard_map permutation has no masked variant. "
+                "Build auto-engine models, equalize fold sizes, or loop "
+                "fit_best per fold.")
         fit = _shard_map_experiment_fit(
             template, criterion, optimizer, order, binary, True, patience,
             reshuffle, per_batch, mesh, all_loaders,
@@ -445,7 +461,7 @@ def kfold_fit_best(
     else:
         fit = _cached_select_fit(template, criterion, optimizer, order,
                                  per_batch, binary, gate_empty=True,
-                                 reshuffle=reshuffle,
+                                 reshuffle=reshuffle_mode,
                                  early_stop=patience is not None,
                                  with_on_epoch=on_epoch is not None)
 
@@ -467,14 +483,6 @@ def kfold_fit_best(
     val_stacks = [place(f[1]) for f in folds]
     max_tb = max(s[1].shape[0] for s in train_stacks)
     max_vb = max(s[1].shape[0] for s in val_stacks)
-    if reshuffle and any(s[1].shape[0] != max_tb for s in train_stacks):
-        raise NotImplementedError(
-            "kfold_fit_best supports shuffle=True only when every fold has "
-            "the same train batch count: with unequal counts the in-program "
-            "per-epoch permutation would act on fold-PADDED stacks (a "
-            "different sample-slot count than per-fold fit_best permutes) "
-            "and mix padding into real batches. Equalize fold sizes or "
-            "loop fit_best per fold.")
     train_p = [_pad_batches(s, max_tb) for s in train_stacks]
     val_p = [_pad_batches(s, max_vb) for s in val_stacks]
 
@@ -515,20 +523,26 @@ def kfold_fit_best(
 
     pat = () if patience is None else (jnp.asarray(patience, jnp.int32),)
     pat_ax = () if patience is None else (None,)
+    seq_args = (tseqs, vseqs) if per_batch else ()
+    seq_ax = (0, 0) if per_batch else ()
+    if masked_shuffle:
+        # (F,) per-fold real-slot counts; rides the vmap as the fit's
+        # n_real keyword (fit's positional tail ends at val_seqs).
+        n_real_arr = jnp.asarray(
+            [s[1].shape[0] * s[1].shape[1] for s in train_stacks],
+            jnp.int32)
+        extra, extra_ax = (n_real_arr,), (0,)
+        call = lambda *a: fit(*a[:-1], n_real=a[-1])
+    else:
+        extra, extra_ax = (), ()
+        call = fit
     _ON_EPOCH_CELL[0] = on_epoch
     try:
-        if per_batch:
-            vfit = jax.vmap(fit, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)
-                            + pat_ax + (0, 0, 0))
-            outs = vfit(params, opt_state, data, targets, mask,
-                        vdata, vtargets, vmask, jnp.arange(epochs), *pat,
-                        rngs, tseqs, vseqs)
-        else:
-            vfit = jax.vmap(fit, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)
-                            + pat_ax + (0,))
-            outs = vfit(params, opt_state, data, targets, mask,
-                        vdata, vtargets, vmask, jnp.arange(epochs), *pat,
-                        rngs)
+        vfit = jax.vmap(call, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)
+                        + pat_ax + (0,) + seq_ax + extra_ax)
+        outs = vfit(params, opt_state, data, targets, mask,
+                    vdata, vtargets, vmask, jnp.arange(epochs), *pat,
+                    rngs, *seq_args, *extra)
     finally:
         if on_epoch is not None:
             jax.effects_barrier()   # all payloads delivered before return

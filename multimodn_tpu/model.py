@@ -445,24 +445,19 @@ class MultiModN:
         silently corrupting them (review findings):
         - explicit chain_mode='scan'/'switch': honor the user's choice with
           an error;
-        - scan-stacked parameter storage (chosen at construction): the
-          unrolled chain indexes per-encoder params and would KeyError;
         - shuffle_mode (train only): the downgraded chain cannot shuffle
           in-program, and silently dropping the reference's per-batch
-          redraw is worse than an error."""
+          redraw is worse than an error.
+        Scan-STACKED parameter storage (the homogeneous auto plan) is fine:
+        the unrolled chain reads it through ``fusion._unstack_view`` — a
+        traced per-encoder view whose slices fold away under jit, keeping
+        the model's canonical storage/optimizer state stacked."""
         if self.chain_mode != "auto":
             raise ValueError(
                 "encoding sequences with REPEATED encoders need the "
                 "unrolled chain (per-execution metric accumulation, "
                 "multimodn.py:171-192); drop chain_mode="
                 f"{self.chain_mode!r} or use 'auto'/'unrolled'.")
-        if not isinstance(self.params["encoders"], (list, tuple)):
-            raise NotImplementedError(
-                "this model stores scan-stacked encoder parameters (the "
-                "homogeneous auto plan chose the scan chain at "
-                "construction); repeated encoding sequences need "
-                "per-encoder storage — construct the model with "
-                "chain_mode='unrolled'.")
         if self.shuffle_mode and not for_eval:
             raise NotImplementedError(
                 "shuffle_mode with a REPEATED encoding sequence cannot "

@@ -373,6 +373,15 @@ class Adam8bit(Optimizer):
     ``mode``: 'auto' (= the XLA path, measured >= the hand kernel),
     'pallas'/'interpret' (the fused Pallas kernel — explicit opt-in, kept
     for chips where fp8 casts are native), 'xla'.
+
+    PERMANENT scope limit: 'pallas'/'interpret' modes are rejected by the
+    vmapped experiment programs (kfold/sweep_fit_best) — the kernel uses
+    input/output aliasing, whose vmap batching is neither exercised nor
+    worth building: the XLA path is numerically identical (bit-exact
+    identity-quantization equivalence, tests/test_adam8bit.py) and
+    measured FASTER on v5e (bench_adam8bit*.json), so a vmap-safe kernel
+    would be slower code serving no configuration. Construct
+    ``Adam8bit(lr)`` (auto == xla) for experiment programs.
     """
 
     def __init__(self, learning_rate: float,

@@ -213,15 +213,6 @@ def test_kfold_shuffle_guards():
     X = rng.normal(size=(90, 6)).astype(np.float32)
     y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
     ds = PartitionDataset(X, y, [3, 3])
-    # Unequal train batch counts (40 vs 24 rows at bs=16 -> 3 vs 2 batches).
-    uneq = [
-        (ArrayLoader(Subset(ds, list(range(0, 40))), 16, shuffle=True),
-         ArrayLoader(Subset(ds, list(range(40, 56))), 16)),
-        (ArrayLoader(Subset(ds, list(range(56, 80))), 16, shuffle=True),
-         ArrayLoader(Subset(ds, list(range(80, 90))), 16)),
-    ]
-    with pytest.raises(NotImplementedError, match="same train batch count"):
-        kfold_fit_best(_factory, uneq, Adam(0.01), "cross_entropy", epochs=2)
     mixed = [
         (ArrayLoader(Subset(ds, list(range(0, 40))), 16, shuffle=True),
          ArrayLoader(Subset(ds, list(range(40, 56))), 16)),
@@ -230,6 +221,102 @@ def test_kfold_shuffle_guards():
     ]
     with pytest.raises(ValueError, match="agree on shuffle"):
         kfold_fit_best(_factory, mixed, Adam(0.01), "cross_entropy", epochs=2)
+
+
+def test_kfold_shuffle_unequal_folds():
+    """shuffle=True with UNEQUAL fold batch counts (r4 composition corner):
+    the masked per-fold permutation trains — and each fold's trajectory is
+    a pure function of its own (loader, seed), independent of the co-folds
+    sharing the padded program (the lane-isolation property that makes the
+    padding exact)."""
+    rng = np.random.default_rng(12)
+    X = rng.normal(size=(120, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = PartitionDataset(X, y, [3, 3])
+
+    def foldA():  # 40 rows -> 3 batches at bs=16 (sets max_tb=3)
+        return (ArrayLoader(Subset(ds, list(range(0, 40))), 16, shuffle=True),
+                ArrayLoader(Subset(ds, list(range(40, 56))), 16))
+
+    def foldB():  # 24 rows -> 2 batches (the padded lane)
+        return (ArrayLoader(Subset(ds, list(range(56, 80))), 16,
+                            shuffle=True),
+                ArrayLoader(Subset(ds, list(range(80, 90))), 16))
+
+    def foldC():  # different 24-row lane
+        return (ArrayLoader(Subset(ds, list(range(90, 114))), 16,
+                            shuffle=True),
+                ArrayLoader(Subset(ds, list(range(104, 120))), 16))
+
+    r1 = kfold_fit_best(_factory, [foldA(), foldB()], Adam(0.01),
+                        "cross_entropy", epochs=4, seeds=(0, 1))
+    r2 = kfold_fit_best(_factory, [foldA(), foldC()], Adam(0.01),
+                        "cross_entropy", epochs=4, seeds=(0, 1))
+    for r in r1 + r2:
+        assert np.isfinite(r["best_score"]) and r["epochs_ran"] == 4
+    # fold A's lane must be IDENTICAL under either co-fold (same program
+    # geometry, same lane inputs -> bit-equal).
+    np.testing.assert_array_equal(r1[0]["scores"], r2[0]["scores"])
+    np.testing.assert_array_equal(
+        np.asarray(r1[0]["model"].params["encoders"][0]["layers"][0]["w"]),
+        np.asarray(r2[0]["model"].params["encoders"][0]["layers"][0]["w"]))
+    # shuffling must actually change the trajectory vs unshuffled loaders
+    def foldA_ns():
+        return (ArrayLoader(Subset(ds, list(range(0, 40))), 16),
+                ArrayLoader(Subset(ds, list(range(40, 56))), 16))
+    def foldB_ns():
+        return (ArrayLoader(Subset(ds, list(range(56, 80))), 16),
+                ArrayLoader(Subset(ds, list(range(80, 90))), 16))
+    r3 = kfold_fit_best(_factory, [foldA_ns(), foldB_ns()], Adam(0.01),
+                        "cross_entropy", epochs=4, seeds=(0, 1))
+    assert not np.array_equal(r1[0]["scores"], r3[0]["scores"]) or \
+        not np.array_equal(
+            np.asarray(r1[0]["model"].params["encoders"][0]["layers"][0]["w"]),
+            np.asarray(r3[0]["model"].params["encoders"][0]["layers"][0]["w"]))
+
+
+def test_epoch_permute_masked_semantics():
+    """Unit semantics of the masked permutation: the first n_real flattened
+    slots are a uniform permutation of themselves, the padding tail is
+    untouched, and the real-slot ORDER is independent of how much padding
+    follows (the per-fold-domain property: a fold sees the same shuffle it
+    would in its own unpadded program shape)."""
+    import jax
+    import jax.numpy as jnp
+    from multimodn_tpu.core.step import epoch_permute_masked
+
+    B, nb_real, nb_pad = 8, 3, 5
+    n_real = nb_real * B
+    rng = np.random.default_rng(0)
+    base = np.arange(nb_real * B, dtype=np.float32).reshape(nb_real, B)
+    padded = np.full((nb_pad, B), -1.0, np.float32)
+    padded[:nb_real] = base
+    erng = jax.random.PRNGKey(42)
+
+    d_p, t_p, m_p = epoch_permute_masked(
+        (jnp.asarray(padded)[..., None],), jnp.asarray(padded, jnp.int32)[..., None],
+        jnp.asarray(padded), erng, jnp.asarray(n_real))
+    flat = np.asarray(m_p).reshape(-1)
+    # real slots: same multiset, tail: fixed in place
+    assert sorted(flat[:n_real]) == sorted(base.reshape(-1).tolist())
+    np.testing.assert_array_equal(flat[n_real:], -1.0)
+    assert not np.array_equal(flat[:n_real], base.reshape(-1))  # it moved
+    # data/targets/mask travel under ONE shared permutation
+    np.testing.assert_array_equal(
+        np.asarray(d_p[0]).reshape(-1), np.asarray(m_p).reshape(-1))
+    np.testing.assert_array_equal(
+        np.asarray(t_p).reshape(-1).astype(np.float32),
+        np.asarray(m_p).reshape(-1))
+    # padding-independence: the same fold with LESS padding shuffles its
+    # real slots into the same order
+    padded2 = np.full((nb_real + 1, B), -1.0, np.float32)
+    padded2[:nb_real] = base
+    _, _, m_q = epoch_permute_masked(
+        (jnp.asarray(padded2)[..., None],),
+        jnp.asarray(padded2, jnp.int32)[..., None],
+        jnp.asarray(padded2), erng, jnp.asarray(n_real))
+    np.testing.assert_array_equal(
+        np.asarray(m_q).reshape(-1)[:n_real], flat[:n_real])
 
 
 def test_kfold_per_fold_uniform_sequences():

@@ -423,3 +423,63 @@ def test_heterogeneous_shuffle_per_batch_cadence():
     ev_plain = float(plain_loss_fn(model.params, data, targets, mask,
                                    jax.random.fold_in(base, 0), 0, False)[0])
     np.testing.assert_allclose(ev, ev_plain, rtol=1e-6)
+
+
+def test_repeated_sequence_on_scan_stacked_storage():
+    """r4 composition corner (b): a model whose auto plan chose SCAN-STACKED
+    parameter storage at construction (homogeneous, E>=16) handed a
+    repeated-encoder sequence downgrades to the unrolled chain through the
+    traced unstack/data-split views — train_epoch, test and predict all
+    match the chain_mode='unrolled' twin with identical weights."""
+    E = 16
+    rng = np.random.default_rng(21)
+    X = rng.normal(size=(48, E)).astype(np.float32)
+    y = (X @ rng.normal(size=E) > 0).astype(np.int64)[:, None]
+
+    seq = np.asarray([*range(E - 1), 0], np.int64)  # encoder 0 runs twice
+
+    class SeqDS(FeatureWiseDataset):
+        def __getitem__(self, i):
+            xs, t = super().__getitem__(i)[:2]
+            return xs, t, seq
+
+        def arrays(self):
+            xs, t = super().arrays()[:2]
+            return xs, t, np.tile(seq[None, :], (len(self), 1))
+
+    ds = SeqDS(X, y)
+
+    def build(chain_mode):
+        return MultiModN(2, [MLPFeatureEncoder(2, 4) for _ in range(E)],
+                         [LogisticDecoder(2)], 1.0, 0.1, seed=3,
+                         chain_mode=chain_mode)
+
+    stacked = build("auto")
+    assert stacked._chain_plan()[0] == "scan"
+    assert not isinstance(stacked.params["encoders"], (list, tuple))
+    unrolled = build("unrolled")
+
+    h_s, h_u = MultiModNHistory(["t"]), MultiModNHistory(["t"])
+    for m, h in ((stacked, h_s), (unrolled, h_u)):
+        for _ in range(2):
+            m.train_epoch(ArrayLoader(ds, 16), Adam(0.01), "cross_entropy", h)
+        m.test(ArrayLoader(ds, 16), "cross_entropy", h, tag="val")
+    np.testing.assert_allclose(np.asarray(h_s.loss["train"]),
+                               np.asarray(h_u.loss["train"]),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(h_s.accuracy["val"]),
+                               np.asarray(h_u.accuracy["val"]),
+                               rtol=1e-6, atol=1e-7)
+    # trained weights agree leaf-for-leaf (stacked[e] == list[e])
+    for e in range(E):
+        se = jax.tree_util.tree_map(lambda x: np.asarray(x[e]),
+                                    stacked.params["encoders"])
+        ue = jax.tree_util.tree_map(np.asarray,
+                                    unrolled.params["encoders"][e])
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6,
+                                                    atol=1e-7), se, ue)
+    # predict parity too (quirk #9: no nan-skip on predict)
+    p_s = stacked.predict(ArrayLoader(ds, 16))
+    p_u = unrolled.predict(ArrayLoader(ds, 16))
+    np.testing.assert_array_equal(np.asarray(p_s), np.asarray(p_u))
