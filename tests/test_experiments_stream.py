@@ -214,3 +214,60 @@ def test_kfold_streamed_meshed_batch_axis():
         assert rp["best_epoch"] == rm["best_epoch"]
         np.testing.assert_allclose(rp["scores"], rm["scores"],
                                    rtol=1e-6, atol=1e-7)
+
+
+def _anon_kb():
+    with open("/proc/self/smaps_rollup") as f:
+        for line in f:
+            if line.startswith("Anonymous:"):
+                return int(line.split()[1])
+    return None  # pragma: no cover
+
+
+def test_kfold_streamed_larger_than_memory_scale(tmp_path):
+    """The north-star protocol when per-fold epoch stacks do NOT fit device
+    memory (VERDICT r4 next-#2 'done' criterion): ~120 MB of fold data on
+    disk (.npy memmaps), streamed kfold_fit_best trains with host anonymous
+    RSS growth bounded at O(batch), never O(dataset) — the fused path would
+    materialize every fold's padded epoch stack."""
+    from multimodn_tpu.data.disk import NpyStreamingLoader
+
+    W = [64, 56]
+    width = sum(W) + 1                       # + one target column
+    n_tr, n_va, B = 80_000, 8_000, 256
+    rng = np.random.default_rng(0)
+    folds = []
+    for i in range(3):
+        for role, n in (("tr", n_tr), ("va", n_va)):
+            mm = np.lib.format.open_memmap(
+                tmp_path / f"{role}{i}.npy", mode="w+", dtype=np.float32,
+                shape=(n, width))
+            for s in range(0, n, 10_000):     # chunked writes: O(chunk) RAM
+                blk = rng.normal(size=(min(10_000, n - s), width)
+                                 ).astype(np.float32)
+                blk[:, -1] = (blk[:, 0] + blk[:, 70] > 0)
+                mm[s:s + blk.shape[0]] = blk
+            mm.flush(); del mm
+        folds.append((
+            NpyStreamingLoader(str(tmp_path / f"tr{i}.npy"), W, 1, B),
+            NpyStreamingLoader(str(tmp_path / f"va{i}.npy"), W, 1, B)))
+    total_mb = sum(f.stat().st_size for f in tmp_path.iterdir()) / 1e6
+    assert total_mb > 100, total_mb
+
+    def fac(seed):
+        return MultiModN(4, [MIMICMLPEncoder(4, w, (8,), dropout=0.0)
+                             for w in W],
+                         [MLPDecoder(4, (8,), 2)], 1.0, 0.0, seed=seed)
+
+    # Warm the traces (program cache is structural), then measure growth
+    # across the real multi-epoch run so compile scratch is excluded.
+    kfold_fit_best(fac, folds, Adam(1e-2), "cross_entropy", epochs=1)
+    before = _anon_kb()
+    res = kfold_fit_best(fac, folds, Adam(1e-2), "cross_entropy", epochs=2)
+    growth_mb = (_anon_kb() - before) / 1024
+    assert all(np.isfinite(r["best_score"]) and r["best_score"] > 1.0
+               for r in res)   # the synthetic rule is learnable
+    # One fold-stacked batch is 3*256*121*4 B ~ 0.4 MB; the double buffer,
+    # selection buffers (3 x 8192 x 2) and allocator slack stay well under
+    # the dataset size. The fused path needs > 250 MB of stacks here.
+    assert growth_mb < 60, f"anonymous RSS grew {growth_mb:.1f} MB"
