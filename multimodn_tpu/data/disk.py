@@ -83,27 +83,45 @@ class _DiskLoaderBase:
     def _fetch(self, idx: np.ndarray) -> np.ndarray:
         raise NotImplementedError
 
+    def _assemble_batch(self, rows: np.ndarray):
+        """(n, >= n_feat+n_targets) float32 rows -> (per-modality data
+        list, targets, mask) padded to the static batch size — the ONE
+        place disk rows become the StreamingLoader batch contract (the
+        pandas fallback routes here too, so fixes can't miss a copy)."""
+        B = self.batch_size
+        n = rows.shape[0]
+        n_feat = sum(self._widths)
+        splits = np.cumsum(self._widths[:-1])
+        mask = np.zeros((B,), np.float32)
+        mask[:n] = 1.0
+        data = []
+        for block in np.split(rows[:, :n_feat], splits, axis=1):
+            buf = np.zeros((B, block.shape[1]), np.float32)
+            buf[:n] = block
+            data.append(buf)
+        tcols = rows[:, n_feat:n_feat + self._n_targets]
+        if not np.isfinite(tcols).all():
+            # A NaN/NA target would cast to int32 garbage (-2**31) with
+            # mask 1.0 — silent label corruption (one_hot zeroes the row's
+            # loss); NaN is only meaningful in FEATURE columns.
+            raise ValueError(
+                "non-finite target cell(s) in the disk-backed source: "
+                "target columns must hold integer class labels; empty/NA/"
+                "unparseable cells are only valid in feature columns "
+                "(modality missingness)")
+        targets = np.zeros((B, self._n_targets), np.int32)
+        targets[:n] = tcols
+        return data, targets, mask
+
     def iter_batches(self) -> Iterator[Tuple[List[np.ndarray], np.ndarray,
                                              np.ndarray]]:
         """Yield (per-modality data list, targets, sample_mask), padded to
         the static batch size — the StreamingLoader batch contract."""
         B = self.batch_size
-        n_feat = sum(self._widths)
-        splits = np.cumsum(self._widths[:-1])
         for b in range(self.n_batches):
             idx = self._order[b * B:(b + 1) * B]
-            n = idx.shape[0]
-            rows = np.asarray(self._fetch(idx), np.float32)
-            mask = np.zeros((B,), np.float32)
-            mask[:n] = 1.0
-            data = []
-            for block in np.split(rows[:, :n_feat], splits, axis=1):
-                buf = np.zeros((B, block.shape[1]), np.float32)
-                buf[:n] = block
-                data.append(buf)
-            targets = np.zeros((B, self._n_targets), np.int32)
-            targets[:n] = rows[:, n_feat:n_feat + self._n_targets]
-            yield data, targets, mask
+            yield self._assemble_batch(
+                np.asarray(self._fetch(idx), np.float32))
 
 
 class CSVStreamingLoader(_DiskLoaderBase):
@@ -183,22 +201,8 @@ class CSVStreamingLoader(_DiskLoaderBase):
             return
         # Pandas chunked fallback: sequential stream, one chunk per batch.
         import pandas as pd
-        B = self.batch_size
-        n_feat = sum(self._widths)
-        splits = np.cumsum(self._widths[:-1])
-        for chunk in pd.read_csv(self._path, chunksize=B):
-            rows = chunk.to_numpy(np.float32)
-            n = rows.shape[0]
-            mask = np.zeros((B,), np.float32)
-            mask[:n] = 1.0
-            data = []
-            for block in np.split(rows[:, :n_feat], splits, axis=1):
-                buf = np.zeros((B, block.shape[1]), np.float32)
-                buf[:n] = block
-                data.append(buf)
-            targets = np.zeros((B, self._n_targets), np.int32)
-            targets[:n] = rows[:, n_feat:n_feat + self._n_targets]
-            yield data, targets, mask
+        for chunk in pd.read_csv(self._path, chunksize=self.batch_size):
+            yield self._assemble_batch(chunk.to_numpy(np.float32))
 
 
 class NpyStreamingLoader(_DiskLoaderBase):

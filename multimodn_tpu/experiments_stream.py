@@ -392,9 +392,13 @@ def kfold_fit_best_streamed(
             act = jnp.asarray(active)
             params, opt_state, offsets = freeze(act, (params, opt_state,
                                                       offsets), pre)
-            # A frozen fold re-evaluates identical params -> identical
-            # score -> strictly-greater never fires, but freeze best too
-            # so eval-side nondeterminism can never resurrect a lane.
+            # LOAD-BEARING: a stopped lane still TRAINS a phantom epoch
+            # before this revert (pre is applied after tstep/vstep/select),
+            # so `select` scored the post-phantom params and `improved`
+            # can genuinely fire for it — without freezing `best` too, a
+            # stopped lane's best_epoch/best_score would advance past its
+            # patience stop (diverging from the fused while_loop's frozen
+            # lanes).
             best = freeze(act, best_new, best)
         else:
             best = best_new
@@ -403,10 +407,18 @@ def kfold_fit_best_streamed(
         vsums_hist.append(vsums)
         ran += active
         if on_epoch is not None:
+            # Same payload contract as the fused kfold's on_epoch (epoch /
+            # train_loss / val_loss / score): the fused program divides
+            # mean err_loss by its PADDED batch count (targets.shape[0]),
+            # which is max_tb/max_vb here.
             sc = np.asarray(score)
+            tl = np.asarray(tsums["err_loss"]).mean(axis=(1, 2)) / max_tb
+            vl = np.asarray(vsums["err_loss"]).mean(axis=(1, 2)) / max_vb
             for f in range(F):
                 if active[f]:
-                    on_epoch({"epoch": eid, "score": float(sc[f])})
+                    on_epoch({"epoch": eid, "train_loss": float(tl[f]),
+                              "val_loss": float(vl[f]),
+                              "score": float(sc[f])})
         if patience is not None:
             imp = np.asarray(improved)
             since = np.where(active & imp, 0,

@@ -116,7 +116,9 @@ inline bool is_na_token(const char* s, int64_t len) {
 // Parse `n_rows` newline-separated numeric rows from the (mutable) buffer
 // [p, end) into `out` (row-major n_rows x n_cols). Shared by the whole-file
 // reader below and the streaming block reader. Returns 0 on success, 4 on
-// an unparseable non-empty field under strict mode.
+// an unparseable non-empty field under strict mode, 6 when the buffer held
+// FEWER than n_rows data rows (e.g. the file shrank after csv_index —
+// returning 0 would hand the caller uninitialized tail memory).
 inline int64_t parse_rows(char* p, char* end, int64_t n_rows, int64_t n_cols,
                           double* out, int64_t strict) {
     const double nan64 = std::numeric_limits<double>::quiet_NaN();
@@ -167,7 +169,7 @@ inline int64_t parse_rows(char* p, char* end, int64_t n_rows, int64_t n_cols,
         if (line_end < end) *line_end = saved_nl;
         q = line_end + 1;
     }
-    return 0;
+    return row < n_rows ? 6 : 0;
 }
 
 }  // namespace

@@ -68,3 +68,14 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if item.name in QUICK_TESTS:
             item.add_marker(pytest.mark.quick)
+    # A rename/reparametrization must not silently shrink the per-change
+    # gate: on any full-directory collection (no explicit file/node args),
+    # every QUICK_TESTS name must still exist. Runs before -m/-k
+    # deselection, so `pytest -m quick` checks the full collection too.
+    if not any(".py" in a or "::" in a for a in config.args):
+        missing = QUICK_TESTS - {item.name for item in items}
+        assert not missing, (
+            f"QUICK_TESTS entries no longer collect (renamed or "
+            f"reparametrized?): {sorted(missing)} — update "
+            f"tests/conftest.py::QUICK_TESTS so the quick gate keeps "
+            f"covering those subsystems")

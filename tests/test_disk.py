@@ -276,3 +276,46 @@ def test_csv_epoch_bounded_memory(tmp_path):
     # One batch is 256*121*8 B ≈ 0.25 MB; allow generous allocator slack,
     # but the 90 MB table must never land in process memory.
     assert growth_mb < 20, f"anonymous RSS grew {growth_mb:.1f} MB"
+
+
+# ---------------------------------------------------------------------------
+# Failure honesty (round-5 review findings): a short read must error, not
+# hand back uninitialized memory; a non-finite target cell must error, not
+# cast to int32 garbage with mask 1.0.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not _native_available(), reason="native lib unavailable")
+def test_csv_shrunk_after_indexing_errors(tmp_path, small_data):
+    X, y = small_data
+    path = tmp_path / "shrink.csv"
+    _write_csv(str(path), X, y)
+    loader = CSVStreamingLoader(str(path), WIDTHS, N_TARGETS, 16)
+    _write_csv(str(path), X[:5], y[:5])   # file shrank since indexing
+    with pytest.raises(ValueError, match="changed since"):
+        list(loader.iter_batches())
+
+
+def test_nan_target_cell_rejected(tmp_path, small_data):
+    X, y = small_data
+    # npy path: NaN in a target column
+    mat = np.concatenate([X, y.astype(np.float32)], axis=1)
+    mat[3, sum(WIDTHS) + 1] = np.nan
+    np.save(tmp_path / "bad.npy", mat)
+    ldr = NpyStreamingLoader(str(tmp_path / "bad.npy"), WIDTHS, N_TARGETS, 16)
+    with pytest.raises(ValueError, match="non-finite target"):
+        list(ldr.iter_batches())
+    # csv path (native or pandas fallback alike): empty target cell
+    path = tmp_path / "bad.csv"
+    with open(path, "w") as f:
+        cols = [f"f{i}" for i in range(sum(WIDTHS))] + \
+            [f"t{j}" for j in range(N_TARGETS)]
+        f.write(",".join(cols) + "\n")
+        for i in range(8):
+            cells = [repr(float(v)) for v in X[i]] + \
+                [str(int(t)) for t in y[i]]
+            if i == 5:
+                cells[-1] = ""            # missing target
+            f.write(",".join(cells) + "\n")
+    ldr = CSVStreamingLoader(str(path), WIDTHS, N_TARGETS, 8)
+    with pytest.raises(ValueError, match="non-finite target"):
+        list(ldr.iter_batches())

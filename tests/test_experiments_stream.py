@@ -271,3 +271,22 @@ def test_kfold_streamed_larger_than_memory_scale(tmp_path):
     # selection buffers (3 x 8192 x 2) and allocator slack stay well under
     # the dataset size. The fused path needs > 250 MB of stacks here.
     assert growth_mb < 60, f"anonymous RSS grew {growth_mb:.1f} MB"
+
+
+def test_streamed_on_epoch_payload_matches_fused_contract():
+    """Switching loader type silently dispatches to the streamed twin — the
+    on_epoch payload must keep the fused contract's keys (epoch/train_loss/
+    val_loss/score), and the shared values must agree."""
+    ds = _data(seed=6)
+    fused_p, stream_p = [], []
+    kfold_fit_best(_factory, _folds(ds, ArrayLoader), Adam(1e-2),
+                   "cross_entropy", epochs=2, on_epoch=fused_p.append)
+    kfold_fit_best(_factory, _folds(ds, StreamingLoader), Adam(1e-2),
+                   "cross_entropy", epochs=2, on_epoch=stream_p.append)
+    assert len(fused_p) == len(stream_p) == 6    # 3 folds x 2 epochs
+    for p in stream_p:
+        assert set(p) == {"epoch", "train_loss", "val_loss", "score"}
+    # unordered fused payloads: compare as multisets of rounded tuples
+    key = lambda p: (p["epoch"], round(p["train_loss"], 5),
+                     round(p["val_loss"], 5), round(p["score"], 5))
+    assert sorted(map(key, fused_p)) == sorted(map(key, stream_p))
