@@ -447,16 +447,9 @@ def kfold_fit_best(
     # Folds get padded to a common batch count -> empty batches exist, so the
     # exact-skip gating must be on here.
     if template.dp_engine == "shard_map":
-        if masked_shuffle:
-            raise NotImplementedError(
-                "shuffle=True with unequal fold batch counts is supported "
-                "on the auto (GSPMD) engine only: the explicit engine's "
-                "global in-shard_map permutation has no masked variant. "
-                "Build auto-engine models, equalize fold sizes, or loop "
-                "fit_best per fold.")
         fit = _shard_map_experiment_fit(
             template, criterion, optimizer, order, binary, True, patience,
-            reshuffle, per_batch, mesh, all_loaders,
+            reshuffle_mode, per_batch, mesh, all_loaders,
             with_on_epoch=on_epoch is not None)
     else:
         fit = _cached_select_fit(template, criterion, optimizer, order,

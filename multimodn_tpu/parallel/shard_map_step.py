@@ -371,7 +371,7 @@ def _gathered_selection_score(binary_decoders, data_axis):
     return make_selection_score(binary_decoders, gather=gather)
 
 
-def _sm_epoch_permute(data, targets, mask, erng, data_axis):
+def _sm_epoch_permute(data, targets, mask, erng, data_axis, n_real=None):
     """Global per-epoch sample reshuffle INSIDE the shard_map region
     (``shuffle=True`` loaders through the fused explicit-engine programs):
     each shard ``all_gather``s the epoch stacks over ``data_axis``, applies
@@ -386,8 +386,15 @@ def _sm_epoch_permute(data, targets, mask, erng, data_axis):
     is transiently FULL-size on every device — the explicit engine's
     documented trade for keeping its collectives hand-placed. Use the auto
     engine when the training arrays exceed a single device's memory (its
-    permutation gathers stay distributed)."""
-    from multimodn_tpu.core.step import epoch_permute
+    permutation gathers stay distributed).
+
+    ``n_real`` (masked mode — the vmapped kfold with UNEQUAL fold batch
+    counts): the gathered global stack has exactly the auto engine's
+    fold-padded (nb, B_global) layout, so ``epoch_permute_masked`` over
+    its flattened slots with the fold's global real-slot count draws the
+    auto engine's identical masked permutation — bit-equal across
+    engines."""
+    from multimodn_tpu.core.step import epoch_permute, epoch_permute_masked
 
     idx = jax.lax.axis_index(data_axis)
     B_local = targets.shape[1]
@@ -399,8 +406,12 @@ def _sm_epoch_permute(data, targets, mask, erng, data_axis):
                          + g.shape[3:])
 
     gdata = jax.tree_util.tree_map(to_global, data)
-    pdata, pt, pm = epoch_permute(gdata, to_global(targets),
-                                  to_global(mask), erng)
+    if n_real is not None:
+        pdata, pt, pm = epoch_permute_masked(gdata, to_global(targets),
+                                             to_global(mask), erng, n_real)
+    else:
+        pdata, pt, pm = epoch_permute(gdata, to_global(targets),
+                                      to_global(mask), erng)
 
     def to_local(a):
         return jax.lax.dynamic_slice_in_dim(a, idx * B_local, B_local,
@@ -410,8 +421,12 @@ def _sm_epoch_permute(data, targets, mask, erng, data_axis):
             to_local(pm))
 
 
-def _sm_train_arrays(reshuffle, data, targets, mask, erng, data_axis):
-    """Trace-time branch mirroring ``core.step.make_fit_fn.train_arrays``."""
+def _sm_train_arrays(reshuffle, data, targets, mask, erng, data_axis,
+                     n_real=None):
+    """Trace-time branch mirroring ``core.step._reshuffle_arrays``."""
+    if reshuffle == "masked":
+        return _sm_epoch_permute(data, targets, mask, erng, data_axis,
+                                 n_real)
     if reshuffle:
         return _sm_epoch_permute(data, targets, mask, erng, data_axis)
     return data, targets, mask
@@ -512,9 +527,12 @@ def make_shard_map_select_fit_fn(loss_fn, tx, mesh: Mesh, binary_decoders,
                                with_final_outputs=True)
     selection_score = _gathered_selection_score(binary_decoders, data_axis)
     axes = mesh.axis_names
+    masked = reshuffle == "masked"
 
     def device_fit(params, opt_state, data, targets, mask,
-                   vdata, vtargets, vmask, epoch_ids, rng, offset0):
+                   vdata, vtargets, vmask, epoch_ids, rng, offset0,
+                   *extra):
+        n_real = extra[0] if masked else None
         best0 = (jax.tree_util.tree_map(lambda x: x, params),
                  jnp.full((), -jnp.inf), jnp.asarray(-1, jnp.int32))
 
@@ -522,7 +540,7 @@ def make_shard_map_select_fit_fn(loss_fn, tx, mesh: Mesh, binary_decoders,
             params, opt_state, best, offset = carry
             erng = jax.random.fold_in(rng, eid)
             d, t, m = _sm_train_arrays(reshuffle, data, targets, mask,
-                                       erng, data_axis)
+                                       erng, data_axis, n_real)
             params, opt_state, offset, tsums = train_epoch(
                 params, opt_state, d, t, m, erng, offset)
             offset, vsums, outputs = eval_epoch(params, vdata, vtargets,
@@ -549,13 +567,14 @@ def make_shard_map_select_fit_fn(loss_fn, tx, mesh: Mesh, binary_decoders,
                 best_params, best_score, best_epoch, scores)
 
     in_specs, out_specs = _fit_specs(n_modalities, data_axis, True, 8,
-                                     extra_scalars=1)
+                                     extra_scalars=1 + masked)
     fit = jax.shard_map(device_fit, mesh=mesh, in_specs=in_specs,
                         out_specs=out_specs, check_vma=False)
     jfit = jax.jit(fit, donate_argnums=(1,))
 
-    def fn(*args, offset0=None):
-        return jfit(*args, _off0(offset0))
+    def fn(*args, offset0=None, n_real=None):
+        tail = (jnp.asarray(n_real, jnp.int32),) if masked else ()
+        return jfit(*args, _off0(offset0), *tail)
 
     return fn
 
@@ -582,10 +601,12 @@ def make_shard_map_select_fit_early_stop_fn(
                                with_final_outputs=True)
     selection_score = _gathered_selection_score(binary_decoders, data_axis)
     axes = mesh.axis_names
+    masked = reshuffle == "masked"
 
     def device_fit(params, opt_state, data, targets, mask,
                    vdata, vtargets, vmask, epoch_ids, patience, rng,
-                   offset0):
+                   offset0, *extra):
+        n_real = extra[0] if masked else None
         n_epochs = epoch_ids.shape[0]
         best0 = (jax.tree_util.tree_map(lambda x: x, params),
                  jnp.full((), -jnp.inf), jnp.asarray(-1, jnp.int32))
@@ -595,7 +616,7 @@ def make_shard_map_select_fit_early_stop_fn(
             eid = epoch_ids[i]
             erng = jax.random.fold_in(rng, eid)
             d, t, m = _sm_train_arrays(reshuffle, data, targets, mask,
-                                       erng, data_axis)
+                                       erng, data_axis, n_real)
             params, opt_state, offset, tsums = train_epoch(
                 params, opt_state, d, t, m, erng, offset)
             offset, vsums, outputs = eval_epoch(params, vdata, vtargets,
@@ -649,13 +670,15 @@ def make_shard_map_select_fit_early_stop_fn(
         return (params, opt_state, tbuf, vbuf,
                 best_params, best_score, best_epoch, sbuf, i)
 
-    in_specs, out_specs = _fit_specs(n_modalities, data_axis, True, 9,
-                                     extra_scalars=2)   # patience, offset0
+    in_specs, out_specs = _fit_specs(
+        n_modalities, data_axis, True, 9,
+        extra_scalars=2 + masked)   # patience, offset0[, n_real]
     fit = jax.shard_map(device_fit, mesh=mesh, in_specs=in_specs,
                         out_specs=out_specs, check_vma=False)
     jfit = jax.jit(fit, donate_argnums=(1,))
 
-    def fn(*args, offset0=None):
-        return jfit(*args, _off0(offset0))
+    def fn(*args, offset0=None, n_real=None):
+        tail = (jnp.asarray(n_real, jnp.int32),) if masked else ()
+        return jfit(*args, _off0(offset0), *tail)
 
     return fn

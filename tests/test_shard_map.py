@@ -691,3 +691,57 @@ def test_shard_map_static_init_state_global_round_robin():
                     jax.tree_util.tree_leaves(p1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_shard_map_kfold_masked_shuffle_unequal_folds_matches_auto():
+    """shuffle=True with UNEQUAL fold batch counts under the explicit
+    engine (round-5 corner closure): the masked permutation is drawn over
+    the all_gather'd global stack — the auto engine's exact fold-padded
+    layout — so results equal the auto engine fold-for-fold."""
+    from multimodn_tpu.data import ArrayLoader, PartitionDataset
+    from multimodn_tpu.data.dataset import Subset
+    from multimodn_tpu.experiments import kfold_fit_best
+
+    n_dev = len(jax.devices())
+    bs = n_dev * 2
+    rng = np.random.default_rng(31)
+    n = bs * 9
+    X = rng.normal(size=(n, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = PartitionDataset(X, y, [3, 3])
+
+    def folds():
+        # 3 vs 2 train batches -> the masked-permutation path.
+        return [
+            (ArrayLoader(Subset(ds, list(range(0, bs * 3))), bs,
+                         shuffle=True),
+             ArrayLoader(Subset(ds, list(range(bs * 3, bs * 4))), bs)),
+            (ArrayLoader(Subset(ds, list(range(bs * 4, bs * 6))), bs,
+                         shuffle=True),
+             ArrayLoader(Subset(ds, list(range(bs * 6, bs * 7))), bs)),
+        ]
+
+    def factory(engine):
+        def make(seed):
+            mesh = make_mesh(axis_names=("data",)) \
+                if engine == "shard_map" else None
+            return MultiModN(3, [MLPEncoder(3, 3, (4,)),
+                                 MLPEncoder(3, 3, (4,))],
+                             [LogisticDecoder(3)], 0.7, 0.3, seed=seed,
+                             mesh=mesh, dp_engine=engine)
+        return make
+
+    res_auto = kfold_fit_best(factory("auto"), folds(), Adam(0.01),
+                              "cross_entropy", epochs=3, patience=2)
+    res_sm = kfold_fit_best(factory("shard_map"), folds(), Adam(0.01),
+                            "cross_entropy", epochs=3, patience=2)
+    for ra, rs in zip(res_auto, res_sm):
+        assert ra["best_epoch"] == rs["best_epoch"]
+        assert ra["epochs_ran"] == rs["epochs_ran"]
+        np.testing.assert_allclose(ra["scores"], rs["scores"],
+                                   rtol=1e-5, atol=1e-6)
+        for a, b in zip(
+                jax.tree_util.tree_leaves(ra["model"].state_dict()),
+                jax.tree_util.tree_leaves(rs["model"].state_dict())):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
