@@ -291,12 +291,16 @@ def kfold_fit_best(
         model_factory: seed -> MultiModN; every fold's model must be
             structurally identical (same encoders/decoders/config).
         folds: per-fold (train_loader, val_loader) pairs; batch sizes must
-            match across folds. shuffle=True train loaders are supported
-            when every fold has the same train batch count (the in-program
-            per-epoch permutation then acts on stacks shaped exactly like
-            per-fold fit_best's). Encoding sequences — uniform (shared or
-            per-fold) and true per-batch — thread through as traced order
-            arrays, exactly like fused fit/fit_best.
+            match across folds. shuffle=True train loaders are supported:
+            with equal train batch counts the in-program per-epoch
+            permutation acts on stacks shaped exactly like per-fold
+            fit_best's (bit-equal trajectories); with UNEQUAL counts each
+            fold gets a masked permutation of its OWN real sample slots
+            (fold-padding stays fixed and exactly gated; per-fold results
+            are independent of co-folds, both engines). Encoding sequences
+            — uniform (shared or per-fold) and true per-batch — thread
+            through as traced order arrays, exactly like fused
+            fit/fit_best.
         seeds: per-fold init seeds (default 0..F-1, mirroring the reference's
             per-fold seed increment).
         mesh: optional ``jax.sharding.Mesh`` with a ``fold_axis`` axis. The
