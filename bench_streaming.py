@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Streamed vs fused experiment-program throughput on the real chip.
+
+The streamed kfold (experiments_stream.py) trades the fused path's
+one-dispatch-per-protocol for one dispatch + one host->device put per
+BATCH — the price of unbounded data. This measures that price honestly
+through the axon tunnel (per-dispatch latency ~30 ms, transfers
+~30-40 MB/s — CLAUDE.md), where it is dominated by the LINK, not the
+framework: on a host-attached TPU (PCIe/ICI, dispatch in the µs range)
+the same per-batch loop is bounded by batch compute instead.
+
+Stages (ONE process, sequential — the tunnel is single-client):
+  1. tiny matmul probe (claim health)
+  2. fused kfold_fit_best: 3 folds, ArrayLoader epoch stacks on device
+  3. streamed kfold_fit_best: same rows via StreamingLoader (host RAM)
+  4. streamed kfold_fit_best: same rows via NpyStreamingLoader (disk)
+Writes bench_streaming.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+
+FOLD_ROWS = 8192          # per-fold train rows
+VAL_ROWS = 1024
+WIDTHS = [256, 256]
+BATCH = 512
+EPOCHS = 5
+HIDDEN = (256,)
+STATE = 64
+
+
+def sync(x):
+    return float(np.asarray(x).reshape(-1)[0])
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    probe = jax.jit(lambda a: a @ a)(jnp.ones((256, 256)))
+    sync(probe)
+    print(f"claim+probe: {time.time() - t0:.1f}s", flush=True)
+
+    from multimodn_tpu import Adam, MultiModN
+    from multimodn_tpu.data import ArrayLoader, PartitionDataset, Subset
+    from multimodn_tpu.data.disk import NpyStreamingLoader
+    from multimodn_tpu.data.streaming import StreamingLoader
+    from multimodn_tpu.decoders import MLPDecoder
+    from multimodn_tpu.encoders import MIMICMLPEncoder
+    from multimodn_tpu.experiments import kfold_fit_best
+
+    rng = np.random.default_rng(0)
+    n = 3 * (FOLD_ROWS + VAL_ROWS)
+    X = rng.normal(size=(n, sum(WIDTHS))).astype(np.float32)
+    y = (X[:, 0:1] + X[:, WIDTHS[0]:WIDTHS[0] + 1] > 0).astype(np.int64)
+    ds = PartitionDataset(X, y, WIDTHS)
+
+    def fac(seed):
+        return MultiModN(STATE, [MIMICMLPEncoder(STATE, w, HIDDEN,
+                                                 dropout=0.0)
+                                 for w in WIDTHS],
+                         [MLPDecoder(STATE, HIDDEN, 2)], 1.0, 0.0,
+                         seed=seed)
+
+    def fold_ranges():
+        out = []
+        at = 0
+        for _ in range(3):
+            out.append((range(at, at + FOLD_ROWS),
+                        range(at + FOLD_ROWS, at + FOLD_ROWS + VAL_ROWS)))
+            at += FOLD_ROWS + VAL_ROWS
+        return out
+
+    def ram_folds(cls):
+        return [(cls(Subset(ds, list(tr)), BATCH),
+                 cls(Subset(ds, list(va)), BATCH))
+                for tr, va in fold_ranges()]
+
+    tmp = tempfile.mkdtemp()
+
+    def disk_folds():
+        out = []
+        for i, (tr, va) in enumerate(fold_ranges()):
+            for role, idx in (("tr", tr), ("va", va)):
+                mat = np.concatenate([X[list(idx)],
+                                      y[list(idx)].astype(np.float32)], 1)
+                np.save(os.path.join(tmp, f"{role}{i}.npy"), mat)
+            out.append((NpyStreamingLoader(os.path.join(tmp, f"tr{i}.npy"),
+                                           WIDTHS, 1, BATCH),
+                        NpyStreamingLoader(os.path.join(tmp, f"va{i}.npy"),
+                                           WIDTHS, 1, BATCH)))
+        return out
+
+    total_train = 3 * FOLD_ROWS * EPOCHS
+    results = {}
+
+    def run(name, folds_fn):
+        # one warm call (compile + upload), then the timed call
+        kfold_fit_best(fac, folds_fn(), Adam(1e-2), "cross_entropy",
+                       epochs=1)
+        t = time.time()
+        res = kfold_fit_best(fac, folds_fn(), Adam(1e-2), "cross_entropy",
+                             epochs=EPOCHS)
+        sync(res[0]["best_score"])
+        dt = time.time() - t
+        results[name] = {"seconds": round(dt, 3),
+                         "train_samples_per_sec": round(total_train / dt)}
+        print(f"{name}: {dt:.2f}s  {total_train / dt:,.0f} samples/s",
+              flush=True)
+        return res
+
+    r_fused = run("fused_arrayloader", lambda: ram_folds(ArrayLoader))
+    r_host = run("streamed_host", lambda: ram_folds(StreamingLoader))
+    r_disk = run("streamed_disk", disk_folds)
+
+    # honesty: all three trained the same protocol
+    for a, b in ((r_fused, r_host), (r_host, r_disk)):
+        for ra, rb in zip(a, b):
+            assert ra["best_epoch"] == rb["best_epoch"], (
+                ra["best_epoch"], rb["best_epoch"])
+
+    out = {
+        "config": {"folds": 3, "fold_rows": FOLD_ROWS, "val_rows": VAL_ROWS,
+                   "widths": WIDTHS, "batch": BATCH, "epochs": EPOCHS,
+                   "hidden": list(HIDDEN), "state": STATE},
+        "platform": str(jax.devices()[0].device_kind),
+        "results": results,
+        "streamed_vs_fused_time_ratio": round(
+            results["streamed_host"]["seconds"]
+            / results["fused_arrayloader"]["seconds"], 2),
+        "disk_vs_host_stream_ratio": round(
+            results["streamed_disk"]["seconds"]
+            / results["streamed_host"]["seconds"], 3),
+        "note": ("streamed per-batch puts+dispatches ride the axon tunnel "
+                 "(~30 ms dispatch, ~30-40 MB/s transfer) — on a "
+                 "host-attached TPU the same loop is batch-compute-bound"),
+    }
+    with open("bench_streaming.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out["results"]))
+
+
+if __name__ == "__main__":
+    main()
