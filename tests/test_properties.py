@@ -341,3 +341,118 @@ def test_randomized_round4_cross_path_soak():
                                            rtol=1e-5, atol=1e-6)
         except AssertionError as err:
             raise AssertionError(f"{ctx}\n{err}") from err
+
+
+def test_randomized_round5_cross_path_soak():
+    """Round-5 interaction soak: random kfold configurations across
+    {unequal fold batch counts, shuffle (masked permutation) x engine,
+    fused vs streamed vs disk-backed folds, patience} must agree wherever
+    two paths claim equality."""
+    import tempfile
+
+    import jax
+
+    from multimodn_tpu import Adam, MultiModN
+    from multimodn_tpu.data import (ArrayLoader, PartitionDataset,
+                                    StreamingLoader)
+    from multimodn_tpu.data.dataset import Subset
+    from multimodn_tpu.data.disk import NpyStreamingLoader
+    from multimodn_tpu.decoders import LogisticDecoder
+    from multimodn_tpu.encoders import MLPEncoder
+    from multimodn_tpu.experiments import kfold_fit_best
+    from multimodn_tpu.parallel import make_mesh
+
+    n_dev = len(jax.devices())
+    rng = np.random.default_rng(525252)
+    tmp = tempfile.mkdtemp()
+    for trial in range(3):
+        E = int(rng.integers(2, 4))
+        widths = [int(rng.integers(2, 5))] * E
+        state = int(rng.integers(2, 5))
+        batch = n_dev * 2
+        nan_mode = str(rng.choice(["sample", "batch"]))
+        shuffle = bool(rng.integers(0, 2))
+        patience = None if rng.integers(0, 2) == 0 else 2
+        epochs = int(rng.integers(2, 4))
+        # unequal fold geometries on purpose (the padding+masked path);
+        # a random tail makes some folds end in a partial batch.
+        sizes = []
+        for _ in range(int(rng.integers(2, 4))):
+            tb = int(rng.integers(2, 5)) * batch + \
+                (int(rng.integers(0, batch)) if not shuffle else 0)
+            vb = batch + int(rng.integers(0, batch) if not shuffle else 0)
+            sizes.append((tb, vb))
+        n = sum(t + v for t, v in sizes)
+
+        X = rng.normal(size=(n, sum(widths))).astype(np.float32)
+        y = (X @ rng.normal(size=sum(widths)) > 0).astype(np.int64)[:, None]
+        X[rng.random(n) < 0.2, :widths[0]] = np.nan
+        ds = PartitionDataset(X, y, widths)
+
+        def folds(cls, **kw):
+            out, at = [], 0
+            for tb, vb in sizes:
+                out.append((cls(Subset(ds, list(range(at, at + tb))), batch,
+                                **kw),
+                            cls(Subset(ds, list(range(at + tb, at + tb + vb))),
+                                batch)))
+                at += tb + vb
+            return out
+
+        def disk_folds():
+            out, at = [], 0
+            for i, (tb, vb) in enumerate(sizes):
+                pair = []
+                for role, lo, hi in (("tr", at, at + tb),
+                                     ("va", at + tb, at + tb + vb)):
+                    mat = np.concatenate(
+                        [X[lo:hi], y[lo:hi].astype(np.float32)], 1)
+                    p = f"{tmp}/{trial}_{role}{i}.npy"
+                    np.save(p, mat)
+                    pair.append(NpyStreamingLoader(p, widths, 1, batch))
+                out.append(tuple(pair))
+                at += tb + vb
+            return out
+
+        def factory(mesh=None, engine="auto"):
+            def make(seed):
+                return MultiModN(state,
+                                 [MLPEncoder(state, w, (4,))
+                                  for w in widths],
+                                 [LogisticDecoder(state)], 0.7, 0.3,
+                                 seed=seed, nan_skip=nan_mode, mesh=mesh,
+                                 dp_engine=engine)
+            return make
+
+        ctx = (f"trial {trial}: E={E} state={state} nan={nan_mode} "
+               f"shuffle={shuffle} patience={patience} epochs={epochs} "
+               f"sizes={sizes}")
+        try:
+            anchor = kfold_fit_best(
+                factory(), folds(ArrayLoader,
+                                 **({"shuffle": True} if shuffle else {})),
+                Adam(0.01), "cross_entropy", epochs=epochs,
+                patience=patience)
+            if shuffle:
+                # masked/equal shuffle: explicit engine == auto
+                other = kfold_fit_best(
+                    factory(make_mesh(axis_names=("data",)), "shard_map"),
+                    folds(ArrayLoader, shuffle=True), Adam(0.01),
+                    "cross_entropy", epochs=epochs, patience=patience)
+                pairs = [(anchor, other)]
+            else:
+                host = kfold_fit_best(factory(), folds(StreamingLoader),
+                                      Adam(0.01), "cross_entropy",
+                                      epochs=epochs, patience=patience)
+                disk = kfold_fit_best(factory(), disk_folds(), Adam(0.01),
+                                      "cross_entropy", epochs=epochs,
+                                      patience=patience)
+                pairs = [(anchor, host), (host, disk)]
+            for a, b in pairs:
+                for ra, rb in zip(a, b):
+                    assert ra["best_epoch"] == rb["best_epoch"]
+                    assert ra["epochs_ran"] == rb["epochs_ran"]
+                    np.testing.assert_allclose(ra["scores"], rb["scores"],
+                                               rtol=1e-5, atol=1e-6)
+        except AssertionError as err:
+            raise AssertionError(f"{ctx}\n{err}") from err
