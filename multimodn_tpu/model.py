@@ -1091,7 +1091,11 @@ class MultiModN:
         results = []
         for d in range(len(self.decoders)):
             out = np.asarray(final_outputs[d])[flat_mask]
-            out = out / out.sum(axis=1, keepdims=True)
+            # Row-sum normalization per quirk #5; a saturated sigmoid row
+            # summing to 0 yields NaN here in the reference too (torch
+            # 0/0) — suppress numpy's warning, keep the identical values.
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = out / out.sum(axis=1, keepdims=True)
             pred = out.argmax(axis=1)
             results.append(get_performance_metrics(
                 flat_targets[:, d], pred, out[:, 1]))

@@ -723,3 +723,38 @@ def test_kfold_on_epoch_with_patience():
     res2 = kfold_fit_best(_factory, folds, SGD(0.0), "cross_entropy",
                           epochs=10, patience=2, on_epoch=seen2.append)
     assert len(seen2) == sum(r["epochs_ran"] for r in res2)
+
+
+def test_epoch_permute_masked_uniformity():
+    """Distributional property of the masked permutation: over many epoch
+    rngs, every real slot is (approximately) equally likely to land in
+    every real position — the argsort-of-iid-uniforms construction is an
+    unbiased shuffle, not just a fixed rotation."""
+    import jax
+    import jax.numpy as jnp
+    from multimodn_tpu.core.step import epoch_permute_masked
+
+    B, nb_real, nb_pad, trials = 4, 2, 3, 600
+    n_real = nb_real * B
+    base = np.arange(nb_pad * B, dtype=np.float32).reshape(nb_pad, B)
+
+    def one(erng):
+        _, _, m = epoch_permute_masked(
+            (jnp.asarray(base)[..., None],),
+            jnp.asarray(base, jnp.int32)[..., None],
+            jnp.asarray(base), erng, jnp.asarray(n_real))
+        return m.reshape(-1)[:n_real]
+
+    outs = jax.jit(jax.vmap(one))(
+        jax.vmap(jax.random.PRNGKey)(jnp.arange(trials)))
+    outs = np.asarray(outs).astype(int)          # (trials, n_real)
+    # occupancy[slot, position] counts; expect ~trials/n_real everywhere
+    occ = np.zeros((n_real, n_real))
+    for row in outs:
+        occ[row, np.arange(n_real)] += 1
+    expected = trials / n_real
+    chi2 = ((occ - expected) ** 2 / expected).sum()
+    # dof = (n-1)^2 = 49; P(chi2_49 > 85) ~ 0.001 — loose, deterministic.
+    assert chi2 < 85, f"chi2={chi2:.1f} occupancy={occ}"
+    # and the tail slots never moved in any trial
+    assert (outs < n_real).all()
