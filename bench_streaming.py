@@ -101,9 +101,12 @@ def main():
     results = {}
 
     def run(name, folds_fn):
-        # one warm call (compile + upload), then the timed call
+        # Warm call at the SAME epoch count as the timed call: the fused
+        # program takes jnp.arange(epochs) as a traced input, so a
+        # different epochs value is a different executable and its compile
+        # would land inside the timed region (review finding).
         kfold_fit_best(fac, folds_fn(), Adam(1e-2), "cross_entropy",
-                       epochs=1)
+                       epochs=EPOCHS)
         t = time.time()
         res = kfold_fit_best(fac, folds_fn(), Adam(1e-2), "cross_entropy",
                              epochs=EPOCHS)

@@ -347,9 +347,10 @@ def _sm_eval_scan(loss_fn, data_axis, scan_unroll,
 def _fit_specs(n_modalities, data_axis, with_val: bool, extra_out: int,
                extra_scalars: int = 0):
     """Shared in/out spec layout for every shard_map fit program. The
-    trailing replicated scalars are epoch_ids + rng, with
-    ``extra_scalars`` additional replicated operands (e.g. the early-stop
-    program's traced ``patience``) inserted between them."""
+    trailing ``2 + extra_scalars`` specs are all replicated ``P()``; the
+    actual operand order at the call sites is
+    ``epoch_ids[, patience], rng, offset0[, n_real]`` — keep any future
+    tail operand replicated or give it its own explicit spec slot."""
     dspec = P(None, data_axis) if n_modalities is None else \
         tuple(P(None, data_axis) for _ in range(n_modalities))
     in_specs = [P(), P(), dspec, P(None, data_axis), P(None, data_axis)]
@@ -425,6 +426,13 @@ def _sm_train_arrays(reshuffle, data, targets, mask, erng, data_axis,
                      n_real=None):
     """Trace-time branch mirroring ``core.step._reshuffle_arrays``."""
     if reshuffle == "masked":
+        if n_real is None:
+            # Degrading to the unmasked global permutation would shuffle
+            # fold-padding rows into real batches with no error — exactly
+            # the corruption masked mode exists to prevent. Loud instead.
+            raise ValueError(
+                "reshuffle='masked' requires n_real (the fold's real-slot "
+                "count); only the select-fit builders thread it")
         return _sm_epoch_permute(data, targets, mask, erng, data_axis,
                                  n_real)
     if reshuffle:
