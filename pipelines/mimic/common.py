@@ -71,6 +71,13 @@ class MimicConfig:
     # Train all folds of a target simultaneously via jax.vmap (one device
     # dispatch for the whole cross-validation; bit-identical results).
     vmap_folds: bool = True
+    # Stream fold batches host->device per step instead of uploading whole
+    # fold epoch stacks (experiments_stream.py / data/streaming.py): the
+    # same protocol when the stacks don't fit device memory; results equal
+    # the fused path on data that fits (tests/test_experiments_stream.py,
+    # tests/test_pipelines.py). Measured trade: fused ~4.4x faster at
+    # batch 512 when data fits (RESULTS.md, bench_streaming.json).
+    stream_folds: bool = False
     # 'mimic_mlp' (reference parity) or 'transformer' (the beyond-reference
     # attention encoder for wide modalities, encoders/attention.py).
     encoder_type: str = "mimic_mlp"
@@ -198,6 +205,11 @@ def run_fold_modn(cfg: MimicConfig, dataset_modn, partitions, targets,
                   fold_tag=""):
     """Train MultiModN on one fold with fused best-selection; return the
     held-out-test 15-tuples (one per decoder) and the fit info."""
+    if cfg.stream_folds:
+        return _run_fold_modn_streamed(cfg, dataset_modn, partitions,
+                                       targets, train_ind, val_ind,
+                                       test_ind, seed, artifacts_dir,
+                                       fold_tag)
     train_loader = ArrayLoader(Subset(dataset_modn, train_ind), cfg.batch_size)
     val_loader = ArrayLoader(Subset(dataset_modn, val_ind), cfg.batch_size)
     test_loader = ArrayLoader(Subset(dataset_modn, test_ind), cfg.batch_size)
@@ -241,6 +253,45 @@ def run_fold_modn(cfg: MimicConfig, dataset_modn, partitions, targets,
     return model, history, info, test_metrics
 
 
+def _run_fold_modn_streamed(cfg, dataset_modn, partitions, targets,
+                            train_ind, val_ind, test_ind, seed,
+                            artifacts_dir, fold_tag):
+    """``run_fold_modn`` over StreamingLoaders (``cfg.stream_folds``):
+    batches stream host->device per step, so the fold's epoch stacks never
+    need to fit device memory. Same protocol, bit-equal on data that fits
+    (tests/test_streaming.py)."""
+    from multimodn_tpu.data.streaming import (StreamingLoader,
+                                              fit_best_streaming,
+                                              test_epoch_streaming)
+
+    if cfg.resume_dir:
+        raise NotImplementedError(
+            "stream_folds + resume_dir: fit_best_resumable trains through "
+            "the fused chunk programs (epoch stacks device-resident). "
+            "Stream without resuming, or use the fused path with resume.")
+    model = build_modn(cfg, partitions, targets, seed)
+    history = MultiModNHistory(targets)
+    info = fit_best_streaming(
+        model, StreamingLoader(Subset(dataset_modn, train_ind),
+                               cfg.batch_size),
+        Adam(cfg.learning_rate), "cross_entropy", epochs=cfg.epochs,
+        val_loader=StreamingLoader(Subset(dataset_modn, val_ind),
+                                   cfg.batch_size),
+        history=history)
+    if artifacts_dir:
+        os.makedirs(artifacts_dir, exist_ok=True)
+        save_checkpoint(os.path.join(artifacts_dir,
+                                     f"modn_best_{fold_tag}.pkl"),
+                        model, info["best_epoch"], info["best_score"])
+        with open(os.path.join(artifacts_dir,
+                               f"modn_history_{fold_tag}.pkl"), "wb") as f:
+            pickle.dump(history, f)
+    test_metrics = test_epoch_streaming(
+        model, StreamingLoader(Subset(dataset_modn, test_ind),
+                               cfg.batch_size), "cross_entropy")
+    return model, history, info, test_metrics
+
+
 def run_all_folds_modn(cfg: MimicConfig, dataset_modn, partitions, targets,
                        fold_indices, base_seed: int):
     """All folds of one target trained simultaneously (vmapped select-fit;
@@ -249,8 +300,13 @@ def run_all_folds_modn(cfg: MimicConfig, dataset_modn, partitions, targets,
     path uses."""
     from multimodn_tpu.experiments import kfold_fit_best
 
-    folds = [(ArrayLoader(Subset(dataset_modn, tr), cfg.batch_size),
-              ArrayLoader(Subset(dataset_modn, va), cfg.batch_size))
+    if cfg.stream_folds:
+        from multimodn_tpu.data.streaming import StreamingLoader
+        loader_cls = StreamingLoader
+    else:
+        loader_cls = ArrayLoader
+    folds = [(loader_cls(Subset(dataset_modn, tr), cfg.batch_size),
+              loader_cls(Subset(dataset_modn, va), cfg.batch_size))
              for tr, va, _te in fold_indices]
     seeds = [base_seed + i for i in range(len(fold_indices))]
     results = kfold_fit_best(
@@ -259,8 +315,16 @@ def run_all_folds_modn(cfg: MimicConfig, dataset_modn, partitions, targets,
         epochs=cfg.epochs, seeds=seeds)
     out = []
     for res, (_tr, _va, te) in zip(results, fold_indices):
-        test_loader = ArrayLoader(Subset(dataset_modn, te), cfg.batch_size)
-        test_metrics = res["model"].test(test_loader, "cross_entropy")
+        if cfg.stream_folds:
+            from multimodn_tpu.data.streaming import test_epoch_streaming
+            test_metrics = test_epoch_streaming(
+                res["model"],
+                StreamingLoader(Subset(dataset_modn, te), cfg.batch_size),
+                "cross_entropy")
+        else:
+            test_loader = ArrayLoader(Subset(dataset_modn, te),
+                                      cfg.batch_size)
+            test_metrics = res["model"].test(test_loader, "cross_entropy")
         out.append((res["model"], res, test_metrics))
     return out
 

@@ -185,3 +185,28 @@ def test_patient_kfold_matches_reference_fold_geometry(tmp_path):
     folds_pt = list(patient_kfold_splits(dataset, cfg.nfold, 0))
     assert any(not np.array_equal(a[0], b[0])
                for a, b in zip(folds, folds_pt))
+
+
+def test_mimic_single_task_streamed_equals_fused():
+    """cfg.stream_folds runs the IDENTICAL north-star protocol with fold
+    batches streamed host->device (experiments_stream / fit_best_streaming)
+    — pipeline-level results equal the fused run on both the vmapped and
+    the sequential per-fold paths."""
+    from pipelines.mimic.common import MimicConfig
+    from pipelines.mimic.mimic_single_task_pipeline import main
+
+    runs = {}
+    for name, kw in {
+        "fused_vmap": dict(vmap_folds=True),
+        "stream_vmap": dict(vmap_folds=True, stream_folds=True),
+        "stream_seq": dict(vmap_folds=False, stream_folds=True),
+    }.items():
+        cfg = MimicConfig(targets=["Cardiomegaly"], epochs=3, nfold=2,
+                          synthetic_patients=40, **kw)
+        runs[name] = main(["-e", "3", "-m", "false"], cfg)
+    for name in ("stream_vmap", "stream_seq"):
+        assert len(runs[name]) == len(runs["fused_vmap"])
+        for (m_a, t_a, f_a, auc_a), (m_b, t_b, f_b, auc_b) in zip(
+                runs["fused_vmap"], runs[name]):
+            assert (m_a, t_a, f_a) == (m_b, t_b, f_b)
+            np.testing.assert_allclose(auc_a, auc_b, rtol=1e-6, atol=1e-7)
