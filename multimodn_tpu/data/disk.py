@@ -30,6 +30,12 @@ modality features in order; the next ``n_targets`` columns are integer
 class targets. This is the layout of the MIMIC embeddings export and of
 ``PartitionDataset(X, y)`` concatenated — write datasets that way (or
 reorder with a one-off script) to stream them.
+
+``rows=`` (both loaders): a row-index list makes the loader a SUBSET view
+of the file — ONE big file plus per-fold index lists is the k-fold
+workflow (no per-fold file copies); batches fetch exactly the selected
+source rows (the native CSV reader's span-list path handles arbitrary
+row sets).
 """
 from __future__ import annotations
 
@@ -46,7 +52,8 @@ class _DiskLoaderBase:
     ``shuffle=False``)."""
 
     def __init__(self, n_rows: int, n_cols: int, widths: Sequence[int],
-                 n_targets: int, batch_size: int, shuffle: bool, seed: int):
+                 n_targets: int, batch_size: int, shuffle: bool, seed: int,
+                 rows: Optional[Sequence[int]] = None):
         widths = [int(w) for w in widths]
         if any(w <= 0 for w in widths):
             raise ValueError(f"modality widths must be positive: {widths}")
@@ -57,6 +64,19 @@ class _DiskLoaderBase:
             raise ValueError(
                 f"layout needs {sum(widths)} feature + {n_targets} target "
                 f"columns = {n_used}, but the source has only {n_cols}")
+        if rows is not None:
+            # Row-subset view (one big file + per-fold index lists — the
+            # k-fold workflow; no per-fold file copies): batches fetch the
+            # selected source rows, in the given order.
+            rows = np.asarray(rows, np.int64)
+            if rows.ndim != 1 or rows.size == 0:
+                raise ValueError("rows must be a non-empty 1-D index list")
+            if rows.min() < 0 or rows.max() >= n_rows:
+                raise ValueError(
+                    f"rows indices out of range [0, {n_rows}): "
+                    f"[{rows.min()}, {rows.max()}]")
+            n_rows = rows.size
+        self._rows = rows
         if n_rows == 0:
             raise ValueError("disk-backed loader got an empty dataset")
         self._widths = widths
@@ -120,6 +140,8 @@ class _DiskLoaderBase:
         B = self.batch_size
         for b in range(self.n_batches):
             idx = self._order[b * B:(b + 1) * B]
+            if self._rows is not None:
+                idx = self._rows[idx]      # positions -> source rows
             yield self._assemble_batch(
                 np.asarray(self._fetch(idx), np.float32))
 
@@ -142,7 +164,7 @@ class CSVStreamingLoader(_DiskLoaderBase):
 
     def __init__(self, path: str, widths: Sequence[int], n_targets: int = 1,
                  batch_size: int = 0, shuffle: bool = False, seed: int = 0,
-                 strict: bool = True):
+                 strict: bool = True, rows: Optional[Sequence[int]] = None):
         from multimodn_tpu.data import native
         self._path = path
         self._strict = bool(strict)
@@ -151,16 +173,17 @@ class CSVStreamingLoader(_DiskLoaderBase):
         if indexed is not None:
             n_rows, n_cols, self._offsets = indexed
         else:
-            if shuffle:
+            if shuffle or rows is not None:
                 raise NotImplementedError(
-                    "CSVStreamingLoader(shuffle=True) needs the native "
-                    "random-access reader (native/csv.cpp, built with g++ "
-                    "on first use) — the pandas chunked fallback can only "
-                    "stream sequentially. Pre-shuffle the file once, or "
-                    "install a C++ toolchain.")
+                    "CSVStreamingLoader(shuffle=True / rows=) needs the "
+                    "native random-access reader (native/csv.cpp, built "
+                    "with g++ on first use) — the pandas chunked fallback "
+                    "can only stream the whole file sequentially. "
+                    "Pre-shuffle/pre-split the file once, or install a "
+                    "C++ toolchain.")
             n_rows, n_cols = self._pandas_dims(path)
         super().__init__(n_rows, n_cols, widths, n_targets, batch_size,
-                         shuffle, seed)
+                         shuffle, seed, rows=rows)
 
     @staticmethod
     def _pandas_dims(path: str) -> Tuple[int, int]:
@@ -218,7 +241,8 @@ class NpyStreamingLoader(_DiskLoaderBase):
     are random-access)."""
 
     def __init__(self, matrix, widths: Sequence[int], n_targets: int = 1,
-                 batch_size: int = 0, shuffle: bool = False, seed: int = 0):
+                 batch_size: int = 0, shuffle: bool = False, seed: int = 0,
+                 rows: Optional[Sequence[int]] = None):
         if isinstance(matrix, (str, bytes)):
             matrix = np.load(matrix, mmap_mode="r")
         matrix = np.asanyarray(matrix)
@@ -228,7 +252,7 @@ class NpyStreamingLoader(_DiskLoaderBase):
                 f"shape {matrix.shape}")
         self._m = matrix
         super().__init__(matrix.shape[0], matrix.shape[1], widths,
-                         n_targets, batch_size, shuffle, seed)
+                         n_targets, batch_size, shuffle, seed, rows=rows)
 
     def _fetch(self, idx: np.ndarray) -> np.ndarray:
         return self._m[idx]

@@ -319,3 +319,82 @@ def test_nan_target_cell_rejected(tmp_path, small_data):
     ldr = CSVStreamingLoader(str(path), WIDTHS, N_TARGETS, 8)
     with pytest.raises(ValueError, match="non-finite target"):
         list(ldr.iter_batches())
+
+
+# ---------------------------------------------------------------------------
+# rows= subset views: ONE big file + per-fold index lists (the k-fold
+# workflow) must equal per-fold file copies.
+# ---------------------------------------------------------------------------
+
+def test_rows_subset_equals_per_fold_files(tmp_path, small_data):
+    X, y = small_data
+    mat = np.concatenate([X, y.astype(np.float32)], axis=1)
+    np.save(tmp_path / "all.npy", mat)
+    fold = np.asarray([3, 7, 8, 11, 20, 21, 40, 52, 5, 33])
+    np.save(tmp_path / "fold.npy", mat[fold])
+    sub = NpyStreamingLoader(str(tmp_path / "all.npy"), WIDTHS, N_TARGETS,
+                             4, rows=fold)
+    per = NpyStreamingLoader(str(tmp_path / "fold.npy"), WIDTHS, N_TARGETS,
+                             4)
+    assert sub.n_samples == per.n_samples == fold.size
+    _assert_batches_equal(sub, per)
+    # shuffled subset views draw identical epochs for identical seeds
+    s1 = NpyStreamingLoader(str(tmp_path / "all.npy"), WIDTHS, N_TARGETS,
+                            4, shuffle=True, seed=5, rows=fold)
+    s2 = NpyStreamingLoader(str(tmp_path / "fold.npy"), WIDTHS, N_TARGETS,
+                            4, shuffle=True, seed=5)
+    s1.reshuffle(); s2.reshuffle()
+    _assert_batches_equal(s1, s2)
+
+    if _native_available():
+        _write_csv(str(tmp_path / "all.csv"), X, y)
+        csub = CSVStreamingLoader(str(tmp_path / "all.csv"), WIDTHS,
+                                  N_TARGETS, 4, rows=fold)
+        _assert_batches_equal(csub, per)
+
+    with pytest.raises(ValueError, match="out of range"):
+        NpyStreamingLoader(str(tmp_path / "all.npy"), WIDTHS, N_TARGETS, 4,
+                           rows=[0, 99])
+
+
+def test_rows_subset_kfold_one_file(tmp_path, small_data):
+    """Streamed kfold over ONE file with per-fold rows= — equal to the
+    fused in-memory program on the same rows."""
+    from multimodn_tpu import Adam, MultiModN
+    from multimodn_tpu.data import ArrayLoader, PartitionDataset
+    from multimodn_tpu.data.dataset import Subset
+    from multimodn_tpu.decoders import MLPDecoder
+    from multimodn_tpu.encoders import MIMICMLPEncoder
+    from multimodn_tpu.experiments import kfold_fit_best
+
+    X, y = small_data
+    Xn = X.copy()
+    Xn[4, 1] = np.nan
+    Xn[17, 9] = np.nan
+    mat = np.concatenate([Xn, y.astype(np.float32)], axis=1)
+    np.save(tmp_path / "all.npy", mat)
+    ds = PartitionDataset(Xn, y, WIDTHS)
+
+    splits = [(list(range(0, 24)), list(range(24, 36))),
+              (list(range(36, 52)), list(range(0, 12)))]
+    disk_folds = [(NpyStreamingLoader(str(tmp_path / "all.npy"), WIDTHS,
+                                      N_TARGETS, 8, rows=tr),
+                   NpyStreamingLoader(str(tmp_path / "all.npy"), WIDTHS,
+                                      N_TARGETS, 8, rows=va))
+                  for tr, va in splits]
+    ram_folds = [(ArrayLoader(Subset(ds, tr), 8),
+                  ArrayLoader(Subset(ds, va), 8)) for tr, va in splits]
+
+    def fac(seed):
+        return MultiModN(
+            4, [MIMICMLPEncoder(4, w, (6,), dropout=0.0) for w in WIDTHS],
+            [MLPDecoder(4, (6,), 2) for _ in range(N_TARGETS)], 1.0, 0.0,
+            seed=seed)
+
+    fused = kfold_fit_best(fac, ram_folds, Adam(1e-2), "cross_entropy",
+                           epochs=3)
+    disk = kfold_fit_best(fac, disk_folds, Adam(1e-2), "cross_entropy",
+                          epochs=3)
+    for rf, rd in zip(fused, disk):
+        assert rf["best_epoch"] == rd["best_epoch"]
+        np.testing.assert_array_equal(rf["scores"], rd["scores"])
