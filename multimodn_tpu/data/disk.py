@@ -45,6 +45,43 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 
+def export_streaming_matrix(dataset, path: str, chunk_rows: int = 8192):
+    """Write a dataset as the features-then-targets ``.npy`` matrix the
+    disk loaders stream: ``[modality columns in order | integer targets]``.
+    One call bridges any ``PartitionDataset``-protocol dataset to the
+    disk-backed k-fold workflow (``NpyStreamingLoader(path, widths,
+    n_targets, B, rows=fold_indices)``).
+
+    Rows are written in ``chunk_rows`` blocks through a memmap, so the
+    output file never needs to be RAM-resident; the input side reads
+    per-sample via ``dataset[i]`` (O(1) host memory for lazy datasets).
+    Returns (path, widths, n_targets)."""
+    n = len(dataset)
+    if n == 0:
+        raise ValueError("cannot export an empty dataset")
+    xs0, y0 = dataset[0][:2]
+    widths = [int(np.asarray(x).reshape(-1).shape[0]) for x in xs0]
+    y0 = np.asarray(y0).reshape(-1)
+    n_targets = y0.shape[0]
+    cols = sum(widths) + n_targets
+    mm = np.lib.format.open_memmap(path, mode="w+", dtype=np.float32,
+                                   shape=(n, cols))
+    buf = np.empty((min(chunk_rows, n), cols), np.float32)
+    at = 0
+    while at < n:
+        m = min(chunk_rows, n - at)
+        for i in range(m):
+            xs, y = dataset[at + i][:2]
+            buf[i, :sum(widths)] = np.concatenate(
+                [np.asarray(x, np.float32).reshape(-1) for x in xs])
+            buf[i, sum(widths):] = np.asarray(y, np.float32).reshape(-1)
+        mm[at:at + m] = buf[:m]
+        at += m
+    mm.flush()
+    del mm
+    return path, widths, n_targets
+
+
 class _DiskLoaderBase:
     """Shared geometry/iteration for the disk-backed loaders. Subclasses
     implement ``_fetch(idx) -> (len(idx), n_used_cols) float64/float32``

@@ -398,3 +398,23 @@ def test_rows_subset_kfold_one_file(tmp_path, small_data):
     for rf, rd in zip(fused, disk):
         assert rf["best_epoch"] == rd["best_epoch"]
         np.testing.assert_array_equal(rf["scores"], rd["scores"])
+
+
+def test_export_streaming_matrix_roundtrip(tmp_path, small_data):
+    """Dataset -> .npy bridge: exported matrix streams batches identical
+    to the in-memory StreamingLoader over the same dataset (NaNs in
+    feature cells preserved)."""
+    from multimodn_tpu.data import PartitionDataset
+    from multimodn_tpu.data.disk import export_streaming_matrix
+
+    X, y = small_data
+    Xn = X.copy()
+    Xn[4, 1] = np.nan
+    Xn[17, 9] = np.nan
+    ds = PartitionDataset(Xn, y, WIDTHS)
+    path, widths, n_targets = export_streaming_matrix(
+        ds, str(tmp_path / "ds.npy"), chunk_rows=16)
+    assert widths == WIDTHS and n_targets == N_TARGETS
+    disk = NpyStreamingLoader(path, widths, n_targets, 16)
+    ram = _ram_loader(small_data, 16)
+    _assert_batches_equal(disk, ram)
