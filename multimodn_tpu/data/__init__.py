@@ -13,6 +13,8 @@ from multimodn_tpu.data.streaming import (
     TorchStreamingLoader,
     fit_best_streaming,
     fit_streaming,
+    predict_proba_streaming,
+    predict_streaming,
     test_epoch_streaming,
     train_epoch_streaming,
 )
@@ -36,6 +38,8 @@ __all__ = [
     "NpyStreamingLoader",
     "fit_best_streaming",
     "fit_streaming",
+    "predict_proba_streaming",
+    "predict_streaming",
     "test_epoch_streaming",
     "train_epoch_streaming",
 ]

@@ -794,3 +794,52 @@ def fit_best_streaming(model, train_loader: StreamingLoader, optimizer,
         "scores": np.asarray([float(s) for s in scores]),
         "epochs_ran": epochs,
     }
+
+
+def _predict_streaming(model, loader):
+    """Shared streamed-inference driver: ``MultiModN._predict_loader``'s
+    semantics over a streaming/disk loader — batches read per step, the
+    dataset never host/HBM-resident. No NaN skip (predict quirk #9 parity:
+    the forward runs nan_skip='none'); StaticInitState cycle offsets
+    thread exactly like the loader path's."""
+    _check_streaming_model(model, loader)
+    order = model._resolve_order(None, None, train=False)
+    model._validate_pairings(order, loader)
+    fwd = model._forward_fn(order, "none")
+    scan = model._chain_plan()[0] == "scan"
+    base = model._cycle_base()
+    off = 0 if base is None else int(base)
+    dput = _batch_put(model)
+    preds_parts, out_parts = [], []
+    n_seen = 0
+    for data, _targets, mask in loader.iter_batches():
+        batch = dput(np.stack(data, axis=1)) if scan \
+            else tuple(dput(d) for d in data)
+        preds, outputs, _, _ = fwd(model.params, batch, dput(mask),
+                                   init_offset=jnp.asarray(off, jnp.int32))
+        keep = np.asarray(mask) > 0
+        n = int(keep.sum())
+        off += n
+        n_seen += n
+        preds_parts.append(np.asarray(preds)[:, :, keep])
+        out_parts.append([np.asarray(o)[:, keep] for o in outputs])
+    if not preds_parts:
+        raise ValueError("the streaming loader yielded no batches")
+    model._advance_cycle(n_seen)
+    return (np.concatenate(preds_parts, axis=2),
+            [np.concatenate([p[d] for p in out_parts], axis=1)
+             for d in range(len(model.decoders))])
+
+
+def predict_streaming(model, loader) -> np.ndarray:
+    """``MultiModN.predict`` over a streaming/disk loader: (E+1, D, N)
+    argmax predictions with batches read per step — inference over
+    datasets larger than host/device memory. Equal to ``predict`` on an
+    ArrayLoader of the same rows (tests/test_streaming.py)."""
+    return _predict_streaming(model, loader)[0]
+
+
+def predict_proba_streaming(model, loader):
+    """``MultiModN.predict_proba`` over a streaming/disk loader: per-
+    decoder (E+1, N, C_d) raw outputs, batches read per step."""
+    return _predict_streaming(model, loader)[1]

@@ -771,3 +771,44 @@ def test_torch_streaming_sampler_rejections_and_shuffle():
     custom = tud.DataLoader(plain.dataset, batch_sampler=_OddBatches())
     with pytest.raises(NotImplementedError, match="BatchSampler"):
         TorchStreamingLoader(custom)
+
+
+def test_predict_streaming_matches_loader_predict(tmp_path):
+    """Streamed inference == predict on an ArrayLoader of the same rows
+    (NaNs flow through — quirk #9), from host-stream AND disk (.npy),
+    including the StaticInitState cycle advancing across calls."""
+    from multimodn_tpu.core.state import StaticInitState
+    from multimodn_tpu.data import (NpyStreamingLoader,
+                                    predict_proba_streaming,
+                                    predict_streaming)
+
+    ds = _setup(nan_frac=0.2)
+    mat = np.concatenate(
+        [np.concatenate(ds.arrays()[0], axis=1),
+         ds.arrays()[1].astype(np.float32)], axis=1)
+    np.save(tmp_path / "ds.npy", mat)
+
+    for make in (lambda: _model(),
+                 lambda: MultiModN(
+                     3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                     [LogisticDecoder(3)], 0.7, 0.3,
+                     init_state=StaticInitState(
+                         np.arange(9, dtype=np.float32).reshape(3, 3)))):
+        m_ref, m_host, m_disk = make(), make(), make()
+        for _ in range(2):    # two calls: the cycle offset must track
+            p_ref = m_ref.predict(ArrayLoader(ds, 16))
+            o_ref = m_ref.predict_proba(ArrayLoader(ds, 16))
+            # interleave: predict consumed the cycle; proba continues it
+            p_h = predict_streaming(m_host, StreamingLoader(ds, 16))
+            o_h = predict_proba_streaming(m_host, StreamingLoader(ds, 16))
+            p_d = predict_streaming(
+                m_disk, NpyStreamingLoader(str(tmp_path / "ds.npy"),
+                                           [3, 3], 1, 16))
+            o_d = predict_proba_streaming(
+                m_disk, NpyStreamingLoader(str(tmp_path / "ds.npy"),
+                                           [3, 3], 1, 16))
+            np.testing.assert_array_equal(p_ref, p_h)
+            np.testing.assert_array_equal(p_ref, p_d)
+            for a, b, c in zip(o_ref, o_h, o_d):
+                np.testing.assert_array_equal(a, b)
+                np.testing.assert_array_equal(a, c)
