@@ -59,7 +59,16 @@ def export_streaming_matrix(dataset, path: str, chunk_rows: int = 8192):
     n = len(dataset)
     if n == 0:
         raise ValueError("cannot export an empty dataset")
-    xs0, y0 = dataset[0][:2]
+    if chunk_rows < 1:
+        raise ValueError(f"chunk_rows must be >= 1, got {chunk_rows}")
+    item0 = dataset[0]
+    if len(item0) > 2 and item0[2] is not None:
+        raise NotImplementedError(
+            "the on-disk matrix carries no encoding sequences; exporting "
+            "would silently drop this dataset's encoder order (the same "
+            "rule every streaming loader enforces). Use ArrayLoader for "
+            "sequence-carrying datasets.")
+    xs0, y0 = item0[:2]
     widths = [int(np.asarray(x).reshape(-1).shape[0]) for x in xs0]
     y0 = np.asarray(y0).reshape(-1)
     n_targets = y0.shape[0]
@@ -85,8 +94,11 @@ def export_streaming_matrix(dataset, path: str, chunk_rows: int = 8192):
 class _DiskLoaderBase:
     """Shared geometry/iteration for the disk-backed loaders. Subclasses
     implement ``_fetch(idx) -> (len(idx), n_used_cols) float64/float32``
-    (rows in ``idx`` order; idx is always sorted-contiguous when
-    ``shuffle=False``)."""
+    returning SOURCE rows in ``idx`` order — ``idx`` may be any index
+    array (``shuffle=True`` permutes positions, and ``rows=`` subset
+    views map positions through an arbitrary source-row list even when
+    unshuffled), so implementations must not assume contiguity; they may
+    fast-path it when detected (the CSV loader does)."""
 
     def __init__(self, n_rows: int, n_cols: int, widths: Sequence[int],
                  n_targets: int, batch_size: int, shuffle: bool, seed: int,

@@ -803,6 +803,13 @@ def _predict_streaming(model, loader):
     the forward runs nan_skip='none'); StaticInitState cycle offsets
     thread exactly like the loader path's."""
     _check_streaming_model(model, loader)
+    if getattr(loader, "shuffle", False):
+        raise ValueError(
+            "streamed inference rejects shuffle=True loaders: the result "
+            "rows could not be mapped back to input rows (no permutation "
+            "is returned), and interleaved predict/predict_proba calls "
+            "would see different orders. Build the loader with "
+            "shuffle=False.")
     order = model._resolve_order(None, None, train=False)
     model._validate_pairings(order, loader)
     fwd = model._forward_fn(order, "none")
@@ -810,14 +817,27 @@ def _predict_streaming(model, loader):
     base = model._cycle_base()
     off = 0 if base is None else int(base)
     dput = _batch_put(model)
-    preds_parts, out_parts = [], []
-    n_seen = 0
-    for data, _targets, mask in loader.iter_batches():
+
+    def put(item):
+        data, _targets, mask = item
         batch = dput(np.stack(data, axis=1)) if scan \
             else tuple(dput(d) for d in data)
-        preds, outputs, _, _ = fwd(model.params, batch, dput(mask),
+        return batch, dput(mask), np.asarray(mask) > 0
+
+    preds_parts, out_parts = [], []
+    n_seen = 0
+    # Double-buffered like the training streams: put batch k+1 and launch
+    # batch k's forward BEFORE fetching k's results, so transfer and
+    # compute overlap the (blocking) np.asarray fetches.
+    it = loader.iter_batches()
+    nxt = next(it, None)
+    pending = None
+    while nxt is not None:
+        batch, mask_dev, keep = pending if pending is not None else put(nxt)
+        nxt = next(it, None)
+        preds, outputs, _, _ = fwd(model.params, batch, mask_dev,
                                    init_offset=jnp.asarray(off, jnp.int32))
-        keep = np.asarray(mask) > 0
+        pending = put(nxt) if nxt is not None else None
         n = int(keep.sum())
         off += n
         n_seen += n

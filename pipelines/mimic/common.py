@@ -241,16 +241,23 @@ def run_fold_modn(cfg: MimicConfig, dataset_modn, partitions, targets,
                               "cross_entropy", epochs=cfg.epochs,
                               val_loader=val_loader, history=history,
                               restore_best=True)
-    if artifacts_dir:
-        os.makedirs(artifacts_dir, exist_ok=True)
-        save_checkpoint(os.path.join(artifacts_dir,
-                                     f"modn_best_{fold_tag}.pkl"),
-                        model, info["best_epoch"], info["best_score"])
-        with open(os.path.join(artifacts_dir,
-                               f"modn_history_{fold_tag}.pkl"), "wb") as f:
-            pickle.dump(history, f)
+    _save_fold_artifacts(artifacts_dir, fold_tag, model, info, history)
     test_metrics = model.test(test_loader, "cross_entropy")
     return model, history, info, test_metrics
+
+
+def _save_fold_artifacts(artifacts_dir, fold_tag, model, info, history):
+    """One place for the per-fold checkpoint/history artifact set — shared
+    by the fused and streamed fold runners so filenames/payloads can never
+    diverge between cfg.stream_folds paths."""
+    if not artifacts_dir:
+        return
+    os.makedirs(artifacts_dir, exist_ok=True)
+    save_checkpoint(os.path.join(artifacts_dir, f"modn_best_{fold_tag}.pkl"),
+                    model, info["best_epoch"], info["best_score"])
+    with open(os.path.join(artifacts_dir,
+                           f"modn_history_{fold_tag}.pkl"), "wb") as f:
+        pickle.dump(history, f)
 
 
 def _run_fold_modn_streamed(cfg, dataset_modn, partitions, targets,
@@ -278,14 +285,7 @@ def _run_fold_modn_streamed(cfg, dataset_modn, partitions, targets,
         val_loader=StreamingLoader(Subset(dataset_modn, val_ind),
                                    cfg.batch_size),
         history=history)
-    if artifacts_dir:
-        os.makedirs(artifacts_dir, exist_ok=True)
-        save_checkpoint(os.path.join(artifacts_dir,
-                                     f"modn_best_{fold_tag}.pkl"),
-                        model, info["best_epoch"], info["best_score"])
-        with open(os.path.join(artifacts_dir,
-                               f"modn_history_{fold_tag}.pkl"), "wb") as f:
-            pickle.dump(history, f)
+    _save_fold_artifacts(artifacts_dir, fold_tag, model, info, history)
     test_metrics = test_epoch_streaming(
         model, StreamingLoader(Subset(dataset_modn, test_ind),
                                cfg.batch_size), "cross_entropy")

@@ -418,3 +418,22 @@ def test_export_streaming_matrix_roundtrip(tmp_path, small_data):
     disk = NpyStreamingLoader(path, widths, n_targets, 16)
     ram = _ram_loader(small_data, 16)
     _assert_batches_equal(disk, ram)
+
+
+def test_export_streaming_matrix_guards(tmp_path, small_data):
+    from multimodn_tpu.data import PartitionDataset
+    from multimodn_tpu.data.disk import export_streaming_matrix
+
+    X, y = small_data
+    ds = PartitionDataset(X, y, WIDTHS)
+    with pytest.raises(ValueError, match="chunk_rows"):
+        export_streaming_matrix(ds, str(tmp_path / "a.npy"), chunk_rows=0)
+
+    class SeqDS(PartitionDataset):
+        def __getitem__(self, i):
+            xs, t = super().__getitem__(i)[:2]
+            return xs, t, np.asarray([2, 1, 0], np.int64)
+
+    with pytest.raises(NotImplementedError, match="encoding sequences"):
+        export_streaming_matrix(SeqDS(X, y, WIDTHS),
+                                str(tmp_path / "b.npy"))

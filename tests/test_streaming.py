@@ -812,3 +812,13 @@ def test_predict_streaming_matches_loader_predict(tmp_path):
             for a, b, c in zip(o_ref, o_h, o_d):
                 np.testing.assert_array_equal(a, b)
                 np.testing.assert_array_equal(a, c)
+
+
+def test_predict_streaming_rejects_shuffle():
+    import pytest
+
+    from multimodn_tpu.data import predict_streaming
+
+    ds = _setup()
+    with pytest.raises(ValueError, match="mapped back"):
+        predict_streaming(_model(), StreamingLoader(ds, 16, shuffle=True))
