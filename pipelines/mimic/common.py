@@ -271,11 +271,18 @@ def _run_fold_modn_streamed(cfg, dataset_modn, partitions, targets,
                                               fit_best_streaming,
                                               test_epoch_streaming)
 
+    ckpt_kw = {}
     if cfg.resume_dir:
-        raise NotImplementedError(
-            "stream_folds + resume_dir: fit_best_resumable trains through "
-            "the fused chunk programs (epoch stacks device-resident). "
-            "Stream without resuming, or use the fused path with resume.")
+        if not fold_tag:
+            raise ValueError(
+                "resume_dir requires a unique fold_tag per (target, fold) "
+                "run (same contract as the fused path).")
+        run_key = "_".join(t.replace(" ", "-") for t in targets)
+        if cfg.miss_perc:
+            run_key += f"_miss{cfg.miss_perc:g}"
+        ckpt_kw = {"checkpoint_dir": os.path.join(cfg.resume_dir, run_key,
+                                                  fold_tag + "_stream"),
+                   "checkpoint_every": max(1, cfg.epochs // 10)}
     model = build_modn(cfg, partitions, targets, seed)
     history = MultiModNHistory(targets)
     info = fit_best_streaming(
@@ -284,7 +291,7 @@ def _run_fold_modn_streamed(cfg, dataset_modn, partitions, targets,
         Adam(cfg.learning_rate), "cross_entropy", epochs=cfg.epochs,
         val_loader=StreamingLoader(Subset(dataset_modn, val_ind),
                                    cfg.batch_size),
-        history=history)
+        history=history, **ckpt_kw)
     _save_fold_artifacts(artifacts_dir, fold_tag, model, info, history)
     test_metrics = test_epoch_streaming(
         model, StreamingLoader(Subset(dataset_modn, test_ind),

@@ -210,3 +210,27 @@ def test_mimic_single_task_streamed_equals_fused():
                 runs["fused_vmap"], runs[name]):
             assert (m_a, t_a, f_a) == (m_b, t_b, f_b)
             np.testing.assert_allclose(auc_a, auc_b, rtol=1e-6, atol=1e-7)
+
+
+def test_mimic_streamed_resume_smoke(tmp_path):
+    """stream_folds + resume_dir: the streamed sequential fold path trains
+    through fit_best_streaming's checkpoints (previously a loud error)."""
+    from pipelines.mimic.common import MimicConfig
+    from pipelines.mimic.mimic_single_task_pipeline import main
+
+    cfg = MimicConfig(targets=["Cardiomegaly"], epochs=3, nfold=2,
+                      synthetic_patients=30, vmap_folds=False,
+                      stream_folds=True, resume_dir=str(tmp_path / "ck"))
+    res = main(["-e", "3", "-m", "false"], cfg)
+    assert len(res) == 4
+    # checkpoints landed per (target, fold)
+    import glob
+    found = glob.glob(str(tmp_path / "ck" / "**" / "resume_stream_latest.pkl"),
+                      recursive=True)
+    assert len(found) == 2, found
+    # re-running resumes instantly from the completed checkpoints and
+    # reproduces the same rows
+    res2 = main(["-e", "3", "-m", "false"], cfg)
+    for (m1, t1, f1, a1), (m2, t2, f2, a2) in zip(res, res2):
+        if m1 == "modn":
+            np.testing.assert_allclose(a1, a2, rtol=1e-6, atol=1e-7)

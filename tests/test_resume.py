@@ -421,3 +421,66 @@ def test_elastic_resume_dp_tp_to_single(tmp_path):
     np.testing.assert_allclose(res["scores"], np.asarray(ref["scores"]),
                                rtol=1e-5, atol=1e-6)
     assert res["best_epoch"] == ref["best_epoch"]
+
+
+def test_fit_best_streaming_kill_and_resume_bit_equal(tmp_path):
+    """Streamed preemption-safe training (fit_best_streaming
+    checkpoint_dir=): a run KILLED mid-training (on_chunk raises after the
+    epoch-2 checkpoint lands) resumed in a fresh process/model continues
+    the SAME host-side rng stream — the final result is BIT-EQUAL to the
+    uninterrupted run, stronger than the fused chunk-boundary caveat.
+    Covers TrainableInitState and the StaticInitState stream offset."""
+    import pytest
+
+    from multimodn_tpu.core.state import StaticInitState
+    from multimodn_tpu.data import StreamingLoader, fit_best_streaming
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(56, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = PartitionDataset(X, y, [3, 3])
+    tr = lambda: StreamingLoader(ds, 8)
+    va = lambda: StreamingLoader(ds, 8)
+
+    def build(static):
+        kw = {"init_state": StaticInitState(
+            np.arange(4, dtype=np.float32).reshape(2, 2))} if static else {}
+        return MultiModN(2, [MLPEncoder(2, 3, (4,)), MLPEncoder(2, 3, (4,))],
+                         [LogisticDecoder(2)], 0.7, 0.3, seed=3, **kw)
+
+    for static in (False, True):
+        ckpt = str(tmp_path / f"ck_{static}")
+        full = build(static)
+        r_full = fit_best_streaming(full, tr(), Adam(0.05), "cross_entropy",
+                                    epochs=6, val_loader=va())
+
+        def bomb(done, total):
+            if done == 2:
+                raise KeyboardInterrupt    # simulated preemption
+
+        victim = build(static)
+        with pytest.raises(KeyboardInterrupt):
+            fit_best_streaming(victim, tr(), Adam(0.05), "cross_entropy",
+                               epochs=6, val_loader=va(),
+                               checkpoint_dir=ckpt, checkpoint_every=2,
+                               on_chunk=bomb)
+
+        chunks = []
+        revived = build(static)   # fresh model, as after a real preemption
+        r_res = fit_best_streaming(revived, tr(), Adam(0.05),
+                                   "cross_entropy", epochs=6,
+                                   val_loader=va(), checkpoint_dir=ckpt,
+                                   checkpoint_every=2,
+                                   on_chunk=lambda d, t: chunks.append(d))
+        assert chunks == [4, 6]        # resumed AT epoch 2, not restarted
+        assert r_res["best_epoch"] == r_full["best_epoch"]
+        assert r_res["best_score"] == r_full["best_score"]
+        np.testing.assert_array_equal(r_res["scores"], r_full["scores"])
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            full.state_dict(), revived.state_dict())
+        # post-resume counters equal the uninterrupted model's (continued
+        # training / cycle phases stay aligned)
+        assert revived._epoch_counter == full._epoch_counter
+        assert revived._cycle_offset == full._cycle_offset
