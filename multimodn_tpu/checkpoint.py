@@ -179,8 +179,23 @@ def fit_resumable(model, train_loader, optimizer, criterion=None, *,
     effects, so it works under every engine including shard_map; cadence
     is ``chunk_epochs``). Tested in tests/test_callbacks.py.
 
+    Streaming-protocol loaders (StreamingLoader / torch / disk) train each
+    chunk through ``fit_streaming`` instead of the fused ``fit`` —
+    larger-than-memory resumable training. The streamed per-epoch rng is
+    derived from the ABSOLUTE epoch counter, so chunked streaming equals
+    the uninterrupted streamed run bit-for-bit with no chunk-boundary rng
+    caveat (tests/test_resume.py). Train and val loaders must be the same
+    kind. (``fit_best_streaming(checkpoint_dir=)`` is the streamed
+    SELECTION protocol's own, finer-grained resume path.)
+
     Returns (history, epochs_run_this_invocation).
     """
+    streaming = hasattr(train_loader, "iter_batches")
+    if val_loader is not None and \
+            hasattr(val_loader, "iter_batches") != streaming:
+        raise ValueError(
+            "mixed loaders: train and val must both be streaming "
+            "(iter_batches) or both ArrayLoaders.")
     os.makedirs(checkpoint_dir, exist_ok=True)
     state_path = os.path.join(checkpoint_dir, "resume_latest.pkl")
     start, _, history = _load_resume_payload(state_path, model, optimizer,
@@ -188,8 +203,15 @@ def fit_resumable(model, train_loader, optimizer, criterion=None, *,
     ran = 0
     while start < epochs:
         n = min(chunk_epochs, epochs - start)
-        model.fit(train_loader, optimizer, criterion, epochs=n,
-                  history=history, val_loader=val_loader, val_tag=val_tag)
+        if streaming:
+            from multimodn_tpu.data.streaming import fit_streaming
+            history = fit_streaming(
+                model, train_loader, optimizer, criterion, epochs=n,
+                history=history, val_loader=val_loader, val_tag=val_tag)
+        else:
+            model.fit(train_loader, optimizer, criterion, epochs=n,
+                      history=history, val_loader=val_loader,
+                      val_tag=val_tag)
         start += n
         ran += n
         _write_resume_payload(state_path, model, start, history)

@@ -484,3 +484,50 @@ def test_fit_best_streaming_kill_and_resume_bit_equal(tmp_path):
         # training / cycle phases stay aligned)
         assert revived._epoch_counter == full._epoch_counter
         assert revived._cycle_offset == full._cycle_offset
+
+
+def test_fit_resumable_streaming_chunks_equal_uninterrupted(tmp_path):
+    """fit_resumable over streaming loaders: chunked streamed training ==
+    one uninterrupted fit_streaming call BIT-for-bit (the streamed
+    per-epoch rng is absolute-epoch-counter-based, so chunk boundaries are
+    invisible — no fused chunk-boundary caveat), and a second invocation
+    after 'preemption' completes the remaining epochs."""
+    from multimodn_tpu.checkpoint import fit_resumable
+    from multimodn_tpu.data import StreamingLoader, fit_streaming
+
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(48, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = PartitionDataset(X, y, [3, 3])
+
+    def build():
+        return MultiModN(2, [MLPEncoder(2, 3, (4,)), MLPEncoder(2, 3, (4,))],
+                         [LogisticDecoder(2)], 0.7, 0.3, seed=5)
+
+    full = build()
+    h_full = MultiModNHistory(["t"])
+    fit_streaming(full, StreamingLoader(ds, 8), Adam(0.05), "cross_entropy",
+                  epochs=6, history=h_full,
+                  val_loader=StreamingLoader(ds, 8))
+
+    # interrupted: first invocation covers 4 epochs (2 chunks), a fresh
+    # model resumes the remaining 2 from the checkpoint.
+    part = build()
+    h1 = MultiModNHistory(["t"])
+    fit_resumable(part, StreamingLoader(ds, 8), Adam(0.05), "cross_entropy",
+                  epochs=4, checkpoint_dir=str(tmp_path), chunk_epochs=2,
+                  history=h1, val_loader=StreamingLoader(ds, 8))
+    revived = build()
+    h2, ran = fit_resumable(revived, StreamingLoader(ds, 8), Adam(0.05),
+                            "cross_entropy", epochs=6,
+                            checkpoint_dir=str(tmp_path), chunk_epochs=2,
+                            val_loader=StreamingLoader(ds, 8))
+    assert ran == 2
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        full.state_dict(), revived.state_dict())
+    np.testing.assert_array_equal(np.asarray(h_full.loss["train"]),
+                                  np.asarray(h2.loss["train"]))
+    np.testing.assert_array_equal(np.asarray(h_full.loss["val"]),
+                                  np.asarray(h2.loss["val"]))
