@@ -102,6 +102,43 @@ class CheckpointManager:
         return load_checkpoint(self.best_path, model)
 
 
+def _atomic_pickle(path: str, payload: dict):
+    """Atomic checkpoint write (tmp + os.replace): never a torn payload.
+    Shared by every resume format."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def _restore_opt_state(model, optimizer, opt_state_np):
+    """Rebind a checkpointed (numpy) optimizer state onto the model,
+    resharding onto the model's mesh when present (elastic rescaling) —
+    shared by every resume format."""
+    import jax.numpy as jnp
+
+    if opt_state_np is None:
+        return
+    opt_state = jax.tree_util.tree_map(jnp.asarray, opt_state_np)
+    if getattr(model, "mesh", None) is not None:
+        from multimodn_tpu.parallel.sharding import shard_opt_state
+        opt_state = shard_opt_state(opt_state, model.mesh)
+    model.opt_state = opt_state
+    model._opt = optimizer
+
+
+def _merge_history(payload_history, history):
+    """Adopt or merge a checkpointed history (shared resume semantics:
+    accumulated epochs are never silently dropped on a history=None
+    resume)."""
+    if payload_history is None:
+        return history
+    if history is None:
+        return payload_history
+    history.__dict__.update(payload_history.__dict__)
+    return history
+
+
 def _load_resume_payload(state_path, model, optimizer, history):
     """Restore model/optimizer/counters/history from a resume checkpoint.
     Returns (start_epoch, payload, history) — (0, None, history) when no
@@ -114,27 +151,14 @@ def _load_resume_payload(state_path, model, optimizer, history):
     with open(state_path, "rb") as f:
         payload = pickle.load(f)
     model.load_state_dict(payload["model_state_dict"])
-    if payload.get("opt_state") is not None:
-        opt_state = jax.tree_util.tree_map(
-            jnp.asarray, payload["opt_state"])
-        if getattr(model, "mesh", None) is not None:
-            # Elastic rescaling: the checkpoint is a mesh-free numpy
-            # pytree, so a run interrupted on one device topology resumes
-            # on ANY other — load_state_dict already re-placed the params
-            # on the new mesh; mirror that for the optimizer moments.
-            from multimodn_tpu.parallel.sharding import shard_opt_state
-            opt_state = shard_opt_state(opt_state, model.mesh)
-        model.opt_state = opt_state
-        model._opt = optimizer        # keep the restored opt_state live
+    # Elastic rescaling: the checkpoint is a mesh-free numpy pytree, so a
+    # run interrupted on one device topology resumes on ANY other —
+    # load_state_dict already re-placed the params on the new mesh;
+    # _restore_opt_state mirrors that for the optimizer moments.
+    _restore_opt_state(model, optimizer, payload.get("opt_state"))
     model._epoch_counter = payload.get("epoch_counter", payload["epoch"])
     model._cycle_offset = payload.get("cycle_offset", 0)
-    if payload.get("history") is not None:
-        if history is None:
-            # Adopt the checkpointed history so accumulated epochs are
-            # never silently dropped on a history=None resume.
-            history = payload["history"]
-        else:
-            history.__dict__.update(payload["history"].__dict__)
+    history = _merge_history(payload.get("history"), history)
     return int(payload["epoch"]), payload, history
 
 
@@ -150,10 +174,7 @@ def _write_resume_payload(state_path, model, epoch, history, **extra):
         "history": history,
     }
     payload.update(extra)
-    tmp = state_path + ".tmp"
-    with open(tmp, "wb") as f:
-        pickle.dump(payload, f)
-    os.replace(tmp, state_path)
+    _atomic_pickle(state_path, payload)
 
 
 def fit_resumable(model, train_loader, optimizer, criterion=None, *,
@@ -196,6 +217,15 @@ def fit_resumable(model, train_loader, optimizer, criterion=None, *,
         raise ValueError(
             "mixed loaders: train and val must both be streaming "
             "(iter_batches) or both ArrayLoaders.")
+    if streaming and getattr(train_loader, "shuffle", False):
+        raise NotImplementedError(
+            "fit_resumable cannot honor a shuffle=True streaming loader: "
+            "its permutation state lives in the host loader object and is "
+            "not part of the resume payload, so a resumed process would "
+            "REPLAY the early epochs' permutations and silently break the "
+            "bit-for-bit guarantee. Stream shuffle=False (or use an "
+            "ArrayLoader — the fused path's in-program permutation is "
+            "epoch-counter-derived and resumes exactly).")
     os.makedirs(checkpoint_dir, exist_ok=True)
     state_path = os.path.join(checkpoint_dir, "resume_latest.pkl")
     start, _, history = _load_resume_payload(state_path, model, optimizer,

@@ -714,6 +714,9 @@ def fit_best_streaming(model, train_loader: StreamingLoader, optimizer,
             "wraps an unsized iterable dataset (n_batches unknown). Use "
             "a sized val loader (the train loader may stay unsized).")
     # --- optional preemption-safe resume (see docstring) ---
+    import os
+    import pickle
+
     start_epoch = 0
     ec_base = model._epoch_counter
     cyc_base = model._cycle_offset
@@ -722,9 +725,11 @@ def fit_best_streaming(model, train_loader: StreamingLoader, optimizer,
     state_path = None
     restored_best = None
     scores = []
+    synced_scores: List[float] = []   # host floats, extended per checkpoint
     if checkpoint_dir is not None:
-        import os
-        import pickle
+        from multimodn_tpu.checkpoint import (_atomic_pickle,
+                                              _merge_history,
+                                              _restore_opt_state)
         if checkpoint_every < 1:
             raise ValueError(
                 f"checkpoint_every must be >= 1, got {checkpoint_every}")
@@ -734,32 +739,39 @@ def fit_best_streaming(model, train_loader: StreamingLoader, optimizer,
         if os.path.exists(state_path):
             with open(state_path, "rb") as f:
                 payload = pickle.load(f)
+            # Same elastic-resume semantics as checkpoint._load_resume_
+            # payload: load_state_dict re-places params on the model's
+            # mesh; the helper mirrors that for the optimizer moments.
             model.load_state_dict(payload["model_state_dict"])
-            opt_state = jax.tree_util.tree_map(jnp.asarray,
-                                               payload["opt_state"])
-            if getattr(model, "mesh", None) is not None:
-                from multimodn_tpu.parallel.sharding import shard_opt_state
-                opt_state = shard_opt_state(opt_state, model.mesh)
-            model.opt_state = opt_state
-            model._opt = optimizer
+            _restore_opt_state(model, optimizer, payload["opt_state"])
             start_epoch = int(payload["epoch"])
+            if start_epoch > epochs:
+                raise ValueError(
+                    f"this checkpoint has already trained {start_epoch} "
+                    f"epochs but the call asks for epochs={epochs}; "
+                    f"resuming would corrupt the epoch/cycle counters and "
+                    f"re-use consumed rng folds. Pass epochs >= "
+                    f"{start_epoch} (or point checkpoint_dir elsewhere).")
             ec_base = int(payload["ec_base"])
             cyc_base = int(payload["cycle_base"])
             model._epoch_counter = ec_base
             model._cycle_offset = cyc_base
             stream_off = int(payload["stream_offset"])
             total_samples = int(payload["total_samples"])
-            scores = [float(s) for s in payload["scores"]]
+            synced_scores = [float(s) for s in payload["scores"]]
+            scores = list(synced_scores)
             b = payload["best"]
-            restored_best = (
-                jax.tree_util.tree_map(jnp.asarray, b["params"]),
-                jnp.asarray(b["score"], jnp.float32),
-                jnp.asarray(b["epoch"], jnp.int32))
-            if payload.get("history") is not None:
-                if history is None:
-                    history = payload["history"]
-                else:
-                    history.__dict__.update(payload["history"].__dict__)
+            bp = jax.tree_util.tree_map(jnp.asarray, b["params"])
+            if getattr(model, "mesh", None) is not None:
+                # The best carry must live on the mesh like the live
+                # params (a replicated copy would spike one device's
+                # memory and restore_best would hand back unsharded
+                # params — the elastic-resume gap review finding).
+                from multimodn_tpu.parallel.sharding import shard_params
+                bp = shard_params(bp, model.mesh)
+            restored_best = (bp, jnp.asarray(b["score"], jnp.float32),
+                             jnp.asarray(b["epoch"], jnp.int32))
+            history = _merge_history(payload.get("history"), history)
 
     rng = jax.random.fold_in(jax.random.PRNGKey(model._seed), ec_base)
     offset = model._cycle_base() if stream_off is None \
@@ -842,10 +854,12 @@ def fit_best_streaming(model, train_loader: StreamingLoader, optimizer,
             history.append_epoch(val_tag, vstats)
         if state_path is not None and \
                 ((eid + 1) % checkpoint_every == 0 or eid + 1 == epochs):
-            import os
-            import pickle
             bp, bs, be = best
-            payload = {
+            # Only scores ACCUMULATED since the last checkpoint get the
+            # blocking device->host fetch (O(epochs) total, not O(n^2)).
+            synced_scores.extend(float(s)
+                                 for s in scores[len(synced_scores):])
+            _atomic_pickle(state_path, {
                 "epoch": eid + 1, "ec_base": ec_base,
                 "cycle_base": cyc_base,
                 "model_state_dict": jax.tree_util.tree_map(np.asarray,
@@ -853,15 +867,11 @@ def fit_best_streaming(model, train_loader: StreamingLoader, optimizer,
                 "opt_state": jax.tree_util.tree_map(np.asarray, opt_state),
                 "best": {"params": jax.tree_util.tree_map(np.asarray, bp),
                          "score": float(bs), "epoch": int(be)},
-                "scores": [float(s) for s in scores],
+                "scores": list(synced_scores),
                 "stream_offset": int(offset),
                 "total_samples": total_samples,
                 "history": history,
-            }
-            tmp = state_path + ".tmp"
-            with open(tmp, "wb") as f:
-                pickle.dump(payload, f)
-            os.replace(tmp, state_path)    # atomic: never a torn payload
+            })
             if on_chunk is not None:
                 on_chunk(eid + 1, epochs)
 

@@ -531,3 +531,107 @@ def test_fit_resumable_streaming_chunks_equal_uninterrupted(tmp_path):
                                   np.asarray(h2.loss["train"]))
     np.testing.assert_array_equal(np.asarray(h_full.loss["val"]),
                                   np.asarray(h2.loss["val"]))
+
+
+def test_fit_best_streaming_sigkill_resume(tmp_path):
+    """HARD preemption: the training process is SIGKILLed mid-run (after a
+    checkpoint lands); a separate fresh process resumes from the payload
+    and the result is bit-equal to the uninterrupted run. This is the
+    cross-process durability evidence behind docs/COOKBOOK.md's claim."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    from multimodn_tpu.data import StreamingLoader, fit_best_streaming
+
+    ckpt = str(tmp_path / "ck")
+    victim = textwrap.dedent(f"""
+        import os, signal
+        import numpy as np
+        from multimodn_tpu import Adam, MultiModN
+        from multimodn_tpu.data import (PartitionDataset, StreamingLoader,
+                                        fit_best_streaming)
+        from multimodn_tpu.decoders import LogisticDecoder
+        from multimodn_tpu.encoders import MLPEncoder
+        rng = np.random.default_rng(7)
+        X = rng.normal(size=(56, 6)).astype(np.float32)
+        y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+        ds = PartitionDataset(X, y, [3, 3])
+        m = MultiModN(2, [MLPEncoder(2, 3, (4,)), MLPEncoder(2, 3, (4,))],
+                      [LogisticDecoder(2)], 0.7, 0.3, seed=3)
+        def killer(done, total):
+            if done == 2:
+                os.kill(os.getpid(), signal.SIGKILL)
+        fit_best_streaming(m, StreamingLoader(ds, 8), Adam(0.05),
+                           "cross_entropy", epochs=6,
+                           val_loader=StreamingLoader(ds, 8),
+                           checkpoint_dir={ckpt!r}, checkpoint_every=2,
+                           on_chunk=killer)
+    """)
+    env = {**os.environ, "MULTIMODN_PLATFORM": "cpu",
+           "JAX_PLATFORMS": "cpu"}
+    p = subprocess.run([sys.executable, "-c", victim], env=env,
+                       capture_output=True, timeout=300)
+    assert p.returncode == -9, p.stderr.decode()[-500:]
+    assert os.path.exists(os.path.join(ckpt, "resume_stream_latest.pkl"))
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(56, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = PartitionDataset(X, y, [3, 3])
+
+    def build():
+        return MultiModN(2, [MLPEncoder(2, 3, (4,)), MLPEncoder(2, 3, (4,))],
+                         [LogisticDecoder(2)], 0.7, 0.3, seed=3)
+
+    full = build()
+    r_full = fit_best_streaming(full, StreamingLoader(ds, 8), Adam(0.05),
+                                "cross_entropy", epochs=6,
+                                val_loader=StreamingLoader(ds, 8))
+    revived = build()
+    r_res = fit_best_streaming(revived, StreamingLoader(ds, 8), Adam(0.05),
+                               "cross_entropy", epochs=6,
+                               val_loader=StreamingLoader(ds, 8),
+                               checkpoint_dir=ckpt, checkpoint_every=2)
+    assert r_res["best_epoch"] == r_full["best_epoch"]
+    np.testing.assert_array_equal(r_res["scores"], r_full["scores"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        full.state_dict(), revived.state_dict())
+
+
+def test_resume_guards(tmp_path):
+    """Loud-error corners of the streamed resume formats."""
+    import pytest
+
+    from multimodn_tpu.checkpoint import fit_resumable
+    from multimodn_tpu.data import StreamingLoader, fit_best_streaming
+
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(32, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    ds = PartitionDataset(X, y, [3, 3])
+
+    def build():
+        return MultiModN(2, [MLPEncoder(2, 3, (4,)), MLPEncoder(2, 3, (4,))],
+                         [LogisticDecoder(2)], 0.7, 0.3, seed=1)
+
+    # shuffle=True streaming loader: the permutation state is host-local
+    # and not checkpointable -> loud error, not silent replay.
+    with pytest.raises(NotImplementedError, match="REPLAY"):
+        fit_resumable(build(), StreamingLoader(ds, 8, shuffle=True),
+                      Adam(0.05), "cross_entropy", epochs=2,
+                      checkpoint_dir=str(tmp_path / "a"))
+    # shrinking epochs below the checkpoint's progress -> loud error.
+    ck = str(tmp_path / "b")
+    fit_best_streaming(build(), StreamingLoader(ds, 8), Adam(0.05),
+                       "cross_entropy", epochs=4,
+                       val_loader=StreamingLoader(ds, 8),
+                       checkpoint_dir=ck, checkpoint_every=2)
+    with pytest.raises(ValueError, match="already trained"):
+        fit_best_streaming(build(), StreamingLoader(ds, 8), Adam(0.05),
+                           "cross_entropy", epochs=2,
+                           val_loader=StreamingLoader(ds, 8),
+                           checkpoint_dir=ck)
