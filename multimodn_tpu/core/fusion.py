@@ -92,6 +92,78 @@ def _unstack_view(params: dict, n_enc: int) -> dict:
                 encoders=unstack_encoder_params(params["encoders"], n_enc))
 
 
+def init_chain_state(init_state, params: dict, batch: int, init_offset,
+                     data):
+    """Initial state for a chain run, dtype-aligned with the modality data.
+
+    The alignment matters under bf16 mixed precision: a ``StaticInitState``
+    bank lives OUTSIDE ``params`` (fp32), so the params/data cast never
+    reaches it and without this cast the whole chain would silently promote
+    back to fp32."""
+    state = init_state.apply(params["init_state"], batch, init_offset)
+    return state.astype(_chain_dtype(data))
+
+
+def chain_step_skip(run: Callable, x, old_state, sample_mask, n_real, *,
+                    nan_skip: str, nan_axis: Optional[str],
+                    mask_aware: bool = True):
+    """One encoder step's NaN-skip semantics — the single implementation
+    shared by every chain form (unrolled ``forward_chain``, execution-indexed
+    ``forward_chain_executions``, and scan_chain's scan/switch chains), so the
+    batch-granular global any-NaN decision and the per-sample passthrough can
+    never diverge between chain modes (reference ``multimodn.py:167-169``).
+
+    ``run(x, eff_mask_or_None)`` executes the encoder on the (NaN-zeroed)
+    input; ``eff_mask`` is the per-sample validity the encoder may use for
+    batch statistics. Mask-aware encoders (ResNet BatchNorm) must exclude
+    BOTH padded rows and NaN-missing rows: a missing row's ``nan_to_num``
+    zeros would otherwise shift the batch statistics the PRESENT rows are
+    normalized with, even though the missing row's own state update is
+    discarded below. Callers whose encoder is not mask-aware pass
+    ``mask_aware=False`` — ``run`` then receives ``None`` and the effective
+    mask is never materialized (keeps the traced program for the common
+    non-mask-aware chains identical to the pre-helper form, so warmed
+    compile caches stay hot).
+
+    Returns ``(state, ok, counted)`` — the post-step state (with skip
+    passthrough applied), the row-liveness scalar, and the row's
+    sample-count increment (reference ``multimodn.py:105,121,171``).
+    """
+    if nan_skip == "none":
+        # predict() parity: NaNs flow straight into the encoder (quirk #9);
+        # the mask excludes padded rows only.
+        return run(x, sample_mask if mask_aware else None), \
+            jnp.ones(()), n_real
+    nan_here = jnp.isnan(x)
+    if x.ndim > 1:
+        sample_has_nan = jnp.any(nan_here, axis=tuple(range(1, x.ndim)))
+    else:
+        sample_has_nan = nan_here
+    xz = jnp.nan_to_num(x)
+    eff_mask = sample_mask * (~sample_has_nan).astype(sample_mask.dtype) \
+        if mask_aware else None
+    new_state = run(xz, eff_mask)
+    if nan_skip == "batch":
+        # Reference semantics: ONE NaN anywhere in the (real) batch skips
+        # this encoder for the whole batch (multimodn.py:167-169) — a
+        # GLOBAL decision across explicit shards (global_any).
+        any_nan = global_any(
+            jnp.any(sample_has_nan & (sample_mask > 0)), nan_axis)
+        ok = jnp.where(any_nan, 0.0, 1.0)
+        state = jnp.where(any_nan, old_state, new_state)
+        counted = n_real * ok
+    elif nan_skip == "sample":
+        # Per-sample generalization: only samples with a valid modality
+        # advance their state; everyone stays in the metrics.
+        valid = (~sample_has_nan) & (sample_mask > 0)
+        state = jnp.where(valid[:, None], new_state, old_state)
+        ok = jnp.ones(())
+        counted = n_real
+    else:
+        raise ValueError(f"Unknown nan_skip mode {nan_skip!r}")
+    return state, ok, counted
+
+
 def forward_chain(
     encoders: Sequence,
     init_state,
@@ -127,12 +199,7 @@ def forward_chain(
     params = _unstack_view(params, n_enc)
     data = _split_stacked_data(data)
 
-    state = init_state.apply(params["init_state"], batch, init_offset)
-    # Align the initial state with the chain's compute dtype: a
-    # StaticInitState bank lives OUTSIDE params (fp32), so under bf16 mixed
-    # precision the params/data cast never reaches it and the whole chain
-    # would silently promote back to fp32.
-    state = state.astype(_chain_dtype(data))
+    state = init_chain_state(init_state, params, batch, init_offset, data)
 
     states_rows: List = [state] + [state] * n_enc  # placeholder rows
     state_change = [jnp.zeros(()) for _ in range(n_enc)]
@@ -146,43 +213,16 @@ def forward_chain(
         step_rng = None
         if rng is not None:
             step_rng = jax.random.fold_in(rng, k)
-        # Mask-aware encoders (e.g. ResNet BatchNorm) receive the per-sample
-        # validity so padded rows never contaminate batch statistics.
-        extra = {"sample_mask": sample_mask} \
-            if getattr(enc, "_accepts_sample_mask", False) else {}
+        mask_aware = getattr(enc, "_accepts_sample_mask", False)
 
-        if nan_skip == "none":
-            # predict() parity: NaNs flow straight into the encoder (quirk #9).
-            state = enc.apply(params["encoders"][enc_idx], state, x,
-                              train=train, rng=step_rng, **extra)
-            ok = jnp.ones(())
-            counted = n_real
-        else:
-            nan_here = jnp.isnan(x)
-            if x.ndim > 1:
-                sample_has_nan = jnp.any(nan_here, axis=tuple(range(1, x.ndim)))
-            else:
-                sample_has_nan = nan_here
-            xz = jnp.nan_to_num(x)
-            new_state = enc.apply(params["encoders"][enc_idx], state, xz,
-                                  train=train, rng=step_rng, **extra)
-            if nan_skip == "batch":
-                # Reference semantics: ONE NaN anywhere in the (real) batch
-                # skips this encoder for the whole batch (multimodn.py:167-169).
-                any_nan = global_any(
-                    jnp.any(sample_has_nan & (sample_mask > 0)), nan_axis)
-                ok = jnp.where(any_nan, 0.0, 1.0)
-                state = jnp.where(any_nan, old_state, new_state)
-                counted = n_real * ok
-            elif nan_skip == "sample":
-                # Per-sample generalization: only samples with a valid modality
-                # advance their state; everyone stays in the metrics.
-                valid = (~sample_has_nan) & (sample_mask > 0)
-                state = jnp.where(valid[:, None], new_state, old_state)
-                ok = jnp.ones(())
-                counted = n_real
-            else:
-                raise ValueError(f"Unknown nan_skip mode {nan_skip!r}")
+        def run(xv, m, _p=params["encoders"][enc_idx], _s=state,
+                _rng=step_rng, _enc=enc, _aware=mask_aware):
+            kw = {"sample_mask": m} if _aware else {}
+            return _enc.apply(_p, _s, xv, train=train, rng=_rng, **kw)
+
+        state, ok, counted = chain_step_skip(
+            run, x, old_state, sample_mask, n_real,
+            nan_skip=nan_skip, nan_axis=nan_axis, mask_aware=mask_aware)
 
         states_rows[enc_idx + 1] = state
         state_change[enc_idx] = masked_mean_sq_diff(state, old_state, sample_mask)
@@ -236,12 +276,7 @@ def forward_chain_executions(
     n_real = jnp.sum(sample_mask.astype(jnp.float32))
     params = _unstack_view(params, len(encoders))
     data = _split_stacked_data(data)
-    state = init_state.apply(params["init_state"], batch, init_offset)
-    # Align the initial state with the chain's compute dtype: a
-    # StaticInitState bank lives OUTSIDE params (fp32), so under bf16 mixed
-    # precision the params/data cast never reaches it and the whole chain
-    # would silently promote back to fp32.
-    state = state.astype(_chain_dtype(data))
+    state = init_chain_state(init_state, params, batch, init_offset, data)
 
     states_rows: List = [state]
     sc_exec: List = []
@@ -253,34 +288,16 @@ def forward_chain_executions(
         x = data[data_idx]
         old_state = state
         step_rng = jax.random.fold_in(rng, k) if rng is not None else None
-        extra = {"sample_mask": sample_mask} \
-            if getattr(enc, "_accepts_sample_mask", False) else {}
+        mask_aware = getattr(enc, "_accepts_sample_mask", False)
 
-        if nan_skip == "none":
-            state = enc.apply(params["encoders"][enc_idx], state, x,
-                              train=train, rng=step_rng, **extra)
-            ok = jnp.ones(())
-            counted = n_real
-        else:
-            nan_here = jnp.isnan(x)
-            sample_has_nan = jnp.any(nan_here, axis=tuple(range(1, x.ndim))) \
-                if x.ndim > 1 else nan_here
-            xz = jnp.nan_to_num(x)
-            new_state = enc.apply(params["encoders"][enc_idx], state, xz,
-                                  train=train, rng=step_rng, **extra)
-            if nan_skip == "batch":
-                any_nan = global_any(
-                    jnp.any(sample_has_nan & (sample_mask > 0)), nan_axis)
-                ok = jnp.where(any_nan, 0.0, 1.0)
-                state = jnp.where(any_nan, old_state, new_state)
-                counted = n_real * ok
-            elif nan_skip == "sample":
-                valid = (~sample_has_nan) & (sample_mask > 0)
-                state = jnp.where(valid[:, None], new_state, old_state)
-                ok = jnp.ones(())
-                counted = n_real
-            else:
-                raise ValueError(f"Unknown nan_skip mode {nan_skip!r}")
+        def run(xv, m, _p=params["encoders"][enc_idx], _s=state,
+                _rng=step_rng, _enc=enc, _aware=mask_aware):
+            kw = {"sample_mask": m} if _aware else {}
+            return _enc.apply(_p, _s, xv, train=train, rng=_rng, **kw)
+
+        state, ok, counted = chain_step_skip(
+            run, x, old_state, sample_mask, n_real,
+            nan_skip=nan_skip, nan_axis=nan_axis, mask_aware=mask_aware)
 
         states_rows.append(state)
         sc_exec.append(masked_mean_sq_diff(state, old_state, sample_mask))

@@ -25,15 +25,9 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from multimodn_tpu.core.fusion import global_any, masked_mean_sq_diff
+from multimodn_tpu.core.fusion import (chain_step_skip, init_chain_state,
+                                       masked_mean_sq_diff)
 
-
-
-def _chain_dtype(data):
-    """Floating dtype of the incoming modality arrays (post mixed-precision
-    cast): tuple of per-modality arrays or one stacked array."""
-    leaf = data[0] if isinstance(data, (tuple, list)) else data
-    return leaf.dtype
 
 def encoders_homogeneous(encoders: Sequence) -> bool:
     """True when all encoders share class, layer dims, and activation — the
@@ -110,19 +104,13 @@ def forward_chain_scan(
     enc_params = params["encoders"]
     stacked = stack_encoder_params(enc_params) \
         if isinstance(enc_params, (list, tuple)) else enc_params
-    mask_kw = {"sample_mask": sample_mask} \
-        if getattr(encoder, "_accepts_sample_mask", False) else {}
+    mask_aware = getattr(encoder, "_accepts_sample_mask", False)
     if isinstance(data, (tuple, list)):
         data_stack = jnp.stack(data)                  # (E, B, F)
     else:
         data_stack = jnp.swapaxes(data, 0, 1)         # (B, E, F) -> (E, B, F)
 
-    state0 = init_state.apply(params["init_state"], batch, init_offset)
-    # Align the initial state with the chain's compute dtype: a
-    # StaticInitState bank lives OUTSIDE params (fp32), so under bf16 mixed
-    # precision the params/data cast never reaches it and the whole chain
-    # would silently promote back to fp32.
-    state0 = state0.astype(_chain_dtype(data))
+    state0 = init_chain_state(init_state, params, batch, init_offset, data)
 
     def step(carry, xs):
         state = carry
@@ -130,30 +118,15 @@ def forward_chain_scan(
         x = data_stack[d_idx]
         p_k = jax.tree_util.tree_map(lambda s: s[e_idx], stacked)
         step_rng = jax.random.fold_in(rng, k) if rng is not None else None
-
         old_state = state
-        if nan_skip == "none":
-            state = encoder.apply(p_k, state, x, train=train, rng=step_rng,
-                                  **mask_kw)
-            ok = jnp.ones(())
-            counted = n_real
-        else:
-            sample_has_nan = jnp.any(jnp.isnan(x),
-                                     axis=tuple(range(1, x.ndim)))
-            xz = jnp.nan_to_num(x)
-            new_state = encoder.apply(p_k, state, xz, train=train,
-                                      rng=step_rng, **mask_kw)
-            if nan_skip == "batch":
-                any_nan = global_any(
-                    jnp.any(sample_has_nan & (sample_mask > 0)), nan_axis)
-                ok = jnp.where(any_nan, 0.0, 1.0)
-                state = jnp.where(any_nan, old_state, new_state)
-                counted = n_real * ok
-            else:
-                valid = (~sample_has_nan) & (sample_mask > 0)
-                state = jnp.where(valid[:, None], new_state, old_state)
-                ok = jnp.ones(())
-                counted = n_real
+
+        def run(xv, m, _p=p_k, _s=state, _rng=step_rng):
+            kw = {"sample_mask": m} if mask_aware else {}
+            return encoder.apply(_p, _s, xv, train=train, rng=_rng, **kw)
+
+        state, ok, counted = chain_step_skip(
+            run, x, old_state, sample_mask, n_real,
+            nan_skip=nan_skip, nan_axis=nan_axis, mask_aware=mask_aware)
         sc = masked_mean_sq_diff(state, old_state, sample_mask)
         return state, (state, sc, ok, counted, e_idx)
 
@@ -225,12 +198,7 @@ def forward_chain_switch(
         jnp.pad(d, ((0, 0), (0, fmax - d.shape[-1]))) for d in data
     ])                                                  # (E, B, Fmax)
 
-    state0 = init_state.apply(params["init_state"], batch, init_offset)
-    # Align the initial state with the chain's compute dtype: a
-    # StaticInitState bank lives OUTSIDE params (fp32), so under bf16 mixed
-    # precision the params/data cast never reaches it and the whole chain
-    # would silently promote back to fp32.
-    state0 = state0.astype(_chain_dtype(data))
+    state0 = init_chain_state(init_state, params, batch, init_offset, data)
 
     def make_branch(j):
         enc = encoders[j]
@@ -240,16 +208,22 @@ def forward_chain_switch(
         # exactly as in the reference where the matmul would fail otherwise;
         # the model validates width compatibility host-side).
         width = getattr(enc, "n_features", None) or data[j].shape[-1]
-        mask_kw = {"sample_mask": sample_mask} \
-            if getattr(enc, "_accepts_sample_mask", False) else {}
+        aware = getattr(enc, "_accepts_sample_mask", False)
 
         def branch(operand):
-            state, x_pad, step_rng = operand
+            # eff_mask rides the operand (it varies per STEP, with the
+            # modality's NaN rows removed); mask-awareness per BRANCH.
+            state, x_pad, step_rng, eff_mask = operand
+            kw = {"sample_mask": eff_mask} if aware else {}
             return enc.apply(params["encoders"][j], state, x_pad[:, :width],
-                             train=train, rng=step_rng, **mask_kw)
+                             train=train, rng=step_rng, **kw)
         return branch
 
     branches = [make_branch(j) for j in range(E)]
+    # The switch operand carries eff_mask for ALL branches; materialize it
+    # when ANY branch consumes it (branches that don't, ignore it).
+    mask_aware = any(getattr(e, "_accepts_sample_mask", False)
+                     for e in encoders)
 
     def step(carry, xs):
         state = carry
@@ -258,25 +232,12 @@ def forward_chain_switch(
         step_rng = jax.random.fold_in(rng, k) if rng is not None else None
         old_state = state
 
-        if nan_skip == "none":
-            state = jax.lax.switch(e_idx, branches, (state, x, step_rng))
-            ok = jnp.ones(())
-            counted = n_real
-        else:
-            sample_has_nan = jnp.any(jnp.isnan(x), axis=1)
-            xz = jnp.nan_to_num(x)
-            new_state = jax.lax.switch(e_idx, branches, (state, xz, step_rng))
-            if nan_skip == "batch":
-                any_nan = global_any(
-                    jnp.any(sample_has_nan & (sample_mask > 0)), nan_axis)
-                ok = jnp.where(any_nan, 0.0, 1.0)
-                state = jnp.where(any_nan, old_state, new_state)
-                counted = n_real * ok
-            else:
-                valid = (~sample_has_nan) & (sample_mask > 0)
-                state = jnp.where(valid[:, None], new_state, old_state)
-                ok = jnp.ones(())
-                counted = n_real
+        def run(xv, m, _s=state, _rng=step_rng):
+            return jax.lax.switch(e_idx, branches, (_s, xv, _rng, m))
+
+        state, ok, counted = chain_step_skip(
+            run, x, old_state, sample_mask, n_real,
+            nan_skip=nan_skip, nan_axis=nan_axis, mask_aware=mask_aware)
         sc = masked_mean_sq_diff(state, old_state, sample_mask)
         return state, (state, sc, ok, counted, e_idx)
 

@@ -542,6 +542,15 @@ def make_eval_epoch_fn(loss_fn, scan_unroll=None, with_seq: bool = False):
     return jax.jit(eval_epoch)
 
 
+# Fold constant for the per-epoch sample-permutation key. It shares the
+# epoch key `erng` with the per-batch keys `fold_in(erng, batch_idx)`, so it
+# must sit OUTSIDE the reachable batch_idx range — int32 max would need 2^31
+# batches in one epoch to collide. (An earlier 777 collided at realistic
+# scale: batch 777 of a >12k-sample, batch-16 epoch reused the permutation
+# key for its dropout/shuffle draws.)
+_PERM_FOLD = 2**31 - 1
+
+
 def epoch_permute(data, targets, sample_mask, erng):
     """In-program per-epoch sample reshuffle for the fused multi-epoch
     programs: ONE shared permutation of the flattened (n_batches*B) sample
@@ -551,7 +560,7 @@ def epoch_permute(data, targets, sample_mask, erng):
     which is exactly what torch's DataLoader(shuffle=True) changes)."""
     n_batches, batch = targets.shape[0], targets.shape[1]
     n = n_batches * batch
-    perm = jax.random.permutation(jax.random.fold_in(erng, 777), n)
+    perm = jax.random.permutation(jax.random.fold_in(erng, _PERM_FOLD), n)
 
     def regroup(a):
         flat = a.reshape((n,) + a.shape[2:])
@@ -578,7 +587,7 @@ def epoch_permute_masked(data, targets, sample_mask, erng, n_real):
     have to be the traced ``n_real``)."""
     n_batches, batch = targets.shape[0], targets.shape[1]
     n = n_batches * batch
-    r = jax.random.uniform(jax.random.fold_in(erng, 777), (n,))
+    r = jax.random.uniform(jax.random.fold_in(erng, _PERM_FOLD), (n,))
     r = jnp.where(jnp.arange(n) < n_real, r, jnp.inf)
     perm = jnp.argsort(r, stable=True)
 
@@ -1019,8 +1028,11 @@ def make_forward_fn(encoders, decoders, init_state,
                     init_offset=init_offset)
             n_enc = len(encoders)
             rows = n_enc + 1
-            states = jnp.zeros((rows,) + states_x.shape[1:],
-                               states_x.dtype).at[0].set(states_x[0])
+            # Placeholder rows repeat the INITIAL state, like
+            # fusion.forward_chain's `[state] + [state] * n_enc` — zeros
+            # would make never-executed / all-executions-skipped rows
+            # decode as decoder(0) instead of the skip passthrough.
+            states = jnp.stack([states_x[0]] * rows)
             for k, (_d, e) in enumerate(order):
                 states = states.at[e + 1].set(
                     jnp.where(ok_x[k + 1] > 0, states_x[k + 1],

@@ -152,8 +152,9 @@ class ResNet(MultiModEncoder):
 
         return walk(params, "")
 
-    # Chains pass the per-sample validity mask so train-mode BatchNorm
-    # excludes padded rows (see core/fusion.forward_chain).
+    # Chains pass the EFFECTIVE per-sample validity mask so train-mode
+    # BatchNorm excludes both padded rows and NaN-missing rows from batch
+    # statistics (see core/fusion.chain_step_skip).
     _accepts_sample_mask = True
 
     # ------------------------------------------------------------------

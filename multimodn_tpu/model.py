@@ -553,17 +553,16 @@ class MultiModN:
             # configurations (review finding).
             check(order)
             return
-        if seqs is not None:
-            for row in np.asarray(seqs):
-                check(list(enumerate(row)))
-                if len({int(v) for v in row}) < len(row):
-                    raise NotImplementedError(
-                        "per-batch encoding sequences with REPEATED "
-                        "encoders are not supported: the traced-order "
-                        "chains keep one metric row per encoder and cannot "
-                        "express the reference's per-execution accumulation "
-                        "(multimodn.py:171-192). Uniform repeated sequences "
-                        "work through the unrolled chain.")
+        for row in np.asarray(seqs):
+            check(list(enumerate(row)))
+            if len({int(v) for v in row}) < len(row):
+                raise NotImplementedError(
+                    "per-batch encoding sequences with REPEATED "
+                    "encoders are not supported: the traced-order "
+                    "chains keep one metric row per encoder and cannot "
+                    "express the reference's per-execution accumulation "
+                    "(multimodn.py:171-192). Uniform repeated sequences "
+                    "work through the unrolled chain.")
 
     def _resolve_order(self, loader=None,
                        encoder_sequence=None, train: bool = False):
@@ -591,12 +590,15 @@ class MultiModN:
             loader.sharding = batch_sharding(self.mesh)
         data, targets, mask = loader.stacks()
         if self._chain_plan()[0] == "scan" and isinstance(data, tuple):
-            key = id(loader)
-            cached = self._fn_cache.get(("stacked_data", key))
+            # The stacked copy lives ON the loader (not in _fn_cache keyed by
+            # id(loader)): its lifetime is the loader's, so iterating many
+            # loaders (k-fold folds, notebook cells) never pins dead
+            # datasets — and their ~2x HBM — in the model forever.
+            cached = getattr(loader, "_mmtpu_stacked", None)
             if cached is None or cached[0] is not data:
-                stacked = jnp.stack(data, axis=2)
-                self._fn_cache[("stacked_data", key)] = (data, stacked)
-            data = self._fn_cache[("stacked_data", key)][1]
+                cached = (data, jnp.stack(data, axis=2))
+                loader._mmtpu_stacked = cached
+            data = cached[1]
         return data, targets, mask
 
     # ------------------------------------------------------------------

@@ -378,7 +378,7 @@ def _sm_epoch_permute(data, targets, mask, erng, data_axis, n_real=None):
     each shard ``all_gather``s the epoch stacks over ``data_axis``, applies
     ``core.step.epoch_permute`` — the auto engine's EXACT global
     permutation; ``erng`` is replicated, so every shard draws the identical
-    ``fold_in(erng, 777)`` perm — and slices its own rows back out by
+    ``fold_in(erng, _PERM_FOLD)`` perm — and slices its own rows back out by
     position (shard r holds global rows ``r*B_local:(r+1)*B_local`` of
     every batch, the same contiguous-block layout GSPMD uses, so bank
     offsets and batch composition equal the auto engine's bit-for-bit).

@@ -144,8 +144,9 @@ def test_fit_reshuffles_per_epoch_with_shuffle_loader():
     base_rng = jax.random.fold_in(jax.random.PRNGKey(0), 0)  # _epoch_counter=0
     for e in range(epochs):
         erng = jax.random.fold_in(base_rng, e)
+        from multimodn_tpu.core.step import _PERM_FOLD
         perm = np.asarray(
-            jax.random.permutation(jax.random.fold_in(erng, 777), n))
+            jax.random.permutation(jax.random.fold_in(erng, _PERM_FOLD), n))
         loader = ArrayLoader(ds, batch)
         loader._order = perm          # no padding: flat perm == sample order
         loader._stacks = None

@@ -201,7 +201,7 @@ def test_shard_map_fused_shuffle_matches_auto():
     engine's exact epoch_permute + positional re-slice,
     _sm_epoch_permute) must make shuffled fit AND shuffled fit_best
     (patience included) equal the single-device auto runs bit-for-bit —
-    same seed, same fold_in(erng, 777) permutation stream, padded tail
+    same seed, same fold_in(erng, _PERM_FOLD) permutation stream, padded tail
     included."""
     from multimodn_tpu import MultiModNHistory
     from multimodn_tpu.data import ArrayLoader, PartitionDataset
