@@ -40,8 +40,10 @@ def save_checkpoint(path: str, model, epoch: int, score: Optional[float] = None,
     if extra:
         payload.update(extra)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "wb") as f:
-        pickle.dump(payload, f)
+    # Atomic (tmp + os.replace): a preemption mid-dump must never leave a
+    # truncated best-checkpoint on disk — the exact crash window the
+    # resume machinery exists for (review finding, round 5).
+    _atomic_pickle(path, payload)
     return path
 
 

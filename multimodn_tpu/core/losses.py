@@ -126,14 +126,30 @@ def resolve_criterion(criterion):
             # parameters without defaults, so torch-style criteria with
             # extra defaulted knobs (e.g. reduction='mean') are not handed
             # the row mask as that knob.
-            n_params = sum(
-                1 for p in sig.parameters.values()
+            required = [
+                p for p in sig.parameters.values()
                 if p.default is inspect.Parameter.empty
-                and p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD))
+                and p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)]
+            n_params = len(required)
         except (ValueError, TypeError):
             # Uninspectable (C-extension) callables: assume the torch-style
             # 2-arg contract the reference uses (multimodn.py:146).
-            n_params = 2
+            required, n_params = [], 2
+        if n_params >= 3 and (
+                n_params > 3 or required[2].name not in
+                ("mask", "sample_mask", "valid_mask", "validity")):
+            # A third REQUIRED parameter that isn't mask-named is a loss
+            # knob (e.g. focal gamma) — silently feeding it the 0/1 row
+            # mask would corrupt every batch's loss. Refuse loudly.
+            raise ValueError(
+                f"criterion {getattr(criterion, '__name__', criterion)!r} "
+                f"requires {n_params} positional arguments; only "
+                "(outputs, targets) or (outputs, targets, mask) criteria "
+                "are supported — name the third parameter 'mask' (it "
+                "receives the per-sample 0/1 validity of padded batch "
+                "tails), bind extra knobs with functools.partial or "
+                "defaults, or set `criterion._accepts_mask = True/False` "
+                "explicitly.")
         if n_params >= 3:
             try:
                 criterion._accepts_mask = True

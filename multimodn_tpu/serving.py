@@ -43,6 +43,7 @@ class InferenceSession:
         self.model = model
         self._step_fns = {}
         self._decode_fn = None
+        self._enc_params = {}
 
     def init(self, batch_size: int) -> jnp.ndarray:
         """Initial (batch, state_size) fusion state.
@@ -58,8 +59,15 @@ class InferenceSession:
         enc = self.model.params["encoders"]
         if isinstance(enc, (list, tuple)):
             return enc[idx]
-        # scan-mode stacked storage
-        return jax.tree_util.tree_map(lambda s: s[idx], enc)
+        # Scan-mode stacked storage: slice once per encoder and cache — the
+        # per-leaf gather would otherwise run on EVERY step() in the serving
+        # hot path. Invalidate if the model's params were swapped
+        # (fine-tuning between requests).
+        cached = self._enc_params.get(idx)
+        if cached is None or cached[0] is not enc:
+            cached = (enc, jax.tree_util.tree_map(lambda s: s[idx], enc))
+            self._enc_params[idx] = cached
+        return cached[1]
 
     def step(self, state, encoder_idx: int, x,
              nan_skip: Optional[bool] = None
@@ -80,7 +88,6 @@ class InferenceSession:
         if key not in self._step_fns:
             encoder = self.model.encoders[encoder_idx]
             decoders = self.model.decoders
-            model = self.model
 
             @jax.jit
             def step_fn(enc_params, dec_params, state, x):
@@ -155,7 +162,10 @@ def export_model(model, directory: str):
         for attr in ("state_size", "n_features", "hidden_layers",
                      "dropout_rate", "n_classes", "unbatched_compat",
                      "embed_dim", "n_heads", "n_layers", "mlp_ratio",
-                     "chunk", "freeze"):
+                     "chunk", "freeze",
+                     # ViTEncoder geometry — without these, load_model would
+                     # silently rebuild with ctor-default (32, 32) images.
+                     "image_size", "patch_size", "channels"):
             if hasattr(m, attr):
                 v = getattr(m, attr)
                 spec[attr] = list(v) if isinstance(v, tuple) else v
@@ -183,6 +193,15 @@ def export_model(model, directory: str):
         "chain_mode": model.chain_mode,
         "shuffle_mode": model.shuffle_mode,
         "ones_initialized_counts": model.ones_initialized_counts,
+        # Training-semantics knobs: dropping any of these would silently
+        # change numerics on a reloaded fine-tune (e.g. presence_penalty=0
+        # would re-open the MNAR flip-test regression the knob exists for).
+        "presence_penalty": model.presence_penalty,
+        "presence_dropout": model.presence_dropout,
+        "compute_dtype": None if model.compute_dtype is None
+        else jnp.dtype(model.compute_dtype).name,
+        "scan_unroll": model.scan_unroll,
+        "seed": model._seed,
         "encoders": [module_spec(e) for e in model.encoders],
         "decoders": [module_spec(d) for d in model.decoders],
         "static_init_state": isinstance(model.init_state, StaticInitState),
@@ -250,6 +269,11 @@ def load_model(directory: str):
         nan_skip=config.get("nan_skip", "sample"),
         ones_initialized_counts=config.get("ones_initialized_counts", True),
         chain_mode=config.get("chain_mode", "auto"),
+        presence_penalty=config.get("presence_penalty", 0.0),
+        presence_dropout=config.get("presence_dropout", 0.0),
+        compute_dtype=config.get("compute_dtype"),
+        scan_unroll=config.get("scan_unroll"),
+        seed=config.get("seed", 0),
     )
     model.params = _unflatten_like(model.params, flat)
     return model
@@ -283,6 +307,22 @@ def export_compiled(model, path: str, platforms=("cpu", "tpu"),
                 f"encoder {i} ({type(e).__name__}) does not expose "
                 "n_features; export_compiled needs static input widths.")
     order = model._resolve_order(None, encoder_sequence, train=False)
+    # The artifact's inputs are MODALITIES; their widths come from the
+    # RESOLVED (data_idx, encoder_idx) pairing, not encoder position — a
+    # permuted encoder_sequence feeds modality d to a different-width
+    # encoder, and the old per-encoder args died in an opaque matmul shape
+    # error mid-trace (review finding). Conflicting pairings (one modality
+    # feeding two widths) are rejected with the pairing error every other
+    # path gives.
+    n_mod = max(d for d, _e in order) + 1
+    widths = {}
+    for d, e in order:
+        w = model.encoders[e].n_features
+        if widths.setdefault(d, w) != w:
+            raise ValueError(
+                f"encoding sequence feeds modality {d} to encoders of "
+                f"widths {widths[d]} and {w}; widths must match "
+                "(model._validate_pairings would reject this too).")
     fwd = model._forward_fn(order, model.nan_skip)
     params = model.params
     chain = model._chain_plan()[0]
@@ -295,8 +335,8 @@ def export_compiled(model, path: str, platforms=("cpu", "tpu"),
         return tuple(outputs)
 
     b, = jexport.symbolic_shape("b")
-    args = [jax.ShapeDtypeStruct((b, e.n_features), jnp.float32)
-            for e in model.encoders]
+    args = [jax.ShapeDtypeStruct((b, widths[d]), jnp.float32)
+            for d in range(n_mod)]
     exp = jexport.export(jax.jit(forward), platforms=tuple(platforms))(*args)
     with open(path, "wb") as f:
         f.write(exp.serialize())

@@ -147,3 +147,26 @@ def test_two_arg_criterion_with_defaulted_knob():
     tgt = jnp.zeros((4,), jnp.int32)
     float(crit(out, tgt, jnp.ones((4,))))   # mask consumed by wrapper
     assert calls["reduction"] == "mean"     # knob untouched
+
+
+def test_three_arg_non_mask_criterion_rejected():
+    """Review finding (round 5): a third REQUIRED parameter that is not
+    mask-named (a loss knob like focal gamma) must be refused loudly —
+    previously the 0/1 row mask was silently passed as the knob."""
+    from multimodn_tpu.core.losses import resolve_criterion
+
+    def focal_loss(outputs, targets, gamma):
+        return outputs.sum() * 0.0 + gamma
+
+    with pytest.raises(ValueError, match="mask"):
+        resolve_criterion(focal_loss)
+
+    # Mask-named third parameters keep working.
+    def masked(outputs, targets, mask):
+        return outputs.sum() * 0.0
+
+    assert resolve_criterion(masked)._accepts_mask is True
+
+    # Explicit opt-out overrides the name heuristic entirely.
+    focal_loss._accepts_mask = False
+    assert resolve_criterion(focal_loss) is focal_loss

@@ -1,5 +1,6 @@
 """Serving tier: incremental fusion sessions and pickle-free export/load."""
 import numpy as np
+import pytest
 
 from multimodn_tpu import Adam, MultiModN
 from multimodn_tpu.data import ArrayLoader, PartitionDataset
@@ -212,3 +213,66 @@ def test_export_compiled_scan_chain_nan_skip(tmp_path):
     np.testing.assert_allclose(np.asarray(run(*modsc)[0]),
                                np.asarray(model.predict_proba(tuple(modsc))[0]),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_export_load_vit_geometry_and_knobs(tmp_path):
+    """Round-5 review findings: ViTEncoder geometry (image_size/patch_size/
+    channels) and the training-semantics knobs (presence_penalty/dropout,
+    compute_dtype, scan_unroll, seed) must survive the export round-trip —
+    they previously reloaded as ctor defaults."""
+    from multimodn_tpu.encoders import ViTEncoder
+
+    model = MultiModN(4, [ViTEncoder(4, image_size=(16, 24), patch_size=4,
+                                     channels=1, embed_dim=8, n_heads=2,
+                                     n_layers=1)],
+                      [LogisticDecoder(4)], 1.0, 0.0,
+                      presence_penalty=25.0, presence_dropout=0.1,
+                      scan_unroll=4, seed=3)
+    x = [np.random.default_rng(0).normal(
+        size=(3, 16 * 24)).astype(np.float32)]
+    before = model.predict_proba(x)
+    d = export_model(model, str(tmp_path / "vit"))
+    loaded = load_model(d)
+    enc = loaded.encoders[0]
+    assert enc.image_size == (16, 24)
+    assert (enc.patch_size, enc.channels) == (4, 1)
+    assert loaded.presence_penalty == 25.0
+    assert loaded.presence_dropout == 0.1
+    assert loaded.scan_unroll == 4
+    assert loaded._seed == 3
+    after = loaded.predict_proba(x)
+    for a, b in zip(before, after):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_export_load_compute_dtype(tmp_path):
+    model = MultiModN(2, [MLPEncoder(2, 3, (4,))], [LogisticDecoder(2)],
+                      1.0, 0.0, compute_dtype="bfloat16")
+    d = export_model(model, str(tmp_path / "bf16"))
+    loaded = load_model(d)
+    import jax.numpy as jnp
+    assert jnp.dtype(loaded.compute_dtype) == jnp.bfloat16
+
+
+def test_export_compiled_permuted_sequence_widths(tmp_path):
+    """export_compiled builds input shapes from the RESOLVED pairing: a
+    permuted sequence over heterogeneous widths must export (and run) with
+    modality widths following the pairing, not encoder positions."""
+    from multimodn_tpu.serving import export_compiled, load_compiled
+
+    model = MultiModN(3, [MLPEncoder(3, 4, (5,)), MLPEncoder(3, 4, (6,))],
+                      [LogisticDecoder(3)], 1.0, 0.0)
+    p = str(tmp_path / "perm.hlo")
+    export_compiled(model, p, platforms=("cpu",), encoder_sequence=[1, 0])
+    run = load_compiled(p)
+    rng = np.random.default_rng(0)
+    outs = run(rng.normal(size=(4, 4)).astype(np.float32),
+               rng.normal(size=(4, 4)).astype(np.float32))
+    assert outs[0].shape[0] == 3  # (E+1, b, C)
+
+    # Width-conflicting pairings are rejected loudly, not via a trace error.
+    model2 = MultiModN(3, [MLPEncoder(3, 4, (5,)), MLPEncoder(3, 7, (6,))],
+                       [LogisticDecoder(3)], 1.0, 0.0)
+    with pytest.raises(ValueError, match="widths"):
+        export_compiled(model2, str(tmp_path / "bad.hlo"),
+                        platforms=("cpu",), encoder_sequence=[1, 0])
