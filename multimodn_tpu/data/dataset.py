@@ -47,6 +47,31 @@ class Subset:
         return self.dataset[self.indices[idx]]
 
 
+def _split_indices(shuffled, probabilities, label_of=None) -> List[List[int]]:
+    """Proportional (optionally label-grouped) split of pre-shuffled
+    indices — the ONE implementation of the reference's split arithmetic
+    (``int(len * p / sum_p)`` with the remainder joining split 0,
+    ``multimod_dataset.py:45``), shared by ``MultiModDataset.random_split``
+    (Subset return) and ``MIMICDataset.random_split`` (index-list return,
+    quirk #11) so the bit-exact split rule can never diverge between the
+    two (review finding, round 5)."""
+    sum_p = sum(probabilities)
+    if label_of is None:
+        groups = {"Unbalanced": list(shuffled)}
+    else:
+        groups = {}
+        for idx in shuffled:
+            groups.setdefault(label_of(idx), []).append(idx)
+    splitted: List[List[int]] = [[] for _ in probabilities]
+    for indices in groups.values():
+        lengths = [int(len(indices) * p / sum_p) for p in probabilities]
+        # Remainder joins split 0 (reference multimod_dataset.py:45).
+        lengths[0] += len(indices) - sum(lengths)
+        for i, (offset, length) in enumerate(zip(accumulate(lengths), lengths)):
+            splitted[i] = splitted[i] + indices[offset - length:offset]
+    return splitted
+
+
 class MultiModDataset(ABC):
     @abstractmethod
     def __len__(self) -> int:
@@ -63,25 +88,10 @@ class MultiModDataset(ABC):
         balanced_target_idx: Optional[int] = None,
     ) -> List[Subset]:
         shuffled = _seeded_permutation(len(self), seed)
-        sum_p = sum(probabilities)
-
-        if balanced_target_idx is None:
-            groups = {"Unbalanced": shuffled}
-        else:
-            groups = {}
-            for idx in shuffled:
-                value = self[idx][1][balanced_target_idx]
-                groups.setdefault(value, []).append(idx)
-
-        splitted: List[List[int]] = [[] for _ in probabilities]
-        for indices in groups.values():
-            lengths = [int(len(indices) * p / sum_p) for p in probabilities]
-            # Remainder joins split 0 (reference multimod_dataset.py:45).
-            lengths[0] += len(indices) - sum(lengths)
-            for i, (offset, length) in enumerate(zip(accumulate(lengths), lengths)):
-                splitted[i] = splitted[i] + indices[offset - length:offset]
-
-        return [Subset(self, idx) for idx in splitted]
+        label_of = None if balanced_target_idx is None else \
+            (lambda idx: self[idx][1][balanced_target_idx])
+        return [Subset(self, idx)
+                for idx in _split_indices(shuffled, probabilities, label_of)]
 
 
 class PartitionDataset(MultiModDataset):

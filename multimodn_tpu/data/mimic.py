@@ -18,14 +18,14 @@ deterministic schema-exact synthetic frame
 from __future__ import annotations
 
 import os
-from itertools import accumulate
 from typing import List, Optional, Tuple, Union
+from uuid import uuid4
 
 import numpy as np
 import pandas as pd
 
 from multimodn_tpu.data.dataset import FeatureWiseDataset, PartitionDataset, \
-    _seeded_permutation
+    _seeded_permutation, _split_indices
 from multimodn_tpu.data.synth import (
     MIMIC_SOURCE_DICT,
     MIMIC_SOURCE_NAMES,
@@ -106,9 +106,12 @@ def _resolve_cache_root(cache_root: str, synthetic_kwargs) -> str:
            f"_m{kw.get('max_stays_per_patient', 3)}")
     if kw.get("sources"):
         # The generated SOURCES change the rng stream (each block draws in
-        # order), so different source sets must never share a cache even
-        # when the other knobs match.
-        tag += "_src" + "-".join(sorted(kw["sources"]))
+        # LIST ORDER — synth.py draws proj/noise per block sequentially),
+        # so both different source SETS and different source ORDERS must
+        # never share a cache: the tag joins UNSORTED (sorting aliased
+        # ['vd','ts_ce'] with ['ts_ce','vd'], silently serving the other
+        # order's frame — review finding, round 5).
+        tag += "_src" + "-".join(kw["sources"])
     return os.path.join(cache_root, tag)
 
 
@@ -180,11 +183,17 @@ def build_mimic_cache(
     patient["label"] = (patient["label_ones"] >=
                         patient["label_count"] / 2).astype(int)
     # Split table first, data.csv last, each atomically: validity is
-    # checked on the pair, so a torn build is retried, never served.
-    patient.to_csv(split_path + ".tmp", index=False)
-    os.replace(split_path + ".tmp", split_path)
-    data_full.to_csv(data_path + ".tmp", index=False)
-    os.replace(data_path + ".tmp", data_path)
+    # checked on the pair, so a torn build is retried, never served. The
+    # tmp names are per-process-unique — a FIXED '.tmp' path let two
+    # concurrent builders interleave writes into one file and publish a
+    # permanently "valid" corrupt cache (review finding, round 5); with
+    # unique tmps, concurrent builders each publish a complete frame (the
+    # build is deterministic, so last-replace-wins is identical content).
+    suffix = f".tmp.{os.getpid()}.{uuid4().hex[:8]}"
+    patient.to_csv(split_path + suffix, index=False)
+    os.replace(split_path + suffix, split_path)
+    data_full.to_csv(data_path + suffix, index=False)
+    os.replace(data_path + suffix, data_path)
     return cache_dir
 
 
@@ -227,7 +236,19 @@ def _load_mimic_full(
             # mimic_dataset.py:83-88); any other string names ONE feature —
             # without this, list('vd_0') would become per-character column
             # lookups and KeyError.
-            cols = [c for c in features if c.startswith("de_")]                 if cols == "demo" else [cols]
+            if cols == "demo":
+                cols = [c for c in features if c.startswith("de_")]
+                if not cols:
+                    # An empty expansion would silently inject NO NaNs and
+                    # the MNAR experiment would run on clean data while
+                    # reporting a robustness curve (review finding) — be as
+                    # loud as a typo'd explicit column name.
+                    raise KeyError(
+                        "features_to_nan='demo' but the selected sources "
+                        "have no demographic (de_*) columns; include 'de' "
+                        "in sources or name explicit feature columns")
+            else:
+                cols = [cols]
         missing = [c for c in cols if c not in data.columns]
         if missing:
             raise KeyError(
@@ -301,22 +322,12 @@ class MIMICDataset:
         seed: int,
         balanced_target_idx: Optional[int] = None,
     ) -> List[List[int]]:
-        """Returns INDEX LISTS, not Subsets (reference quirk #11)."""
+        """Returns INDEX LISTS, not Subsets (reference quirk #11); the split
+        arithmetic is the shared ``dataset._split_indices``."""
         shuffled = _seeded_permutation(len(self), seed)
-        sum_p = sum(probabilities)
-        if balanced_target_idx is None:
-            groups = {"Unbalanced": shuffled}
-        else:
-            groups = {}
-            for idx in shuffled:
-                groups.setdefault(self.y[idx][balanced_target_idx], []).append(idx)
-        splitted: List[List[int]] = [[] for _ in probabilities]
-        for indices in groups.values():
-            lengths = [int(len(indices) * p / sum_p) for p in probabilities]
-            lengths[0] += len(indices) - sum(lengths)
-            for i, (offset, length) in enumerate(zip(accumulate(lengths), lengths)):
-                splitted[i] = splitted[i] + indices[offset - length:offset]
-        return splitted
+        label_of = None if balanced_target_idx is None else \
+            (lambda idx: self.y[idx][balanced_target_idx])
+        return _split_indices(shuffled, probabilities, label_of)
 
     def partition_dataset(self, partitions: Optional[List[int]] = None
                           ) -> PartitionDataset:

@@ -96,36 +96,78 @@ def _reject(name: str, **nondefault):
             f"the JAX-native optimizer/criterion: {detail}")
 
 
+def _torch_opt_hparams(opt) -> dict:
+    """Effective hyperparameters of a torch optimizer, read from
+    ``param_groups`` — torch lr schedulers and manual edits mutate the
+    groups, never ``.defaults`` (reading defaults froze the lr for the whole
+    run; review finding). All groups must agree: the adapter maps the WHOLE
+    JAX parameter pytree through one transformation and has no per-group
+    parameter mapping."""
+    groups = opt.param_groups
+    keys = set().union(*(g.keys() for g in groups)) - {"params"}
+    hp = {}
+    for k in sorted(keys):
+        vals = [g.get(k, opt.defaults.get(k)) for g in groups]
+        if any(v != vals[0] for v in vals[1:]):
+            raise NotImplementedError(
+                f"torch optimizer with per-param-group '{k}' values "
+                f"{vals!r} cannot be mapped onto the JAX-native optimizer "
+                "(one hyperparameter set updates the whole pytree); use a "
+                "single param group or multimodn_tpu.optim directly")
+        hp[k] = tuple(vals[0]) if isinstance(vals[0], (list, tuple)) \
+            else vals[0]
+    return hp
+
+
+def _build_native_optimizer(opt, hp: dict):
+    import torch.optim as topt
+
+    from multimodn_tpu.optim import SGD, Adam, AdamW
+    if isinstance(opt, topt.AdamW):
+        _reject("AdamW", amsgrad=(hp.get("amsgrad", False), False))
+        return AdamW(hp["lr"], betas=tuple(hp["betas"]), eps=hp["eps"],
+                     weight_decay=hp["weight_decay"])
+    if isinstance(opt, topt.Adam):
+        _reject("Adam", amsgrad=(hp.get("amsgrad", False), False),
+                weight_decay=(hp.get("weight_decay", 0.0), 0.0))
+        return Adam(hp["lr"], betas=tuple(hp["betas"]), eps=hp["eps"])
+    if isinstance(opt, topt.SGD):
+        _reject("SGD", weight_decay=(hp.get("weight_decay", 0.0), 0.0),
+                dampening=(hp.get("dampening", 0.0), 0.0),
+                nesterov=(hp.get("nesterov", False), False))
+        return SGD(hp["lr"], momentum=hp.get("momentum", 0.0))
+    raise NotImplementedError(
+        f"no JAX-native mapping for torch optimizer "
+        f"{type(opt).__name__}; use multimodn_tpu.optim directly")
+
+
 def adapt_optimizer(opt: Any):
     """Map a torch optimizer instance to the JAX-native Optimizer, memoized
-    per instance (state continuity across train_epoch calls)."""
+    per instance (state continuity across train_epoch calls).
+
+    Hyperparameter MUTATIONS are honored: when a torch lr scheduler (or a
+    manual ``param_groups`` edit) changes the lr between epochs, the cached
+    adapter swaps in a rebuilt transformation IN PLACE — the model keeps the
+    same Optimizer object, so Adam moments/step counts carry across the lr
+    change exactly like torch (each distinct hyperparameter set traces its
+    own program; a StepLR with a handful of distinct lrs compiles that many
+    programs, warm-cached thereafter)."""
     if not is_torch_optimizer(opt):
         return opt
     cached = _cache_lookup(_OPT_CACHE, opt)
     if cached is not None:
-        return cached
-    import torch.optim as topt
-
-    from multimodn_tpu.optim import SGD, Adam, AdamW
-    d = opt.defaults
-    if isinstance(opt, topt.AdamW):
-        _reject("AdamW", amsgrad=(d.get("amsgrad", False), False))
-        ours = AdamW(d["lr"], betas=tuple(d["betas"]), eps=d["eps"],
-                     weight_decay=d["weight_decay"])
-    elif isinstance(opt, topt.Adam):
-        _reject("Adam", amsgrad=(d.get("amsgrad", False), False),
-                weight_decay=(d.get("weight_decay", 0.0), 0.0))
-        ours = Adam(d["lr"], betas=tuple(d["betas"]), eps=d["eps"])
-    elif isinstance(opt, topt.SGD):
-        _reject("SGD", weight_decay=(d.get("weight_decay", 0.0), 0.0),
-                dampening=(d.get("dampening", 0.0), 0.0),
-                nesterov=(d.get("nesterov", False), False))
-        ours = SGD(d["lr"], momentum=d.get("momentum", 0.0))
-    else:
-        raise NotImplementedError(
-            f"no JAX-native mapping for torch optimizer "
-            f"{type(opt).__name__}; use multimodn_tpu.optim directly")
-    return _cache_store(_OPT_CACHE, opt, ours)
+        ours, built_hp = cached
+        hp = _torch_opt_hparams(opt)
+        if hp != built_hp:
+            fresh = _build_native_optimizer(opt, hp)
+            ours.tx = fresh.tx
+            ours.signature = getattr(fresh, "signature", None)
+            _cache_store(_OPT_CACHE, opt, (ours, hp))
+        return ours
+    hp = _torch_opt_hparams(opt)
+    ours = _build_native_optimizer(opt, hp)
+    _cache_store(_OPT_CACHE, opt, (ours, hp))
+    return ours
 
 
 def adapt_criterion(criterion: Any):
@@ -174,9 +216,34 @@ def adapt_loader(loader: Any):
         raise NotImplementedError(
             "custom torch batch_samplers are not supported; use the "
             "default sequential/random samplers")
-    shuffle = isinstance(getattr(loader, "sampler", None), tud.RandomSampler)
-    batch_size = loader.batch_size or len(loader.dataset)
-    ours = ArrayLoader(loader.dataset, batch_size, shuffle=shuffle)
+    # The sampler decides WHICH rows the loader serves — treating an
+    # unrecognized sampler as "sequential over the full dataset" silently
+    # trained on every row (train/test leakage with a SubsetRandomSampler;
+    # review finding). Map the stock samplers, refuse the rest loudly.
+    sampler = getattr(loader, "sampler", None)
+    dataset = loader.dataset
+    if sampler is None or isinstance(sampler, tud.SequentialSampler):
+        shuffle = False
+    elif isinstance(sampler, tud.SubsetRandomSampler):
+        dataset = tud.Subset(dataset, [int(i) for i in sampler.indices])
+        shuffle = True
+    elif isinstance(sampler, tud.RandomSampler):
+        if getattr(sampler, "replacement", False) or \
+                sampler.num_samples != len(dataset):
+            raise NotImplementedError(
+                "torch RandomSampler with replacement=True or a custom "
+                "num_samples has no ArrayLoader equivalent (epochs here "
+                "are exact permutations); use the default RandomSampler")
+        shuffle = True
+    else:
+        raise NotImplementedError(
+            f"torch DataLoader sampler {type(sampler).__name__} is not "
+            "supported by the interop shim (it selects rows the "
+            "materialized ArrayLoader would silently ignore); use "
+            "shuffle=True/False, SubsetRandomSampler, or build an "
+            "ArrayLoader over the intended subset directly")
+    batch_size = loader.batch_size or len(dataset)
+    ours = ArrayLoader(dataset, batch_size, shuffle=shuffle)
     return _cache_store(_LOADER_CACHE, loader, ours)
 
 

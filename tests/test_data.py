@@ -281,3 +281,42 @@ def test_single_target_cache_always_derives_from_canonical(tmp_path,
     assert len(single) == len(canon) == len(expect)
     np.testing.assert_array_equal(single["haim_id"].values,
                                   canon["haim_id"].values)
+
+
+def test_mimic_synth_cache_tag_is_order_sensitive():
+    """Round-5 review finding: synthetic generation draws per-source blocks
+    in LIST ORDER, so differently-ordered `sources` kwargs must resolve to
+    different cache dirs (sorting aliased them and served stale frames)."""
+    from multimodn_tpu.data.mimic import _resolve_cache_root
+
+    a = _resolve_cache_root("/root-x", {"sources": ["vd", "ts_ce"]})
+    b = _resolve_cache_root("/root-x", {"sources": ["ts_ce", "vd"]})
+    assert a != b
+
+
+def test_mimic_features_to_nan_demo_without_demographics_raises(tmp_path):
+    """features_to_nan='demo' with no de_* columns used to expand to [] and
+    silently inject NOTHING — the MNAR experiment ran on clean data."""
+    from multimodn_tpu.data.mimic import load_mimic_data
+
+    with pytest.raises(KeyError, match="demographic"):
+        load_mimic_data(["Cardiomegaly"], ["ts_ce"], put_none=True,
+                        indices_to_nan=[0], features_to_nan="demo",
+                        cache_root=str(tmp_path),
+                        synthetic_kwargs={"n_patients": 20})
+
+
+def test_mimic_split_matches_shared_helper(tmp_path):
+    """MIMICDataset.random_split routes through dataset._split_indices —
+    same arithmetic (incl. the remainder-to-split-0 quirk #13), index-list
+    return (quirk #11)."""
+    d = MIMICDataset(["de", "ts_ce"], ["Cardiomegaly"],
+                     cache_root=str(tmp_path),
+                     synthetic_kwargs={"n_patients": 30})
+    splits = d.random_split((0.7, 0.2, 0.1), seed=3, balanced_target_idx=0)
+    assert all(isinstance(s, list) for s in splits)
+    allidx = sorted(i for s in splits for i in s)
+    assert allidx == list(range(len(d)))  # partition of all rows
+    # Balanced grouping: class proportions of split 1 mirror split 0's.
+    y = d.y[:, 0]
+    assert abs(np.mean(y[splits[0]]) - np.mean(y[splits[1]])) < 0.15

@@ -182,3 +182,88 @@ def test_torch_dataset_is_not_a_loader():
     assert not is_torch_dataloader(ds)
     assert not is_torch_dataloader(TSubset(ds, [0, 1]))
     assert is_torch_dataloader(DataLoader(ds, batch_size=2))
+
+
+def test_adapt_loader_subset_sampler_and_rejections():
+    """Round-5 review finding: a SubsetRandomSampler loader used to
+    materialize the FULL dataset sequentially (silent train/test leakage);
+    unknown samplers were silently treated as sequential-over-everything."""
+    import torch
+    from torch.utils.data import (DataLoader as TorchDataLoader,
+                                  RandomSampler, SubsetRandomSampler,
+                                  WeightedRandomSampler)
+
+    from multimodn_tpu import interop
+    from multimodn_tpu.data import PartitionDataset
+
+    X = np.arange(40, dtype=np.float32).reshape(10, 4)
+    ds = PartitionDataset(X, np.zeros((10, 1), np.int64))
+
+    idx = [1, 3, 5]
+    ldr = TorchDataLoader(ds, batch_size=2, sampler=SubsetRandomSampler(idx))
+    ours = interop.adapt_loader(ldr)
+    assert ours.n_samples == 3
+    served = np.sort(np.asarray(ours.stacks()[0][0]).reshape(-1, 4)[:3, 0])
+    np.testing.assert_array_equal(served, X[idx, 0])
+    assert ours.shuffle
+
+    with pytest.raises(NotImplementedError, match="sampler"):
+        interop.adapt_loader(TorchDataLoader(
+            ds, batch_size=2,
+            sampler=WeightedRandomSampler([1.0] * 10, num_samples=10)))
+    with pytest.raises(NotImplementedError, match="replacement"):
+        interop.adapt_loader(TorchDataLoader(
+            ds, batch_size=2, sampler=RandomSampler(ds, replacement=True)))
+
+
+def test_adapt_optimizer_tracks_scheduler_lr():
+    """Round-5 review finding: torch lr schedulers mutate param_groups, not
+    .defaults — the adapter must honor the live lr (swapping the
+    transformation in place so Adam moments carry across the change)."""
+    import torch
+
+    from multimodn_tpu import interop
+
+    p = [torch.nn.Parameter(torch.zeros(2))]
+    opt = torch.optim.Adam(p, lr=0.1)
+    ours = interop.adapt_optimizer(opt)
+    assert ours.signature[1] == 0.1
+    sched = torch.optim.lr_scheduler.StepLR(opt, step_size=1, gamma=0.1)
+    sched.step()
+    ours2 = interop.adapt_optimizer(opt)
+    assert ours2 is ours                       # same state-carrying object
+    assert abs(ours.signature[1] - 0.01) < 1e-12
+
+    # Per-group hyperparameters have no pytree mapping: reject loudly.
+    p2 = [torch.nn.Parameter(torch.zeros(2)),
+          torch.nn.Parameter(torch.zeros(3))]
+    multi = torch.optim.Adam([{"params": p2[:1], "lr": 0.1},
+                              {"params": p2[1:], "lr": 0.2}])
+    with pytest.raises(NotImplementedError, match="param-group"):
+        interop.adapt_optimizer(multi)
+
+
+def test_scheduler_preserves_opt_state_across_epochs():
+    """The lr swap must not reset the model's optimizer state: the Adam
+    step counter keeps counting across a scheduler-driven lr change."""
+    import torch
+
+    from multimodn_tpu import MultiModN, MultiModNHistory
+    from multimodn_tpu.data import ArrayLoader, PartitionDataset
+    from multimodn_tpu.decoders import LogisticDecoder
+    from multimodn_tpu.encoders import MLPEncoder
+
+    rng = np.random.default_rng(0)
+    ds = PartitionDataset(rng.normal(size=(32, 4)).astype(np.float32),
+                          rng.integers(0, 2, (32, 1)))
+    model = MultiModN(2, [MLPEncoder(2, 4, (4,))], [LogisticDecoder(2)],
+                      1.0, 0.0)
+    opt = torch.optim.Adam(
+        [torch.nn.Parameter(torch.zeros(1))], lr=0.05)
+    h = MultiModNHistory(["t"])
+    model.train_epoch(ArrayLoader(ds, 8), opt, "cross_entropy", h)
+    t1 = float(model.opt_state["t"])
+    opt.param_groups[0]["lr"] = 0.005          # what a scheduler does
+    model.train_epoch(ArrayLoader(ds, 8), opt, "cross_entropy", h)
+    t2 = float(model.opt_state["t"])
+    assert t1 == 4.0 and t2 == 8.0             # moments carried, not reset
