@@ -105,12 +105,14 @@ def _resolve_cache_root(cache_root: str, synthetic_kwargs) -> str:
            f"_s{kw.get('seed', 2023)}"
            f"_m{kw.get('max_stays_per_patient', 3)}")
     if kw.get("sources"):
-        # The generated SOURCES change the rng stream (each block draws in
-        # LIST ORDER — synth.py draws proj/noise per block sequentially),
-        # so both different source SETS and different source ORDERS must
-        # never share a cache: the tag joins UNSORTED (sorting aliased
-        # ['vd','ts_ce'] with ['ts_ce','vd'], silently serving the other
-        # order's frame — review finding, round 5).
+        # The GENERATED sources change the rng stream (synth.py draws each
+        # block's proj/noise sequentially in LIST ORDER), so differently-
+        # ordered generator kwargs must never share a cache: the tag joins
+        # UNSORTED. Note the SELECTION argument of build_mimic_cache is
+        # separately order-sensitive via its source_spec path segment; the
+        # sorted tag only aliased when two runs generated ['vd','ts_ce']
+        # vs ['ts_ce','vd'] while SELECTING the same columns (review
+        # finding, round 5, precision-corrected in the round-5 tail pass).
         tag += "_src" + "-".join(kw["sources"])
     return os.path.join(cache_root, tag)
 

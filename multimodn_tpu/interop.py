@@ -123,22 +123,31 @@ def _build_native_optimizer(opt, hp: dict):
     import torch.optim as topt
 
     from multimodn_tpu.optim import SGD, Adam, AdamW
+    # maximize=True is gradient ASCENT — silently mapping it to the
+    # minimizing native optimizer would train in the opposite direction
+    # (review finding), so it is rejected like the other unmappable knobs.
     if isinstance(opt, topt.AdamW):
-        _reject("AdamW", amsgrad=(hp.get("amsgrad", False), False))
+        _reject("AdamW", amsgrad=(hp.get("amsgrad", False), False),
+                maximize=(hp.get("maximize", False), False))
         return AdamW(hp["lr"], betas=tuple(hp["betas"]), eps=hp["eps"],
                      weight_decay=hp["weight_decay"])
     if isinstance(opt, topt.Adam):
         _reject("Adam", amsgrad=(hp.get("amsgrad", False), False),
-                weight_decay=(hp.get("weight_decay", 0.0), 0.0))
+                weight_decay=(hp.get("weight_decay", 0.0), 0.0),
+                maximize=(hp.get("maximize", False), False))
         return Adam(hp["lr"], betas=tuple(hp["betas"]), eps=hp["eps"])
     if isinstance(opt, topt.SGD):
         _reject("SGD", weight_decay=(hp.get("weight_decay", 0.0), 0.0),
                 dampening=(hp.get("dampening", 0.0), 0.0),
-                nesterov=(hp.get("nesterov", False), False))
+                nesterov=(hp.get("nesterov", False), False),
+                maximize=(hp.get("maximize", False), False))
         return SGD(hp["lr"], momentum=hp.get("momentum", 0.0))
     raise NotImplementedError(
         f"no JAX-native mapping for torch optimizer "
         f"{type(opt).__name__}; use multimodn_tpu.optim directly")
+
+
+_HP_VARIANTS_WARN_AT = 6
 
 
 def adapt_optimizer(opt: Any):
@@ -149,24 +158,46 @@ def adapt_optimizer(opt: Any):
     manual ``param_groups`` edit) changes the lr between epochs, the cached
     adapter swaps in a rebuilt transformation IN PLACE — the model keeps the
     same Optimizer object, so Adam moments/step counts carry across the lr
-    change exactly like torch (each distinct hyperparameter set traces its
-    own program; a StepLR with a handful of distinct lrs compiles that many
-    programs, warm-cached thereafter)."""
+    change exactly like torch. Each DISTINCT hyperparameter set traces and
+    compiles its own fused program (lr is baked into the transformation):
+    a StepLR with a handful of distinct lrs compiles that many programs,
+    and revisited sets (cyclic schedules, warm restarts) reuse the
+    memoized transformation so the already-compiled program is re-hit.
+    Per-epoch-varying schedulers (CosineAnnealingLR, OneCycleLR) compile
+    one program per epoch — a warning fires after
+    ``_HP_VARIANTS_WARN_AT`` distinct sets; prefer step-wise schedules or
+    ``multimodn_tpu.optim`` directly for those."""
     if not is_torch_optimizer(opt):
         return opt
     cached = _cache_lookup(_OPT_CACHE, opt)
     if cached is not None:
-        ours, built_hp = cached
+        ours, built_hp, variants = cached
         hp = _torch_opt_hparams(opt)
         if hp != built_hp:
-            fresh = _build_native_optimizer(opt, hp)
-            ours.tx = fresh.tx
-            ours.signature = getattr(fresh, "signature", None)
-            _cache_store(_OPT_CACHE, opt, (ours, hp))
+            key = tuple(sorted(hp.items()))
+            variant = variants.get(key)
+            if variant is None:
+                fresh = _build_native_optimizer(opt, hp)
+                variant = (fresh.tx, getattr(fresh, "signature", None))
+                variants[key] = variant
+                if len(variants) == _HP_VARIANTS_WARN_AT:
+                    import warnings
+                    warnings.warn(
+                        f"adapt_optimizer has built {len(variants)} distinct "
+                        "hyperparameter variants for one torch optimizer — "
+                        "each compiles its own fused program. A per-epoch-"
+                        "varying lr scheduler (CosineAnnealingLR, OneCycle) "
+                        "pays one XLA compile per epoch; use a step-wise "
+                        "schedule or multimodn_tpu.optim directly.",
+                        stacklevel=2)
+            ours.tx, ours.signature = variant
+            _cache_store(_OPT_CACHE, opt, (ours, hp, variants))
         return ours
     hp = _torch_opt_hparams(opt)
     ours = _build_native_optimizer(opt, hp)
-    _cache_store(_OPT_CACHE, opt, (ours, hp))
+    variants = {tuple(sorted(hp.items())):
+                (ours.tx, getattr(ours, "signature", None))}
+    _cache_store(_OPT_CACHE, opt, (ours, hp, variants))
     return ours
 
 

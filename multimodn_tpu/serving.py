@@ -61,11 +61,15 @@ class InferenceSession:
             return enc[idx]
         # Scan-mode stacked storage: slice once per encoder and cache — the
         # per-leaf gather would otherwise run on EVERY step() in the serving
-        # hot path. Invalidate if the model's params were swapped
-        # (fine-tuning between requests).
+        # hot path. Invalidation keys on the LEAF identities, not the
+        # container: framework paths rebind the whole pytree, but a user
+        # patching a single leaf in place (params['encoders']['w'] = new_w)
+        # keeps the same dict identity and must still invalidate the slice
+        # (review finding, round-5 tail pass).
+        leaf_ids = tuple(id(l) for l in jax.tree_util.tree_leaves(enc))
         cached = self._enc_params.get(idx)
-        if cached is None or cached[0] is not enc:
-            cached = (enc, jax.tree_util.tree_map(lambda s: s[idx], enc))
+        if cached is None or cached[0] != leaf_ids:
+            cached = (leaf_ids, jax.tree_util.tree_map(lambda s: s[idx], enc))
             self._enc_params[idx] = cached
         return cached[1]
 
@@ -311,18 +315,11 @@ def export_compiled(model, path: str, platforms=("cpu", "tpu"),
     # RESOLVED (data_idx, encoder_idx) pairing, not encoder position — a
     # permuted encoder_sequence feeds modality d to a different-width
     # encoder, and the old per-encoder args died in an opaque matmul shape
-    # error mid-trace (review finding). Conflicting pairings (one modality
-    # feeding two widths) are rejected with the pairing error every other
-    # path gives.
+    # error mid-trace (review finding). data_idx enumerates the sequence
+    # positions (model._resolve_order), so each modality has exactly one
+    # pairing — no width conflict is representable.
     n_mod = max(d for d, _e in order) + 1
-    widths = {}
-    for d, e in order:
-        w = model.encoders[e].n_features
-        if widths.setdefault(d, w) != w:
-            raise ValueError(
-                f"encoding sequence feeds modality {d} to encoders of "
-                f"widths {widths[d]} and {w}; widths must match "
-                "(model._validate_pairings would reject this too).")
+    widths = {d: model.encoders[e].n_features for d, e in order}
     fwd = model._forward_fn(order, model.nan_skip)
     params = model.params
     chain = model._chain_plan()[0]

@@ -285,8 +285,11 @@ def test_single_target_cache_always_derives_from_canonical(tmp_path,
 
 def test_mimic_synth_cache_tag_is_order_sensitive():
     """Round-5 review finding: synthetic generation draws per-source blocks
-    in LIST ORDER, so differently-ordered `sources` kwargs must resolve to
-    different cache dirs (sorting aliased them and served stale frames)."""
+    in LIST ORDER, so differently-ordered GENERATOR `sources` kwargs must
+    resolve to different cache roots. (The selection argument is already
+    order-sensitive via build_mimic_cache's source_spec path segment; the
+    old sorted tag aliased only generator-order differences under an
+    identical selection.)"""
     from multimodn_tpu.data.mimic import _resolve_cache_root
 
     a = _resolve_cache_root("/root-x", {"sources": ["vd", "ts_ce"]})

@@ -243,6 +243,44 @@ def test_adapt_optimizer_tracks_scheduler_lr():
         interop.adapt_optimizer(multi)
 
 
+def test_adapt_optimizer_rejects_maximize():
+    """Round-5 tail review finding: torch ``maximize=True`` is gradient
+    ASCENT — silently mapping it onto the minimizing native optimizer
+    trained in the opposite direction. It must be rejected loudly, like
+    every other unmappable knob."""
+    import torch
+
+    from multimodn_tpu import interop
+
+    for cls in (torch.optim.Adam, torch.optim.AdamW, torch.optim.SGD):
+        p = [torch.nn.Parameter(torch.zeros(2))]
+        opt = cls(p, lr=0.1, maximize=True)
+        with pytest.raises(NotImplementedError, match="maximize"):
+            interop.adapt_optimizer(opt)
+
+
+def test_adapt_optimizer_memoizes_revisited_hparams():
+    """Round-5 tail review finding: every distinct hparam set compiles its
+    own fused program keyed on tx identity, so a REVISITED set (cyclic
+    schedule, warm restart) must swap back the SAME transformation object —
+    a fresh tx would force a full recompile of an already-compiled
+    program."""
+    import torch
+
+    from multimodn_tpu import interop
+
+    p = [torch.nn.Parameter(torch.zeros(2))]
+    opt = torch.optim.Adam(p, lr=0.1)
+    ours = interop.adapt_optimizer(opt)
+    tx_at_01 = ours.tx
+    opt.param_groups[0]["lr"] = 0.01
+    interop.adapt_optimizer(opt)
+    assert ours.tx is not tx_at_01
+    opt.param_groups[0]["lr"] = 0.1
+    interop.adapt_optimizer(opt)
+    assert ours.tx is tx_at_01  # identity restored -> program cache re-hit
+
+
 def test_scheduler_preserves_opt_state_across_epochs():
     """The lr swap must not reset the model's optimizer state: the Adam
     step counter keeps counting across a scheduler-driven lr change."""

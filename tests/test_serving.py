@@ -50,6 +50,55 @@ def test_incremental_session_nan_skip():
     assert not np.allclose(np.asarray(new_state)[0], np.asarray(state)[0])
 
 
+def test_session_slice_invalidates_on_inplace_leaf_patch():
+    """Round-5 tail review finding: the scan-stacked encoder-slice cache
+    keyed on the CONTAINER's identity, so a user patching a single leaf in
+    place (params['encoders'][k] = new) kept serving the pre-patch slice
+    while decode() saw the new decoders. The cache must key on leaf
+    identities."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(40, 6)).astype(np.float32)
+    y = (X @ rng.normal(size=6) > 0).astype(np.int64)[:, None]
+    loader = ArrayLoader(PartitionDataset(X, y, [3, 3]), 16)
+    model = MultiModN(3, [MLPEncoder(3, 3, (4,)), MLPEncoder(3, 3, (4,))],
+                      [LogisticDecoder(3)], 0.7, 0.3, chain_mode="scan")
+    model.fit(loader, Adam(0.01), "cross_entropy", epochs=3)
+    assert model._chain_plan()[0] == "scan"  # stacked storage engaged
+    session = InferenceSession(model)
+    x0 = X[:4, :3]
+    state = session.init(4)
+    _, probs_before = session.step(state, 0, x0)
+
+    def zero_one_leaf_in_place(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if isinstance(v, jnp.ndarray):
+                    node[k] = jnp.zeros_like(v)
+                    return True
+                if zero_one_leaf_in_place(v):
+                    return True
+        if isinstance(node, list):
+            for i, v in enumerate(node):
+                if isinstance(v, jnp.ndarray):
+                    node[i] = jnp.zeros_like(v)
+                    return True
+                if zero_one_leaf_in_place(v):
+                    return True
+        return False
+
+    enc = model.params["encoders"]
+    assert zero_one_leaf_in_place(enc)
+    assert model.params["encoders"] is enc  # container identity unchanged
+
+    _, probs_after = session.step(state, 0, x0)
+    fresh = InferenceSession(model)
+    _, probs_fresh = fresh.step(state, 0, x0)
+    np.testing.assert_allclose(probs_after[0], probs_fresh[0], atol=1e-6)
+    assert not np.allclose(probs_after[0], probs_before[0])
+
+
 def test_export_load_roundtrip(tmp_path):
     model, X = _trained_model(2)
     export_model(model, str(tmp_path / "artifact"))
@@ -270,9 +319,18 @@ def test_export_compiled_permuted_sequence_widths(tmp_path):
                rng.normal(size=(4, 4)).astype(np.float32))
     assert outs[0].shape[0] == 3  # (E+1, b, C)
 
-    # Width-conflicting pairings are rejected loudly, not via a trace error.
+    # Heterogeneous widths under a permuted sequence are VALID: the
+    # artifact's modality-d input takes the width of the encoder the
+    # pairing assigns to d (seq=[1,0] -> modality 0 is width-7 encoder 1,
+    # modality 1 is width-4 encoder 0), not the position-order widths.
     model2 = MultiModN(3, [MLPEncoder(3, 4, (5,)), MLPEncoder(3, 7, (6,))],
                        [LogisticDecoder(3)], 1.0, 0.0)
-    with pytest.raises(ValueError, match="widths"):
-        export_compiled(model2, str(tmp_path / "bad.hlo"),
-                        platforms=("cpu",), encoder_sequence=[1, 0])
+    p2 = str(tmp_path / "perm_het.hlo")
+    export_compiled(model2, p2, platforms=("cpu",), encoder_sequence=[1, 0])
+    run2 = load_compiled(p2)
+    outs2 = run2(rng.normal(size=(4, 7)).astype(np.float32),
+                 rng.normal(size=(4, 4)).astype(np.float32))
+    assert outs2[0].shape == (3, 4, 2)  # (E+1, b, n_classes=2)
+    with pytest.raises(Exception):  # position-order widths must NOT run
+        run2(rng.normal(size=(4, 4)).astype(np.float32),
+             rng.normal(size=(4, 7)).astype(np.float32))
